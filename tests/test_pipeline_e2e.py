@@ -1,0 +1,121 @@
+"""End-to-end correctness: the F1 >= 0.99 gate + extraction invariant +
+decision-semantics fixtures (reference test layers 3-5, SURVEY §5)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from word_sense_disambiguation_spark.operators.evaluation import (
+    accuracy,
+    disjoint_split,
+    pairwise_f1,
+)
+from word_sense_disambiguation_spark.operators.tokenize import (
+    mentions_from_pages,
+    tokens_from_pages,
+)
+from word_sense_disambiguation_spark.plans.pipeline import sense_assignments
+
+
+@pytest.fixture(scope="module")
+def assignments(sworld):
+    df = sense_assignments(sworld["pages"], sworld["senses"], use_html=True)
+    df = df.cache()
+    df.count()
+    return df
+
+
+def test_extraction_byte_identical(spark, sworld):
+    """html -> text must equal the stored text column for every url."""
+    from word_sense_disambiguation_spark.functions.text import extract_text
+
+    rows = sworld["pages"].select("url", "html", "text").collect()
+    assert rows
+    for r in rows:
+        assert extract_text(bytes(r["html"])) == r["text"], r["url"]
+
+
+def test_tokens_match_reference_row_shape(sworld):
+    toks = tokens_from_pages(sworld["pages"]).limit(50).collect()
+    assert toks
+    for t in toks:
+        assert t.end_char - t.start_char == len(t.word)
+        assert t.lemma == t.word.lower()
+
+
+def test_mentions_have_contexts(sworld):
+    m = mentions_from_pages(sworld["pages"])
+    assert m.filter(F.col("n_context") > 0).count() > 0
+    # deterministic mention ids
+    assert m.select("mention_id").distinct().count() == m.count()
+
+
+def test_accuracy_and_f1_gate(assignments, sworld):
+    acc = accuracy(assignments, sworld["gold_pairs"]).collect()[0]
+    assert acc.n_examples > 50
+    assert acc.accuracy >= 0.99, acc
+
+    f1 = pairwise_f1(assignments, sworld["gold_pairs"]).collect()[0]
+    assert f1.n_pairs > 100
+    assert f1.f1 >= 0.99, f1
+
+
+def test_decision_semantics(assignments, sworld):
+    """NOTA and empty-candidate sentinel semantics match the reference
+    (wsd/word_sense_disambiguation.py:194-217, 250-257)."""
+    rows = assignments.collect()
+    by_decision = {}
+    for r in rows:
+        by_decision.setdefault(r.decision, []).append(r)
+    # all three paths exercised by the fixture
+    assert set(by_decision) == {"assigned", "nota", "no_definitions"}
+    for r in by_decision["assigned"]:
+        assert r.pred_sense_id is not None
+        assert 0.0 < r.confidence <= 1.0
+    for r in by_decision["nota"]:
+        assert r.pred_sense_id is None
+        assert r.pred_definition == "none of the above"
+        assert 0.0 < r.confidence <= 1.0
+    for r in by_decision["no_definitions"]:
+        assert r.pred_sense_id is None
+        assert r.confidence == 0.0
+
+
+def test_confidence_renormalized(assignments):
+    """Confidence is winner/total over (candidates + reject slot) — always
+    in (0, 1] and <1 when other candidates scored > 0."""
+    bad = assignments.filter(
+        (F.col("confidence") < 0) | (F.col("confidence") > 1)
+    ).count()
+    assert bad == 0
+
+
+def test_disjoint_split_group_integrity(sworld):
+    gold = sworld["gold_pairs"].filter(F.col("gold_sense_id").isNotNull())
+    split = disjoint_split(gold, key="gold_sense_id", n_buckets=3, seed=42)
+    leaks = (
+        split.groupBy("gold_sense_id")
+        .agg(F.countDistinct("bucket").alias("nb"))
+        .filter(F.col("nb") > 1)
+        .count()
+    )
+    assert leaks == 0
+
+
+def test_parallelism_invariance(spark, world):
+    """local[1]-style vs default-parallelism results are identical — the
+    Spark analogue of the reference's batch==sequential property
+    (wsd/test_masked_language_model.py:122-160)."""
+    from word_sense_disambiguation_spark.datagen import world_to_spark
+
+    sw = world_to_spark(spark, world)
+    one = sense_assignments(
+        sw["pages"].coalesce(1), sw["senses"]
+    )
+    many = sense_assignments(
+        sw["pages"].repartition(7), sw["senses"]
+    )
+    cols = ["mention_id", "decision", "pred_sense_id"]
+    assert one.select(cols).exceptAll(many.select(cols)).count() == 0
+    assert many.select(cols).exceptAll(one.select(cols)).count() == 0

@@ -1,0 +1,142 @@
+"""Deterministic hashing primitives: feature-hash embeddings, MinHash,
+SimHash, rolling fingerprints.
+
+All hashes are seeded and portable (no process-randomized ``hash()``), so
+``local[1]`` == ``local[32]`` results and re-runs are bit-stable — the same
+determinism discipline the reference applies to its letter set and splits
+(``/root/reference/wsd/letters.py:54-61``, ``training/wn_data.py:28-29``).
+
+NumPy-vectorized where it matters; these run inside Arrow-batched pandas
+UDFs on the executors, never per-row Python at the Spark layer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+EMBED_DIM = 64
+
+_MASK64 = (1 << 64) - 1
+# Mersenne prime 2^61-1 for universal hashing a*x+b mod p.
+_MERSENNE_P = (1 << 61) - 1
+
+
+def md5_u64(s: str) -> int:
+    """Stable 64-bit hash of a string."""
+    return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
+
+
+def embed_tokens(tokens: list[str], dim: int = EMBED_DIM) -> np.ndarray:
+    """Feature-hash a token bag into an L2-normalized dense vector.
+
+    Each token maps to a fixed (index, sign) pair by stable hash; the vector
+    is the signed count histogram, normalized. Plays the role of the
+    reference's context representation fed to its scorer
+    (``/root/reference/wsd/masked_language_model.py:36`` — a fixed-width
+    float vector per mention).
+    """
+    v = np.zeros(dim, dtype=np.float64)
+    for t in tokens:
+        h = md5_u64("emb:" + t)
+        idx = h % dim
+        sign = 1.0 if (h >> 32) & 1 else -1.0
+        v[idx] += sign
+    n = np.linalg.norm(v)
+    if n > 0:
+        v /= n
+    return v.astype(np.float32)
+
+
+def char_shingles(text: str, k: int = 5) -> list[str]:
+    """Character k-shingles of normalized text (for MinHash/near-dup)."""
+    s = " ".join(text.lower().split())
+    if len(s) < k:
+        return [s] if s else []
+    return [s[i : i + k] for i in range(len(s) - k + 1)]
+
+
+def token_shingles(tokens: list[str], n: int = 3) -> list[str]:
+    """Token n-gram shingles."""
+    if len(tokens) < n:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) coefficient arrays for universal hashing."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE_P, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE_P, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(
+    shingles: list[str], num_perm: int = 128, seed: int = 42
+) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a shingle set.
+
+    Vectorized: one (n_shingles x num_perm) universal-hash matrix min-reduced
+    per column. Empty input yields the all-max sentinel signature.
+    """
+    a, b = _minhash_params(num_perm, seed)
+    if not shingles:
+        return np.full(num_perm, _MASK64, dtype=np.uint64)
+    hv = np.fromiter(
+        (md5_u64(s) for s in set(shingles)), dtype=np.uint64, count=len(set(shingles))
+    )
+    # (n, p): (a * h + b) mod p, computed in python-int free numpy uint64
+    # arithmetic; overflow wraps mod 2^64 which is fine for a hash family as
+    # long as it is applied identically everywhere.
+    prod = hv[:, None] * a[None, :] + b[None, :]
+    prod %= np.uint64(_MERSENNE_P)
+    return prod.min(axis=0)
+
+
+def lsh_bands(signature: np.ndarray, bands: int = 16) -> list[tuple[int, int]]:
+    """Split a signature into ``bands`` bands -> [(band_id, band_hash)].
+
+    Two documents collide in a band iff their signature rows in that band are
+    identical — the classic banding construction (Leskovec et al., MMDS ch.3).
+    """
+    rows = len(signature) // bands
+    out = []
+    for bi in range(bands):
+        chunk = signature[bi * rows : (bi + 1) * rows]
+        band_hash = md5_u64("band:" + chunk.tobytes().hex())
+        out.append((bi, band_hash))
+    return out
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over a token bag (Charikar 2002)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = md5_u64("sim:" + t)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    bits = (acc > 0).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & _MASK64).count("1")
+
+
+def rolling_fingerprint(text: str, window: int = 16, keep_mod: int = 8) -> list[int]:
+    """Winnowing-style document fingerprint: hash every ``window``-gram,
+    keep those ≡ 0 mod ``keep_mod`` (0-mod sampling). Deterministic subset
+    of positions robust to local edits."""
+    s = " ".join(text.lower().split())
+    if len(s) < window:
+        return [md5_u64("fp:" + s)] if s else []
+    out = []
+    for i in range(len(s) - window + 1):
+        h = md5_u64("fp:" + s[i : i + window])
+        if h % keep_mod == 0:
+            out.append(h)
+    return out

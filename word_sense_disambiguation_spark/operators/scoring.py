@@ -1,0 +1,132 @@
+"""Stage-2 scoring: candidate (mention, sense) pairs -> sense assignments.
+
+The reference scores each candidate set with a 128-way MLM head and picks
+the argmax with confidence renormalized over valid choices plus a fixed
+none-of-the-above slot (``/root/reference/wsd/word_sense_disambiguation.py:181-217``,
+``wsd/masked_language_model.py:166-175``). This engine keeps exactly those
+decision semantics but swaps the scorer for two distribution-friendly
+signals:
+
+* **Lesk gloss overlap** — ``size(array_intersect(context, profile))``,
+  pure JVM/whole-stage-codegen, zero Python;
+* **hashed context-embedding cosine** — an Arrow-batched pandas UDF
+  (the analogue of the reference's batched vectorized scorer, T10).
+
+Decision rules preserved 1:1:
+  - empty candidate set  -> sentinel ``NO_DEFINITIONS_FOUND``, confidence 0,
+    scorer never invoked (``...py:250-257``);
+  - a fixed reject slot participates in every argmax (our ``TAU`` plays the
+    NOTA letter's role); winning reject -> null sense id, definition
+    ``none of the above`` (``...py:206-211``);
+  - confidence = winner's score / sum of all slot scores
+    (renormalization, ``...py:201-204``);
+  - ties broken by ``sense_rank`` (inventory frequency order — the
+    reference's earlier-letter prior, ``...py:131-139``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from word_sense_disambiguation_spark.functions.hashing import embed_tokens
+from word_sense_disambiguation_spark.functions.similarity import cosine_batch
+
+NO_DEFINITIONS_FOUND = "No definitions found"
+NONE_OF_THE_ABOVE = "none of the above"
+
+# Reject-slot score: a candidate must beat TAU to be assigned. Plays the
+# role of the reference's fixed NOTA letter probability.
+TAU = 0.35
+COSINE_WEIGHT = 0.25
+
+
+@F.pandas_udf(T.DoubleType())
+def context_gloss_cosine(
+    context_words: pd.Series, profile_words: pd.Series
+) -> pd.Series:
+    """Cosine between hashed-bag embeddings of context and gloss profile.
+
+    Arrow-batched: embeds the whole batch into two (n, 64) matrices and does
+    one vectorized row-wise cosine — the Spark analogue of the reference's
+    batched forward pass (``wsd/masked_language_model.py:88-147``).
+    """
+    n = len(context_words)
+    if n == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack([embed_tokens(list(c) if c is not None else []) for c in context_words])
+    B = np.stack([embed_tokens(list(p) if p is not None else []) for p in profile_words])
+    return pd.Series(cosine_batch(A, B))
+
+
+def score_candidates(candidates: DataFrame) -> DataFrame:
+    """Attach ``score`` to each candidate row (null for empty-candidate rows).
+
+    score = overlap/(overlap+1) + COSINE_WEIGHT * max(cosine, 0): gloss
+    overlap dominates, the embedding breaks near-ties. Rows with no sense
+    (left-join misses) keep score null and never reach the cosine UDF —
+    the empty-candidate short-circuit (no model call) of the reference.
+    """
+    overlap = F.size(F.array_intersect("context_words", "profile_words"))
+    lesk = overlap.cast("double") / (overlap + F.lit(1)).cast("double")
+    cos = F.greatest(
+        context_gloss_cosine("context_words", "profile_words"), F.lit(0.0)
+    )
+    return candidates.withColumn(
+        "score",
+        F.when(
+            F.col("sense_id").isNotNull(), lesk + F.lit(COSINE_WEIGHT) * cos
+        ),
+    )
+
+
+def assign_senses(scored: DataFrame, tau: float = TAU) -> DataFrame:
+    """Per-mention argmax + NOTA + renormalized confidence -> assignments.
+
+    One shuffle on ``mention_id`` (window over the candidate set); the
+    candidate sets are tiny (2-4 senses), so this is the cheap shuffle of
+    the pipeline. ``greatest(score, 0)`` guards the denominator like the
+    reference's ``total_prob > 0`` check (``...py:203-204``).
+    """
+    w = Window.partitionBy("mention_id")
+    order = w.orderBy(
+        F.desc_nulls_last("score"), F.asc("sense_rank"), F.asc("sense_id")
+    )
+    ranked = (
+        scored.withColumn("rn", F.row_number().over(order))
+        .withColumn(
+            "total_score",
+            F.sum(F.greatest(F.coalesce(F.col("score"), F.lit(0.0)), F.lit(0.0))).over(w)
+            + F.lit(tau),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    no_defs = F.col("sense_id").isNull()
+    rejected = F.col("score") < F.lit(tau)
+    return ranked.select(
+        "url",
+        "mention_id",
+        "position",
+        "surface",
+        "norm_surface",
+        "lemma",
+        "pos",
+        "sentence_id",
+        "context_words",
+        F.when(no_defs, F.lit("no_definitions"))
+        .when(rejected, F.lit("nota"))
+        .otherwise(F.lit("assigned"))
+        .alias("decision"),
+        F.when(~no_defs & ~rejected, F.col("sense_id")).alias("pred_sense_id"),
+        F.when(no_defs, F.lit(""))
+        .when(rejected, F.lit(NONE_OF_THE_ABOVE))
+        .otherwise(F.col("sense_definition"))
+        .alias("pred_definition"),
+        F.when(no_defs, F.lit(0.0))
+        .when(rejected, F.lit(tau) / F.col("total_score"))
+        .otherwise(F.col("score") / F.col("total_score"))
+        .alias("confidence"),
+    )
