@@ -1,0 +1,138 @@
+"""Blocking recall/determinism + pairwise scorer + full ER stage chain."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from word_sense_disambiguation_spark.functions.hashing import (
+    char_shingles,
+    minhash_signature,
+)
+from word_sense_disambiguation_spark.functions.similarity import (
+    jaccard_sets,
+    jaro_winkler,
+    levenshtein,
+)
+from word_sense_disambiguation_spark.operators.blocking import (
+    minhash_lsh_pairs,
+    surface_key_pairs,
+)
+from word_sense_disambiguation_spark.operators.clustering import cluster_mentions
+from word_sense_disambiguation_spark.operators.pairs import score_mention_pairs
+from word_sense_disambiguation_spark.operators.tokenize import mentions_from_pages
+from word_sense_disambiguation_spark.plans.pipeline import sense_assignments
+
+
+def test_similarity_functions_match_duckdb():
+    """Our JW/levenshtein must agree with the DuckDB oracle's definitions."""
+    import duckdb
+
+    cases = [("martha", "marhta"), ("bank", "bonk"), ("", "abc"), ("same", "same")]
+    for a, b in cases:
+        d_jw, d_lev = duckdb.sql(
+            "select jaro_winkler_similarity(?, ?), levenshtein(?, ?)",
+            params=[a, b, a, b],
+        ).fetchone()
+        assert abs(jaro_winkler(a, b) - d_jw) < 1e-9, (a, b)
+        assert levenshtein(a, b) == d_lev, (a, b)
+
+
+def test_minhash_signature_deterministic_and_similarity_preserving():
+    s1 = minhash_signature(char_shingles("the quick brown fox jumps"), 128)
+    s2 = minhash_signature(char_shingles("the quick brown fox jumps"), 128)
+    assert (s1 == s2).all()
+    near = minhash_signature(char_shingles("the quick brown fox jumped"), 128)
+    far = minhash_signature(char_shingles("completely different words here"), 128)
+    sim_near = (s1 == near).mean()
+    sim_far = (s1 == far).mean()
+    assert sim_near > 0.6 > sim_far
+
+
+def test_lsh_recall_on_planted_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    # 10 planted near-dup pairs + 30 distinct docs
+    for i in range(10):
+        rows.append((2 * i, base + f" variant {i}"))
+        rows.append((2 * i + 1, base + f" variatn {i}"))
+    for i in range(30):
+        rows.append((100 + i, f"document number {i} " + " ".join(f"tok{i}_{j}" for j in range(12))))
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    pairs, oversized = minhash_lsh_pairs(df, "doc_id", "text")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(10)}
+    recall = len(got & planted) / len(planted)
+    assert recall == 1.0
+    # distinct docs should produce (almost) no candidates among themselves
+    false_pairs = [p for p in got if p[0] >= 100 and p[1] >= 100]
+    assert len(false_pairs) == 0
+
+
+def test_surface_blocking_skew_cap(spark, sworld):
+    mentions = mentions_from_pages(sworld["pages"])
+    pairs, oversized = surface_key_pairs(mentions, max_block_size=10)
+    # the hot template words must land in the oversized side, not the pairs
+    over_keys = {r.norm_surface for r in oversized.collect()}
+    assert len(over_keys) > 0
+    ok = pairs.join(
+        spark.createDataFrame([(k,) for k in over_keys], "norm_surface string"),
+        on="norm_surface",
+        how="inner",
+    ).count()
+    assert ok == 0
+    # pairs are canonical and unique
+    assert pairs.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+
+
+@pytest.fixture(scope="module")
+def er_outputs(sworld):
+    assignments = sense_assignments(sworld["pages"], sworld["senses"]).cache()
+    mentions = mentions_from_pages(sworld["pages"])
+    pairs, _ = surface_key_pairs(mentions, max_block_size=256)
+    edges = score_mention_pairs(pairs.select("id_a", "id_b"), assignments).cache()
+    clusters = cluster_mentions(edges).cache()
+    return assignments, edges, clusters
+
+
+def test_er_pairwise_f1_gate(spark, sworld, er_outputs):
+    """The north-rule gate on the *clustered* output: pairs of labeled
+    mentions are predicted-matched iff they share a canonical entity_id."""
+    assignments, _edges, clusters = er_outputs
+    gold = sworld["gold_pairs"]
+    mid = assignments.select("url", "lemma", "pos", "mention_id")
+    g = (
+        gold.join(mid, on=["url", "lemma", "pos"])
+        .join(clusters, on="mention_id", how="left")
+        .select("pair_id", "lemma", "pos", "gold_sense_id", "is_nota", "entity_id")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.lemma") == F.col("b.lemma"))
+        & (F.col("a.pos") == F.col("b.pos"))
+        & (F.col("a.pair_id") < F.col("b.pair_id")),
+    )
+    gold_match = (
+        ~F.col("a.is_nota")
+        & ~F.col("b.is_nota")
+        & (F.col("a.gold_sense_id") == F.col("b.gold_sense_id"))
+    )
+    pred_match = F.col("a.entity_id") == F.col("b.entity_id")
+    r = p.agg(
+        F.sum((gold_match & pred_match).cast("long")).alias("tp"),
+        F.sum((~gold_match & pred_match).cast("long")).alias("fp"),
+        F.sum((gold_match & ~pred_match).cast("long")).alias("fn"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    f1 = 2 * r.tp / max(2 * r.tp + r.fp + r.fn, 1)
+    assert r.n > 100
+    assert f1 >= 0.99, r
+
+
+def test_cluster_canonical_id_is_min_member(er_outputs):
+    _a, _e, clusters = er_outputs
+    bad = clusters.groupBy("entity_id").agg(F.min("mention_id").alias("mn")).filter(
+        F.col("mn") != F.col("entity_id")
+    )
+    assert bad.count() == 0

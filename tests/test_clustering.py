@@ -1,0 +1,69 @@
+"""Connected-components correctness vs a brute-force union-find oracle."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+
+from word_sense_disambiguation_spark.operators.clustering import connected_components
+
+
+def _uf_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min member
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for root, members in comp.items():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def _check(spark, edges: list[tuple[int, int]]):
+    df = spark.createDataFrame(edges, schema="src long, dst long")
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    want = _uf_oracle(edges)
+    assert got == want
+
+
+def test_cc_path_graph(spark):
+    _check(spark, [(i, i + 1) for i in range(1, 10)])
+
+
+def test_cc_star_and_disjoint(spark):
+    _check(spark, [(100, i) for i in range(101, 110)] + [(1, 2), (2, 3), (50, 50)])
+
+
+def test_cc_cycle(spark):
+    _check(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+
+
+def test_cc_random_graph_matches_union_find(spark):
+    rng = random.Random(42)
+    nodes = list(range(1, 200))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(250)]
+    _check(spark, edges)
+
+
+def test_cc_empty_and_selfloops(spark):
+    df = spark.createDataFrame([(5, 5), (7, 7)], schema="src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == {5: 5, 7: 7}

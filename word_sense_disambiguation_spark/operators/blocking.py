@@ -1,0 +1,134 @@
+"""Stage-1 blocking: candidate-pair generation without the O(n^2) cross join.
+
+Two complementary blockers, exactly as the north star prescribes:
+
+* :func:`surface_key_pairs` — normalized-surface-form equi-blocking (the
+  relational analogue of the reference's ``(lemma, pos)`` definition lookup
+  key, ``/root/reference/wsd/word_sense_disambiguation.py:384-387``);
+* :func:`minhash_lsh_pairs` — MinHash-LSH banding over token/char shingles
+  (no reference analogue; semantics per the classic banding construction,
+  MMDS ch.3), for near-duplicate and fuzzy-mention candidates.
+
+Both are skew-aware: hot blocks are the scale killer (a block of size B
+emits B(B-1)/2 pairs), so both blockers take ``max_block_size`` and emit a
+side table of the blocks they dropped — **no silent caps**; the caller can
+route oversized blocks to a salted/sampled path. The reference's analogue
+of this discipline is its length-bucketed batching
+(``wsd/masked_language_model.py:113-126``) — bounding worst-case work per
+unit, never dropping silently (it warns, ``training/train.py:374-396``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from word_sense_disambiguation_spark.functions.hashing import (
+    char_shingles,
+    lsh_bands,
+    minhash_signature,
+)
+
+DEFAULT_NUM_PERM = 128
+DEFAULT_BANDS = 16
+DEFAULT_MAX_BLOCK = 64
+
+
+def _pairs_within_blocks(
+    keyed: DataFrame, id_col: str, key_cols: list[str], max_block_size: int
+) -> tuple[DataFrame, DataFrame]:
+    """(id, key) -> (id_a < id_b) pairs within each key block, skew-capped.
+
+    One shuffle on the block key; the self-join is co-partitioned because
+    both sides hash on the same key (Catalyst reuses the exchange). Blocks
+    larger than ``max_block_size`` are excluded from pairing and returned in
+    ``oversized`` with their sizes.
+    """
+    counts = keyed.groupBy(*key_cols).agg(F.count("*").alias("block_size"))
+    oversized = counts.filter(F.col("block_size") > max_block_size)
+    ok = keyed.join(
+        F.broadcast(oversized.select(*key_cols)), on=key_cols, how="left_anti"
+    )
+    a = ok.select(*key_cols, F.col(id_col).alias("id_a"))
+    b = ok.select(*key_cols, F.col(id_col).alias("id_b"))
+    pairs = (
+        a.join(b, on=key_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", *key_cols)
+    )
+    return pairs, oversized
+
+
+def surface_key_pairs(
+    mentions: DataFrame,
+    id_col: str = "mention_id",
+    key_cols: tuple[str, ...] = ("norm_surface", "pos"),
+    max_block_size: int = DEFAULT_MAX_BLOCK,
+) -> tuple[DataFrame, DataFrame]:
+    """Equi-blocking on the normalized surface key -> distinct id pairs."""
+    keyed = mentions.select(id_col, *key_cols)
+    return _pairs_within_blocks(keyed, id_col, list(key_cols), max_block_size)
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, text) -> exploded (id, band_id, band_hash) rows.
+
+    Signature computation is an Arrow-batched ``mapInPandas`` (pure NumPy,
+    executor-parallel, no shuffle); the band explosion multiplies rows by
+    ``bands`` *before* the shuffle, which is the point: the join key is
+    (band_id, band_hash), small and hash-distributable.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bids, bhashes = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                sig = minhash_signature(char_shingles(t or "", k=shingle_k), num_perm)
+                for band_id, band_hash in lsh_bands(sig, bands):
+                    ids.append(i)
+                    bids.append(band_id)
+                    # store as signed 64-bit for Spark LongType
+                    bhashes.append(band_hash - (1 << 63))
+            yield pd.DataFrame(
+                {"id": ids, "band_id": bids, "band_hash": bhashes}
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        run, schema=f"id {id_type}, band_id int, band_hash long"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 5,
+    max_block_size: int = DEFAULT_MAX_BLOCK,
+) -> tuple[DataFrame, DataFrame]:
+    """LSH candidate pairs: ids colliding in >=1 band, deduplicated.
+
+    Returns ``(pairs(id_a, id_b), oversized_buckets)``. With b bands of
+    r = num_perm/b rows, collision probability is 1-(1-s^r)^b — the usual
+    S-curve; defaults (b=16, r=8) put the knee near Jaccard ~0.7.
+    """
+    banded = minhash_bands(df, id_col, text_col, num_perm, bands, shingle_k)
+    pairs, oversized = _pairs_within_blocks(
+        banded, "id", ["band_id", "band_hash"], max_block_size
+    )
+    return (
+        pairs.select("id_a", "id_b").distinct(),
+        oversized,
+    )

@@ -1,0 +1,132 @@
+"""Stage-3 transitive clustering: match edges -> canonical entity ids.
+
+Iterative **large-star / small-star** connected components (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+DataFrame groupBy/join passes:
+
+* large-star: every node attaches its *strictly larger* neighbors to the
+  minimum of its closed neighborhood;
+* small-star: every node attaches its smaller-or-equal neighbors (and
+  itself) to that minimum.
+
+Alternating the two converges in O(log^2 n) rounds to a star forest whose
+roots are the component minima — canonical ``entity_id = min(member)``, the
+convention FIXTURES.md §5 fixes. Each round ends in ``localCheckpoint()``
+to cut lineage (the iterative-algorithm analogue of the reference's
+skip-list resume discipline, ``training/data/generate.py:148-160``), and
+convergence is detected by an order-insensitive checksum aggregate instead
+of a full sort/compare.
+
+No reference analogue exists (the reference never clusters across
+requests); semantics are anchored in the paper, tests in a brute-force
+union-find oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.union(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select("src", F.least("mn", F.col("src")).alias("m"))
+    return (
+        sym.join(mins, on="src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    e = _symmetrize(edges).filter(F.col("dst") < F.col("src"))
+    mins = e.groupBy("src").agg(F.min("dst").alias("m"))
+    attached = (
+        e.join(mins, on="src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(mins.select(F.col("src"), F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return attached
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # bit_xor is overflow-free under ANSI mode (Spark 4 default) and
+        # order-insensitive — exactly what a set checksum needs.
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Edge list -> (node, component) with component = min member id.
+
+    Nodes appearing only as isolated self-loops (src == dst) are their own
+    component. Raises if not converged within ``max_iter`` (log^2 bound —
+    25 covers any realistic graph).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    isolated = (
+        e.filter(F.col("src") == F.col("dst")).select("src").distinct()
+    )
+    e = e.filter(F.col("src") != F.col("dst"))
+    if e.isEmpty():
+        return isolated.select(
+            F.col("src").alias("node"), F.col("src").alias("component")
+        )
+
+    prev = None
+    cur = e
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(_symmetrize(cur))).localCheckpoint(eager=True)
+        ck = _checksum(cur)
+        if prev is not None and ck == prev:
+            break
+        prev = ck
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+    # cur is a star forest: (member -> root). Add the roots themselves and
+    # any isolated nodes.
+    members = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = cur.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
+    iso = isolated.join(
+        members.select(F.col("node")), isolated["src"] == members["node"], "left_anti"
+    ).select(F.col("src").alias("node"), F.col("src").alias("component"))
+    return members.union(roots).union(iso).distinct()
+
+
+def cluster_mentions(match_edges: DataFrame) -> DataFrame:
+    """Match edges (id_a, id_b, is_match) -> (mention_id, entity_id).
+
+    Non-matching pair members still get singleton clusters (self-loop trick)
+    so every mention that entered pairing receives a canonical id.
+    """
+    matches = match_edges.filter(F.col("is_match")).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    all_ids = (
+        match_edges.select(F.col("id_a").alias("src"))
+        .union(match_edges.select(F.col("id_b")))
+        .distinct()
+    )
+    self_loops = all_ids.select("src", F.col("src").alias("dst"))
+    comp = connected_components(matches.union(self_loops))
+    return comp.select(
+        F.col("node").alias("mention_id"), F.col("component").alias("entity_id")
+    )
