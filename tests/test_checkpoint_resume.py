@@ -1,0 +1,77 @@
+"""Checkpoint/metrics/resume semantics: kill-and-resume, skip-if-committed,
+per-partition counters (north rule resumability requirement)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from word_sense_disambiguation_spark.plans.checkpoint import (
+    StageRunner,
+    run_er_pipeline,
+)
+
+
+def test_stage_commit_and_skip(spark, tmp_path):
+    r = StageRunner(spark, str(tmp_path / "run"), run_id="t1")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(100).withColumn("x", F.col("id") * 2)
+
+    out1 = r.stage("s1", build)
+    assert out1.count() == 100
+    assert calls["n"] == 1
+    # second run skips the build entirely
+    out2 = r.stage("s1", build)
+    assert calls["n"] == 1
+    assert out2.count() == 100
+    # manifest recorded
+    m = json.load(open(tmp_path / "run" / "s1" / "_MANIFEST.json"))
+    assert m["rows"] == 100 and m["stage"] == "s1"
+
+
+def test_metrics_per_partition(spark, tmp_path):
+    r = StageRunner(spark, str(tmp_path / "run"), run_id="t2")
+    r.stage("s1", lambda: spark.range(0, 1000).repartition(4))
+    met = r.metrics()
+    rows = met.filter(F.col("stage") == "s1").collect()
+    assert sum(x.rows for x in rows) == 1000
+    assert all(x.run_id == "t2" for x in rows)
+    assert {x.partition_id for x in rows} == set(range(len(rows)))
+
+
+def test_kill_and_resume_mid_pipeline(spark, sworld, tmp_path):
+    """Simulate a crash after stage 2 of 5; resume must not recompute
+    committed stages and must produce identical final clusters."""
+    run_dir = str(tmp_path / "er")
+    pages, senses = sworld["pages"], sworld["senses"]
+
+    # partial run: execute only the first two stages, then "crash"
+    r = StageRunner(spark, run_dir, run_id="partial")
+    from word_sense_disambiguation_spark.operators.tokenize import mentions_from_pages
+
+    r.stage("mentions", lambda: mentions_from_pages(pages))
+    assert r.is_committed("mentions")
+    mentions_mtime = os.path.getmtime(
+        os.path.join(run_dir, "mentions", "_MANIFEST.json")
+    )
+
+    # resume: full pipeline over the same run_dir
+    out = run_er_pipeline(spark, pages, senses, run_dir, run_id="resumed")
+    assert out["clusters"].count() > 0
+    # committed stage untouched (same manifest file, same mtime)
+    assert (
+        os.path.getmtime(os.path.join(run_dir, "mentions", "_MANIFEST.json"))
+        == mentions_mtime
+    )
+
+    # and the resumed result equals a from-scratch run
+    fresh = run_er_pipeline(spark, pages, senses, str(tmp_path / "er2"), run_id="fresh")
+    a = out["clusters"].select("mention_id", "entity_id")
+    b = fresh["clusters"].select("mention_id", "entity_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -1,0 +1,101 @@
+"""Dedup family: exact, MinHash-LSH clusters, SimHash, n-gram Jaccard,
+embedding cosine — correctness on planted fixtures + the world's dup pages."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from word_sense_disambiguation_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_near_duplicate_clusters,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the river bank "
+        "glistens in the morning light and the market opens for trade"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("morning", "evening")),  # near dup of 0
+        (3, "completely different text about compilers kernels and buffers in systems"),
+        (4, "another unrelated document mentioning gardens blossoms and pollen everywhere"),
+        (5, base.replace("quick", "swift").replace("lazy", "idle")),  # near dup
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = {r.doc_id: r for r in exact_duplicates(docs, "doc_id", "text").collect()}
+    assert out[0].canonical_id == 0 and out[0].is_duplicate
+    assert out[1].canonical_id == 0 and out[1].is_duplicate
+    assert not out[3].is_duplicate and out[3].canonical_id == 3
+
+
+def test_ngram_jaccard_pairs_full_cross(spark, docs):
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], schema="id_a long, id_b long"
+    )
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, pairs=all_pairs)
+    j = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert j[(0, 1)] == 1.0
+    assert 0.5 < j[(0, 2)] < 1.0
+    assert j[(0, 3)] < 0.05
+
+
+def test_minhash_cluster_assignment(docs):
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in minhash_near_duplicate_clusters(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert clusters[0] == clusters[1] == clusters[2] == 0
+    assert clusters[3] == 3 and clusters[4] == 4  # singletons survive
+
+
+def test_simhash_candidates(docs):
+    out = {(r.id_a, r.id_b): r.hamming for r in simhash_candidates(docs, "doc_id", "text", max_hamming=10).collect()}
+    assert (0, 1) in out and out[(0, 1)] == 0
+    assert (0, 2) in out
+    assert (3, 4) not in out
+
+
+def test_world_dup_pages_recovered(spark, sworld):
+    """The generator's planted near-duplicate pages must cluster together."""
+    pages = sworld["pages"].selectExpr("url as doc_id", "text")
+    clusters = minhash_near_duplicate_clusters(
+        pages, "doc_id", "text", threshold=0.5
+    )
+    dup = sworld["dup_groups"].collect()
+    assert dup, "fixture must plant dups"
+    c = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    for r in dup:
+        assert c[r.url_a] == c[r.url_b], (r.url_a, r.url_b)
+
+
+def test_embedding_near_duplicates(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=64)
+    rows = []
+    for i in range(20):
+        v = rng.normal(size=64)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    # plant: 100 ~= 0 (tiny noise), 101 ~= 0
+    b = base / np.linalg.norm(base)
+    rows.append((100, [float(x) for x in b]))
+    rows.append((101, [float(x) for x in (b + 0.01 * rng.normal(size=64))]))
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    out = {(r.id_a, r.id_b) for r in embedding_near_duplicates(df, "vec_id", "embedding", threshold=0.98, bits=8).collect()}
+    assert (100, 101) in out
+    assert all(a >= 100 for a, _ in out)  # random pairs don't pass 0.98

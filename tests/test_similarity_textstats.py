@@ -1,0 +1,131 @@
+"""ANN search (brute force + LSH recall) on the driver embeddings table,
+textstats operators on documents, multimodal plumbing on pages."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from word_sense_disambiguation_spark.operators.similarity_search import (
+    brute_force_topk,
+    lsh_topk,
+)
+from word_sense_disambiguation_spark.operators.textstats import (
+    fingerprints,
+    text_profile,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(embeddings):
+    rows = embeddings.orderBy("vec_id").limit(3).collect()
+    return [(int(r.vec_id), list(r.embedding)) for r in rows]
+
+
+def test_brute_force_topk_exact(spark, embeddings, queries):
+    out = brute_force_topk(embeddings, queries, k=5)
+    got = {
+        (r.query_id, r.rank): (r.vid, r.cosine) for r in out.collect()
+    }
+    # oracle: numpy full scan
+    data = embeddings.collect()
+    M = np.stack([np.asarray(r.embedding, dtype=np.float32) for r in data])
+    ids = np.array([r.vec_id for r in data])
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float32)
+        qn = q / np.linalg.norm(q)
+        s = Mn @ qn
+        order = sorted(zip(-s, ids))[:5]
+        for rank, (negs, vid) in enumerate(order, 1):
+            gvid, gcos = got[(qid, rank)]
+            assert abs(gcos - (-negs)) < 1e-5
+            assert gvid == vid or abs(gcos - (-negs)) < 1e-6  # tie tolerance
+    # self is always rank 1 with cosine ~1
+    for qid, _ in queries:
+        vid, cos = got[(qid, 1)]
+        assert vid == qid and cos > 0.999
+
+
+def test_lsh_topk_recall(embeddings, queries):
+    k = 10
+    exact = brute_force_topk(embeddings, queries, k=k)
+    approx = lsh_topk(embeddings, queries, k=k, bits=4, tables=8)
+    e = {(r.query_id, r.vid) for r in exact.collect()}
+    a = {(r.query_id, r.vid) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall  # 8 tables x 4 bits: union amplification
+    # self-match always survives bucketing
+    for qid, _ in queries:
+        assert (qid, qid) in a
+
+
+def test_text_profile(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog and runs to the river."),
+            (2, "le chat est sur la table et les livres sont ici"),
+            (3, "???!!! ... ---"),
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_profile(df, "doc_id", "text").collect()}
+    assert out[1].pred_lang == "en"
+    assert out[2].pred_lang == "fr"
+    assert out[3].pred_lang == "und"
+    assert out[1].ws_tokens == 14
+    assert out[1].bpe_tokens == 15  # 14 words + final period
+    assert out[1].quality > out[3].quality
+
+
+def test_text_profile_on_documents(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    prof = text_profile(docs, "doc_id", "text")
+    assert prof.count() == docs.count()
+    assert prof.filter(F.col("quality") < 0).count() == 0
+    assert prof.filter(F.col("quality") > 1).count() == 0
+
+
+def test_fingerprints_detect_containment(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    b = "prefix words here " + a + " suffix words there"
+    c = "totally different content with no shared windows at all whatsoever"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], schema="doc_id long, text string"
+    )
+    fp = fingerprints(df, "doc_id", "text")
+    f1 = {r.fp for r in fp.filter("id = 1").collect()}
+    f2 = {r.fp for r in fp.filter("id = 2").collect()}
+    f3 = {r.fp for r in fp.filter("id = 3").collect()}
+    assert len(f1 & f2) / max(len(f1), 1) > 0.8  # containment
+    assert len(f1 & f3) == 0
+
+
+def test_multimodal_plumbing(sworld):
+    from word_sense_disambiguation_spark.operators.multimodal import (
+        frame_sample,
+        media_metadata,
+    )
+
+    meta = media_metadata(sworld["pages"], "url", "html", media_type="image")
+    rows = meta.limit(10).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bytes > 0 and 1 <= r.width <= 4096 and r.n_frames >= 1
+    fs = frame_sample(sworld["pages"].limit(5), "url", "html", every_n=4)
+    assert fs.count() >= 5
+
+
+def test_real_decode_is_stubbed():
+    from word_sense_disambiguation_spark.operators.multimodal import real_decode
+
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\x00" * 16)

@@ -220,9 +220,12 @@ def build_world(
                 rng.randrange(len(base_pages))
             ]
             sents = list(src_sents)
-            # perturb: replace the trailing filler sentence (keeps gold
-            # sentences byte-identical so mentions still land).
-            sents[-1] = _filler_sentence(f"{seed}:dupfill:{i}")
+            # perturb a few words of the trailing filler sentence (keeps
+            # gold sentences byte-identical so mentions still land, and
+            # keeps shingle Jaccard high — a realistic near-duplicate).
+            sents[-1] = src_sents[-1].replace(
+                " to everyone there", " for most readers then"
+            )
             pages_rows.append(_emit_page(i, sents, []))
             dup_rows.append(
                 {

@@ -1,0 +1,214 @@
+"""Deduplication operator family over document tables.
+
+Exact (hash groupBy), MinHash-LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup — the operations a 100 TB training-data pipeline
+runs before anything else. All candidate generation is blocked (never
+O(n^2)); all verification is either JVM array math or Arrow-batched NumPy.
+
+Design at scale: candidate pairs >> true dups, so every family is
+``cheap blocked candidates -> exact verify -> connected components``;
+the CC stage reuses :mod:`clustering` (large-star/small-star).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from word_sense_disambiguation_spark.functions.hashing import simhash64
+from word_sense_disambiguation_spark.operators.blocking import minhash_lsh_pairs
+from word_sense_disambiguation_spark.operators.clustering import connected_components
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: every row tagged with its canonical id
+    (min id among byte-identical texts) and a duplicate flag.
+
+    One shuffle on the 256-bit content hash; fully JVM-side.
+    """
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(id_col, text_col)
+        .withColumn("content_hash", F.sha2(F.col(text_col), 256))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .select(
+            F.col(id_col),
+            "content_hash",
+            "canonical_id",
+            (F.col("group_size") > 1).alias("is_duplicate"),
+        )
+    )
+
+
+def _token_ngrams(col, n: int):
+    """Token n-gram array, pure Spark: slice a split-token array with a
+    generated index sequence (stays in whole-stage codegen)."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) >= n, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs.
+
+    ``pairs`` defaults to MinHash-LSH candidates (the scale path); passing
+    an explicit pair table lets tests verify against a full cross product.
+    Jaccard itself is JVM array math: |intersect| / |union|.
+    """
+    if pairs is None:
+        pairs, _ = minhash_lsh_pairs(df, id_col, text_col)
+    grams = df.select(
+        F.col(id_col).alias("gid"), _token_ngrams(F.col(text_col), n).alias("grams")
+    )
+    a = grams.select(F.col("gid").alias("id_a"), F.col("grams").alias("grams_a"))
+    b = grams.select(F.col("gid").alias("id_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
+    return (
+        pairs.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / F.greatest(union, F.lit(1.0))).alias("jaccard"),
+        )
+        .withColumn("is_match", F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicate_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """LSH candidates -> exact Jaccard verify -> CC -> (id, cluster_id).
+
+    Every input row gets a cluster id (singletons cluster with themselves)
+    — canonical id = min member, the engine-wide convention.
+    """
+    scored = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    edges = scored.filter(F.col("is_match")).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    loops = df.select(F.col(id_col).alias("src")).withColumn("dst", F.col("src"))
+    comp = connected_components(edges.union(loops))
+    return comp.select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup candidates via the pigeonhole block trick:
+    split the 64-bit fingerprint into ``max_hamming + 1`` chunks — any two
+    fingerprints within the Hamming radius agree on >= 1 whole chunk, so a
+    per-chunk equi-join finds all of them. Verified by exact Hamming
+    distance (``bit_count(a ^ b)``, JVM-side).
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sh = [
+                simhash64((t or "").lower().split()) - (1 << 63)
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({"sid": pdf[id_col], "simhash": sh})
+
+    id_type = dict(df.dtypes)[id_col]
+    hashed = df.select(id_col, text_col).mapInPandas(
+        run, schema=f"sid {id_type}, simhash long"
+    )
+    # explode into (chunk_id, chunk_value) block keys
+    chunks = hashed.select(
+        "sid",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_id"),
+                    F.shiftright(F.col("simhash"), c * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    ).alias("chunk_val"),
+                )
+                for c in range(n_chunks)
+            ])
+        ).alias("ch"),
+    ).select("sid", "simhash", "ch.chunk_id", "ch.chunk_val")
+    a = chunks.select(
+        F.col("sid").alias("id_a"), F.col("simhash").alias("sim_a"),
+        "chunk_id", "chunk_val",
+    )
+    b = chunks.select(
+        F.col("sid").alias("id_b"), F.col("simhash").alias("sim_b"),
+        "chunk_id", "chunk_val",
+    )
+    cand = (
+        a.join(b, on=["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bits: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding cosine near-dup: random-hyperplane LSH buckets -> exact
+    cosine verify. Reuses the ANN machinery from similarity_search."""
+    from word_sense_disambiguation_spark.operators.similarity_search import (
+        hyperplane_buckets,
+    )
+
+    sigs = hyperplane_buckets(df, id_col, vec_col, bits=bits, seed=seed)
+    a = sigs.select(
+        F.col("vid").alias("id_a"), F.col("bucket"), F.col("vec").alias("vec_a")
+    )
+    b = sigs.select(
+        F.col("vid").alias("id_b"), F.col("bucket"), F.col("vec").alias("vec_b")
+    )
+    cand = (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("bucket")
+        .distinct()
+    )
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / F.greatest(norm(F.col("vec_a")) * norm(F.col("vec_b")), F.lit(1e-12))
+    return cand.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

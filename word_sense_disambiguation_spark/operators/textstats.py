@@ -1,0 +1,119 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+Everything except the fingerprint is pure ``pyspark.sql.functions`` —
+whole-stage-codegen'd, pushdown-friendly, and expressible 1:1 in the DuckDB
+oracle. The fingerprint (winnowing rolling hash) is an Arrow mapInPandas
+(rows-only oracle check, like the reference's non-SQL scorer).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from word_sense_disambiguation_spark.functions.hashing import rolling_fingerprint
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic —
+# deterministic, good enough for corpus routing (real lang-id plugs into the
+# same column contract).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "es", "una"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+
+WORD_RE = r"[A-Za-z0-9]+"
+BPE_ISH_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(col: Column) -> Column:
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Count of word-or-punct pieces — the BPE-ish pre-tokenization count."""
+    return F.regexp_count(col, F.lit(BPE_ISH_RE))
+
+
+def _marker_hits(col: Column, markers: list[str]) -> Column:
+    pat = r"\b(" + "|".join(markers) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax over marker-word hit counts; 'und' when nothing matches.
+
+    Ties break by language order (en > fr > es > de), deterministically.
+    """
+    hits = {lang: _marker_hits(col, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic [0,1] quality: length band + word shape + punctuation and
+    stopword ratios. Mirrors the reference's pre-scoring pruning stance
+    (filter junk before the expensive stage, ``training/train.py:374-396``).
+    """
+    n_chars = F.length(col)
+    n_words = F.regexp_count(col, F.lit(WORD_RE))
+    n_punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    n_stop = _marker_hits(col, LANG_MARKERS["en"])
+    wordlen = n_chars.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    len_term = F.least(n_chars.cast("double") / F.lit(200.0), F.lit(1.0))
+    punct_term = F.greatest(
+        F.lit(1.0) - n_punct.cast("double") / F.greatest(n_words, F.lit(1)).cast("double"),
+        F.lit(0.0),
+    )
+    stop_term = F.least(
+        n_stop.cast("double") * F.lit(5.0) / F.greatest(n_words, F.lit(1)).cast("double"),
+        F.lit(1.0),
+    )
+    shape_term = F.when((wordlen >= 3.0) & (wordlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (
+        F.lit(0.3) * len_term
+        + F.lit(0.3) * punct_term
+        + F.lit(0.2) * stop_term
+        + F.lit(0.2) * shape_term
+    )
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass per-document profile table (the headline textstats query)."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        whitespace_token_count(c).alias("ws_tokens"),
+        bpe_ish_token_count(c).alias("bpe_tokens"),
+        lang_id(c).alias("pred_lang"),
+        quality_score(c).alias("quality"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, id_col: str, text_col: str, window: int = 16, keep_mod: int = 8
+) -> DataFrame:
+    """(id, fingerprint-hash) rows via winnowing 0-mod sampling — joinable
+    for containment/overlap detection between documents."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                for h in rolling_fingerprint(t or "", window, keep_mod):
+                    ids.append(i)
+                    hs.append(h - (1 << 63))
+            yield pd.DataFrame({"id": ids, "fp": pd.Series(hs, dtype="int64")})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"id {id_type}, fp long"
+    )
