@@ -1,0 +1,142 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Queries (each timed end-to-end, action = count on the final stage):
+
+* ``sense_assign``   — flagship pipeline over the full pages table
+  (documents lifted to page shape + synthetic gold world at sf scale)
+* ``er_cluster``     — blocking -> pair scoring -> connected components
+  over the synthetic mention graph
+* ``dedup_minhash``  — MinHash-LSH near-dup clustering of documents
+* ``ann_topk``       — brute-force cosine top-10, 8 queries over embeddings
+* ``text_profile``   — one-pass lang-id/quality/token-count profile
+
+``docs_per_sec`` is pages through the flagship pipeline per second — the
+throughput number BASELINE.md tracks; scripts/scaling.py reruns this at two
+parallelism levels for the scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from word_sense_disambiguation_spark.datagen import (
+        build_world,
+        pages_for_scale,
+        world_to_spark,
+    )
+    from word_sense_disambiguation_spark.operators.blocking import (
+        sense_block_star_pairs,
+        surface_key_pairs,
+    )
+    from word_sense_disambiguation_spark.operators.clustering import cluster_mentions
+    from word_sense_disambiguation_spark.operators.dedup import (
+        minhash_near_duplicate_clusters,
+    )
+    from word_sense_disambiguation_spark.operators.pairs import score_mention_pairs
+    from word_sense_disambiguation_spark.operators.similarity_search import (
+        brute_force_topk,
+    )
+    from word_sense_disambiguation_spark.operators.textstats import text_profile
+    from word_sense_disambiguation_spark.operators.tokenize import mentions_from_pages
+    from word_sense_disambiguation_spark.plans.pipeline import sense_assignments
+    from word_sense_disambiguation_spark.session import get_spark
+    from word_sense_disambiguation_spark.sources.pages import pages_from_documents
+
+    spark = get_spark(
+        app_name="wsd_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+
+    # Stage inputs with explicit parallelism: the testdata tables are single
+    # parquet files (1-2 scan partitions) and the synthetic world starts as
+    # a driver-local table — neither resembles a real multi-file crawl
+    # table. A 100 TB input arrives in thousands of splits; repartitioning
+    # the staged inputs reproduces that, so the timings measure the
+    # operators' scaling, not an artificial 1-partition scan.
+    par = cpus * 4
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(par).persist()
+    docs.count()
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).repartition(par).persist()
+    emb.count()
+    n_pages = pages_for_scale(sf)
+    world = world_to_spark(spark, build_world(n_pages=n_pages, seed=42))
+    world_pages = world["pages"].repartition(par).persist()
+    pages = pages_from_documents(docs).unionByName(world_pages).persist()
+    total_pages = pages.count()
+    senses = world["senses"].persist()
+    senses.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        n = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return n
+
+    assignments = None
+
+    def run_sense():
+        nonlocal assignments
+        assignments = sense_assignments(pages, senses).persist()
+        return assignments.count()
+
+    timed("sense_assign", run_sense)
+
+    def run_er():
+        # scale path: linear star pairs within sense canopies + exhaustive
+        # pairs only inside small surface blocks
+        mentions = mentions_from_pages(world_pages)
+        small, _ = surface_key_pairs(mentions, max_block_size=64)
+        pairs = (
+            sense_block_star_pairs(assignments)
+            .unionByName(small.select("id_a", "id_b"))
+            .distinct()
+        )
+        edges = score_mention_pairs(pairs, assignments)
+        return cluster_mentions(edges).count()
+
+    timed("er_cluster", run_er)
+    timed(
+        "dedup_minhash",
+        lambda: minhash_near_duplicate_clusters(
+            docs, "doc_id", "text", threshold=0.7
+        ).count(),
+    )
+
+    q_rows = emb.orderBy("vec_id").limit(8).collect()
+    queries_vec = [(int(r.vec_id), list(r.embedding)) for r in q_rows]
+    timed("ann_topk", lambda: brute_force_topk(emb, queries_vec, k=10).count())
+    timed("text_profile", lambda: text_profile(docs, "doc_id", "text").count())
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(total_pages / timings["sense_assign"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "pages": total_pages,
+                "docs_per_sec": docs_per_sec,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -130,6 +130,51 @@ def test_er_pairwise_f1_gate(spark, sworld, er_outputs):
     assert f1 >= 0.99, r
 
 
+def test_star_pairs_path_preserves_f1(spark, sworld, er_outputs):
+    """The linear-size star-pair blocking (the 10^12-row path) must reach
+    the same F1 gate as exhaustive within-block pairing."""
+    from word_sense_disambiguation_spark.operators.blocking import (
+        sense_block_star_pairs,
+    )
+
+    assignments, _e, _c = er_outputs
+    star = sense_block_star_pairs(assignments)
+    assert star.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+    edges = score_mention_pairs(star, assignments)
+    clusters = cluster_mentions(edges)
+
+    gold = sworld["gold_pairs"]
+    mid = assignments.select("url", "lemma", "pos", "mention_id")
+    g = (
+        gold.join(mid, on=["url", "lemma", "pos"])
+        .join(clusters, on="mention_id", how="left")
+        .select(
+            "pair_id", "lemma", "pos", "gold_sense_id", "is_nota",
+            F.coalesce("entity_id", "mention_id").alias("entity_id"),
+        )
+    )
+    a, b = g.alias("a"), g.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.lemma") == F.col("b.lemma"))
+        & (F.col("a.pos") == F.col("b.pos"))
+        & (F.col("a.pair_id") < F.col("b.pair_id")),
+    )
+    gold_match = (
+        ~F.col("a.is_nota")
+        & ~F.col("b.is_nota")
+        & (F.col("a.gold_sense_id") == F.col("b.gold_sense_id"))
+    )
+    pred_match = F.col("a.entity_id") == F.col("b.entity_id")
+    r = p.agg(
+        F.sum((gold_match & pred_match).cast("long")).alias("tp"),
+        F.sum((~gold_match & pred_match).cast("long")).alias("fp"),
+        F.sum((gold_match & ~pred_match).cast("long")).alias("fn"),
+    ).collect()[0]
+    f1 = 2 * r.tp / max(2 * r.tp + r.fp + r.fn, 1)
+    assert f1 >= 0.99, r
+
+
 def test_cluster_canonical_id_is_min_member(er_outputs):
     _a, _e, clusters = er_outputs
     bad = clusters.groupBy("entity_id").agg(F.min("mention_id").alias("mn")).filter(

@@ -51,6 +51,26 @@ def test_mentions_have_contexts(sworld):
     assert m.select("mention_id").distinct().count() == m.count()
 
 
+def test_sql_and_pandas_extractors_identical(spark, sworld):
+    """The JVM fast-path extractor must be row-identical to the canonical
+    pandas one — on the synthetic world AND on the driver documents."""
+    from word_sense_disambiguation_spark.operators.tokenize import (
+        mentions_from_pages_sql,
+    )
+    from word_sense_disambiguation_spark.sources.pages import pages_from_documents
+
+    for pages in (
+        sworld["pages"],
+        pages_from_documents(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        ),
+    ):
+        a = mentions_from_pages(pages)
+        b = mentions_from_pages_sql(pages)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+
 def test_accuracy_and_f1_gate(assignments, sworld):
     acc = accuracy(assignments, sworld["gold_pairs"]).collect()[0]
     assert acc.n_examples > 50

@@ -1,0 +1,86 @@
+"""Letter dimension + prompt construction + training-example generation
+(reference T7-T9, T18 semantics; mirrors wsd/test_letters.py and
+wsd/test_word_sense_disambiguation.py prompt invariants)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from word_sense_disambiguation_spark.functions.letters import (
+    NOTA_LETTER_INDEX,
+    NUM_LETTERS,
+    build_letters,
+)
+from word_sense_disambiguation_spark.operators.prompts import (
+    build_prompts,
+    training_examples,
+)
+
+
+def test_letterset_deterministic_and_complete():
+    a = build_letters()
+    b = build_letters()
+    assert a is b or a == b  # cached + equal
+    assert len(a.letters) == NUM_LETTERS
+    assert len(set(a.token_ids)) == NUM_LETTERS
+    # familiar letters first; NOTA slot exists
+    assert a.letters[0] == "A"
+    assert a.letters[:52] == tuple(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    )
+    # excluded symbols never appear (clash with template/marker syntax)
+    assert "." not in a.letters and "*" not in a.letters and "'" not in a.letters
+    assert NOTA_LETTER_INDEX == 127
+
+
+def test_build_prompts_layout(spark):
+    df = spark.createDataFrame(
+        [
+            ("bank", "I sat by the *bank*", ["money institution", "river edge"], 0),
+            ("empty", "no *candidates* here", [], 0),
+            ("big", "way too *many*", [f"d{i}" for i in range(5)], 125),  # collides
+        ],
+        schema="surface string, marked_sentence string, definitions array<string>, off int",
+    )
+    out = build_prompts(df, start_offset_col="off").collect()
+    p = out[0].prompt
+    assert p.startswith("What is the meaning of *bank* in this sentence?")
+    assert "Sentence: I sat by the *bank*" in p
+    assert "A. money institution" in p and "B. river edge" in p
+    nota_letter = build_letters().letters[NOTA_LETTER_INDEX]
+    assert f"{nota_letter}. none of the above" in p
+    assert p.endswith("Answer: [unused0] [MASK]")
+    # empty candidate set and offset collisions yield null prompts
+    assert out[1].prompt is None
+    assert out[2].prompt is None
+
+
+def test_training_examples(spark, sworld):
+    ex = training_examples(sworld["senses"], seed=42).cache()
+    n = ex.count()
+    # 3 examples per sense
+    assert n == sworld["senses"].count() * 3
+    rows = ex.limit(200).collect()
+    for r in rows:
+        assert r.prompt is not None
+        assert r.marked_sentence.count("*") == 2
+        assert 0 <= r.start_offset
+        assert r.start_offset + len(r.definitions) <= NOTA_LETTER_INDEX
+        assert r.start_offset <= r.correct_letter_index < r.start_offset + len(r.definitions)
+        # the letter at correct_letter_index letters the correct definition
+        letters = build_letters().letters
+        letter = letters[r.correct_letter_index]
+        gold_def = r.definitions[r.correct_letter_index - r.start_offset]
+        assert f"{letter}. {gold_def}" in r.prompt
+    # deterministic across invocations
+    ex2 = training_examples(sworld["senses"], seed=42)
+    assert ex.exceptAll(ex2).count() == 0
+    # different seed shifts offsets
+    ex3 = training_examples(sworld["senses"], seed=7)
+    diff = (
+        ex.select("correct_sense_id", "marked_sentence", "start_offset")
+        .exceptAll(ex3.select("correct_sense_id", "marked_sentence", "start_offset"))
+        .count()
+    )
+    assert diff > 0

@@ -1,0 +1,68 @@
+"""Structured Streaming surfaces: batch/stream parity for windowed counts,
+incremental flagship pipeline via foreachBatch with exactly-once resume."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+
+from word_sense_disambiguation_spark.streaming.ingest import (
+    stream_sense_assignments,
+    stream_windowed_event_counts,
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def test_stream_batch_parity_windowed_counts(spark, tmp_path):
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src)
+
+    streamed = stream_windowed_event_counts(spark, src, EVENTS_SCHEMA)
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+    )
+    s = streamed.select("window_start", "event_type", "n", "sum_value")
+    assert s.exceptAll(batch).count() == 0
+    assert batch.exceptAll(s).count() == 0
+
+
+def test_incremental_sense_pipeline_resumes(spark, world, tmp_path):
+    """Two micro-batch rounds: new files only are processed on round 2
+    (checkpointed offsets), and the union equals the batch run."""
+    from word_sense_disambiguation_spark.datagen import world_to_spark
+    from word_sense_disambiguation_spark.plans.pipeline import sense_assignments
+
+    sw = world_to_spark(spark, world)
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+
+    first = sw["pages"].filter(F.col("url") < "https://synthetic.example/0000/page-0000060")
+    rest = sw["pages"].filter(F.col("url") >= "https://synthetic.example/0000/page-0000060")
+    first.write.mode("append").parquet(pages_dir)
+    n1 = stream_sense_assignments(spark, pages_dir, sw["senses"], out_dir, ck_dir)
+    assert n1 > 0
+
+    rest.write.mode("append").parquet(pages_dir)
+    n2 = stream_sense_assignments(spark, pages_dir, sw["senses"], out_dir, ck_dir)
+    assert n2 > n1
+
+    batch = sense_assignments(sw["pages"], sw["senses"]).drop("context_words")
+    streamed = spark.read.parquet(out_dir)
+    cols = ["mention_id", "decision", "pred_sense_id"]
+    assert streamed.select(cols).exceptAll(batch.select(cols)).count() == 0
+    assert batch.select(cols).exceptAll(streamed.select(cols)).count() == 0

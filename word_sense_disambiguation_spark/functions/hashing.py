@@ -29,6 +29,45 @@ def md5_u64(s: str) -> int:
     return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
 
 
+# token -> md5_u64("emb:"+token) memo; executor-lifetime, tiny (vocab-sized)
+_EMB_HASH_CACHE: dict[str, int] = {}
+
+
+def _emb_hash(t: str) -> int:
+    h = _EMB_HASH_CACHE.get(t)
+    if h is None:
+        h = md5_u64("emb:" + t)
+        _EMB_HASH_CACHE[t] = h
+    return h
+
+
+def embed_token_bags(bags: list, dim: int = EMBED_DIM) -> np.ndarray:
+    """Embed a whole Arrow batch of token bags at once -> (n, dim) matrix.
+
+    The vectorized hot path for the pair/candidate scorers: one hash per
+    *unique* token (memoized across batches — natural-language batches reuse
+    a small vocabulary), then a single np.add.at scatter for the whole
+    batch. Replaces n x per-row python loops.
+    """
+    rows: list[int] = []
+    cols: list[int] = []
+    signs: list[float] = []
+    for i, bag in enumerate(bags):
+        if bag is None:
+            continue
+        for t in bag:
+            h = _emb_hash(t)
+            rows.append(i)
+            cols.append(h % dim)
+            signs.append(1.0 if (h >> 32) & 1 else -1.0)
+    M = np.zeros((len(bags), dim), dtype=np.float64)
+    if rows:
+        np.add.at(M, (np.asarray(rows), np.asarray(cols)), np.asarray(signs))
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    np.divide(M, norms, out=M, where=norms > 0)
+    return M.astype(np.float32)
+
+
 def embed_tokens(tokens: list[str], dim: int = EMBED_DIM) -> np.ndarray:
     """Feature-hash a token bag into an L2-normalized dense vector.
 

@@ -73,6 +73,34 @@ def surface_key_pairs(
     return _pairs_within_blocks(keyed, id_col, list(key_cols), max_block_size)
 
 
+def sense_block_star_pairs(assignments: DataFrame) -> DataFrame:
+    """Linear-size pair generation for huge blocks: within each
+    ``(lemma, pos, pred_sense_id)`` canopy, pair every mention with the
+    block's minimum mention (a star), instead of enumerating all
+    B(B-1)/2 pairs.
+
+    Why this is the 10^12-row path: connected components only needs a
+    *spanning* structure per true cluster — a verified star gives exactly
+    that with O(B) edges, and the downstream pair scorer still vets every
+    edge, so a wrong canopy assignment cannot silently merge clusters.
+    This is the ER analogue of the reference's decoder pruning (compute
+    only what the decision needs, ``wsd/model_surgery.py:31-70``).
+
+    Only ``decision = 'assigned'`` mentions participate (NOTA/no-inventory
+    mentions have no canopy; small-block all-pairs still covers them).
+    Emitted pairs satisfy ``id_a < id_b`` because the hub is the minimum.
+    """
+    from pyspark.sql import Window
+
+    assigned = assignments.filter(F.col("decision") == "assigned")
+    w = Window.partitionBy("lemma", "pos", "pred_sense_id")
+    return (
+        assigned.withColumn("hub", F.min("mention_id").over(w))
+        .filter(F.col("mention_id") != F.col("hub"))
+        .select(F.col("hub").alias("id_a"), F.col("mention_id").alias("id_b"))
+    )
+
+
 def minhash_bands(
     df: DataFrame,
     id_col: str,

@@ -33,7 +33,7 @@ def prepare_senses(senses: DataFrame) -> DataFrame:
         F.lower(F.concat_ws(" ", "source_definition", "alternative_definition")),
         r"\s+",
     )
-    func_words = F.array(*[F.lit(w) for w in sorted(FUNCTION_WORDS)])
+    func_words = F.split(F.lit(" ".join(sorted(FUNCTION_WORDS))), " ")
     profile = F.array_except(F.array_distinct(words), func_words)
     profile = F.filter(profile, lambda w: (w != F.col("lemma")) & (w != F.lit("")))
     return (

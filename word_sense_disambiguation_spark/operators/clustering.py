@@ -80,11 +80,16 @@ def connected_components(
     component. Raises if not converged within ``max_iter`` (log^2 bound —
     25 covers any realistic graph).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    isolated = (
-        e.filter(F.col("src") == F.col("dst")).select("src").distinct()
+    # materialize the input once: everything below (isolated split, isEmpty,
+    # round 1) would otherwise re-evaluate the caller's DAG — which may
+    # contain expensive UDF scoring — several times.
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
     )
-    e = e.filter(F.col("src") != F.col("dst"))
+    isolated = (
+        e0.filter(F.col("src") == F.col("dst")).select("src").distinct()
+    )
+    e = e0.filter(F.col("src") != F.col("dst"))
     if e.isEmpty():
         return isolated.select(
             F.col("src").alias("node"), F.col("src").alias("component")
@@ -117,12 +122,15 @@ def cluster_mentions(match_edges: DataFrame) -> DataFrame:
     Non-matching pair members still get singleton clusters (self-loop trick)
     so every mention that entered pairing receives a canonical id.
     """
-    matches = match_edges.filter(F.col("is_match")).select(
+    # one materialization of the (possibly UDF-heavy) edge-scoring DAG; the
+    # three consumers below then read executor-local blocks.
+    me = match_edges.select("id_a", "id_b", "is_match").localCheckpoint(eager=True)
+    matches = me.filter(F.col("is_match")).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     all_ids = (
-        match_edges.select(F.col("id_a").alias("src"))
-        .union(match_edges.select(F.col("id_b")))
+        me.select(F.col("id_a").alias("src"))
+        .union(me.select(F.col("id_b")))
         .distinct()
     )
     self_loops = all_ids.select("src", F.col("src").alias("dst"))

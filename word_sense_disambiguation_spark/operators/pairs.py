@@ -18,13 +18,13 @@ Arrow-batched, and embarrassingly parallel.
 
 from __future__ import annotations
 
-import numpy as np
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from word_sense_disambiguation_spark.functions.hashing import embed_tokens
+from word_sense_disambiguation_spark.functions.hashing import embed_token_bags
 from word_sense_disambiguation_spark.functions.similarity import (
     cosine_batch,
     jaro_winkler,
@@ -48,8 +48,8 @@ def context_cosine_udf(c1: pd.Series, c2: pd.Series) -> pd.Series:
     n = len(c1)
     if n == 0:
         return pd.Series([], dtype="float64")
-    A = np.stack([embed_tokens(list(x) if x is not None else []) for x in c1])
-    B = np.stack([embed_tokens(list(x) if x is not None else []) for x in c2])
+    A = embed_token_bags(list(c1))
+    B = embed_token_bags(list(c2))
     return pd.Series(cosine_batch(A, B))
 
 

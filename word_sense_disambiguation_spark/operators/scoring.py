@@ -26,13 +26,12 @@ Decision rules preserved 1:1:
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from word_sense_disambiguation_spark.functions.hashing import embed_tokens
+from word_sense_disambiguation_spark.functions.hashing import embed_token_bags
 from word_sense_disambiguation_spark.functions.similarity import cosine_batch
 
 NO_DEFINITIONS_FOUND = "No definitions found"
@@ -57,8 +56,8 @@ def context_gloss_cosine(
     n = len(context_words)
     if n == 0:
         return pd.Series([], dtype="float64")
-    A = np.stack([embed_tokens(list(c) if c is not None else []) for c in context_words])
-    B = np.stack([embed_tokens(list(p) if p is not None else []) for p in profile_words])
+    A = embed_token_bags(list(context_words))
+    B = embed_token_bags(list(profile_words))
     return pd.Series(cosine_batch(A, B))
 
 
@@ -66,43 +65,60 @@ def score_candidates(candidates: DataFrame) -> DataFrame:
     """Attach ``score`` to each candidate row (null for empty-candidate rows).
 
     score = overlap/(overlap+1) + COSINE_WEIGHT * max(cosine, 0): gloss
-    overlap dominates, the embedding breaks near-ties. Rows with no sense
-    (left-join misses) keep score null and never reach the cosine UDF —
-    the empty-candidate short-circuit (no model call) of the reference.
+    overlap dominates, the embedding breaks near-ties.
+
+    The empty-candidate short-circuit (reference: no model call,
+    ``...py:250-257``) is enforced *physically*, not with a ``when()``:
+    Catalyst extracts python UDFs into an unconditional ArrowEvalPython
+    node, so a conditional expression would still ship every row — including
+    the (majority) inventory-miss rows — through the python worker. Split,
+    score the matched side only, union the misses back with a null score.
     """
+    with_sense = candidates.filter(F.col("sense_id").isNotNull())
+    no_sense = candidates.filter(F.col("sense_id").isNull()).withColumn(
+        "score", F.lit(None).cast("double")
+    )
     overlap = F.size(F.array_intersect("context_words", "profile_words"))
     lesk = overlap.cast("double") / (overlap + F.lit(1)).cast("double")
     cos = F.greatest(
         context_gloss_cosine("context_words", "profile_words"), F.lit(0.0)
     )
-    return candidates.withColumn(
-        "score",
-        F.when(
-            F.col("sense_id").isNotNull(), lesk + F.lit(COSINE_WEIGHT) * cos
-        ),
-    )
+    scored = with_sense.withColumn("score", lesk + F.lit(COSINE_WEIGHT) * cos)
+    return scored.unionByName(no_sense)
 
 
 def assign_senses(scored: DataFrame, tau: float = TAU) -> DataFrame:
     """Per-mention argmax + NOTA + renormalized confidence -> assignments.
 
-    One shuffle on ``mention_id`` (window over the candidate set); the
-    candidate sets are tiny (2-4 senses), so this is the cheap shuffle of
-    the pipeline. ``greatest(score, 0)`` guards the denominator like the
-    reference's ``total_prob > 0`` check (``...py:203-204``).
+    Physical shape: a hash aggregate (``max_by`` over an ordering struct +
+    ``sum``), NOT a sort window — candidate rows of one mention are already
+    co-located (the inventory join was broadcast), so partial aggregation
+    collapses each candidate set map-side and the single shuffle of the
+    pipeline carries one row per mention, no sort anywhere. Tie-break is
+    (score desc, sense_rank asc): sense_rank is the inventory frequency
+    order — the reference's earlier-letter prior. ``greatest(score, 0)``
+    guards the denominator like the reference's ``total_prob > 0`` check
+    (``...py:203-204``).
     """
-    w = Window.partitionBy("mention_id")
-    order = w.orderBy(
-        F.desc_nulls_last("score"), F.asc("sense_rank"), F.asc("sense_id")
+    order_key = F.struct(
+        F.coalesce(F.col("score"), F.lit(-1.0)).alias("s"),
+        (-F.coalesce(F.col("sense_rank"), F.lit(1 << 30))).alias("r"),
+    )
+    payload = F.struct(
+        "url", "position", "surface", "norm_surface", "lemma", "pos",
+        "sentence_id", "context_words", "sense_id", "sense_definition",
+        "score",
     )
     ranked = (
-        scored.withColumn("rn", F.row_number().over(order))
-        .withColumn(
-            "total_score",
-            F.sum(F.greatest(F.coalesce(F.col("score"), F.lit(0.0)), F.lit(0.0))).over(w)
-            + F.lit(tau),
+        scored.groupBy("mention_id")
+        .agg(
+            F.max_by(payload, order_key).alias("b"),
+            (
+                F.sum(F.greatest(F.coalesce(F.col("score"), F.lit(0.0)), F.lit(0.0)))
+                + F.lit(tau)
+            ).alias("total_score"),
         )
-        .filter(F.col("rn") == 1)
+        .select("mention_id", "total_score", F.col("b.*"))
     )
     no_defs = F.col("sense_id").isNull()
     rejected = F.col("score") < F.lit(tau)

@@ -20,6 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from word_sense_disambiguation_spark.functions.text import (
     FUNCTION_WORDS,
@@ -100,6 +101,99 @@ def tokens_from_pages(pages: DataFrame, use_html: bool = False) -> DataFrame:
 
     cols = ["url", "html"] if use_html else ["url", "text"]
     return pages.select(*cols).mapInPandas(run, schema=TOKENS_SCHEMA)
+
+
+def mentions_from_pages_sql(
+    pages: DataFrame,
+    window: int = CONTEXT_WINDOW,
+) -> DataFrame:
+    """JVM-only mention extraction — the 100 TB hot path.
+
+    Produces byte-identical rows to :func:`mentions_from_pages` (asserted in
+    tests) using only whole-stage-codegen expressions: ``regexp_extract_all``
+    with the same token regex, portable-md5 POS (same value as
+    ``functions.text.pos_tag``), and higher-order array functions for
+    sentence scoping + context windows. No Python worker is involved, so the
+    stage scales with JVM cores and runs inside one scan with no shuffle.
+
+    The pandas path remains the canonical reference implementation (it also
+    serves the char-offset ``tokens`` API and the html-extraction variant);
+    this one exists because a pure-Python tokenizer caps cluster scaling —
+    measured on this host: JVM stages scale ~5x from 8->32 cores, Python
+    stages ~2.3x.
+    """
+    token_re = r"[A-Za-z0-9]+(?:'[A-Za-z0-9]+)?|[^\sA-Za-z0-9]"
+    # one string literal instead of 120 array literals: plan analysis time
+    # is serial driver work — keep the logical plan small.
+    func_words = F.split(F.lit(" ".join(sorted(FUNCTION_WORDS))), " ")
+
+    # F.lit pattern (not an F.expr SQL literal): SQL string literals eat
+    # backslashes, silently corrupting \s in the token regex.
+    toks = F.regexp_extract_all(F.col("text"), F.lit(token_re), F.lit(0))
+    df = pages.select("url", toks.alias("toks"))
+    # sentence id per token = number of '.' tokens strictly before it
+    df = df.withColumn(
+        "sent_ids",
+        F.expr(
+            "transform(toks, (t, i) -> size(filter(slice(toks, 1, i), x -> x = '.')))"
+        ),
+    )
+    # lemma per token; POS pool index via portable md5 (same as pos_tag)
+    df = df.withColumn("lemmas", F.expr("transform(toks, t -> lower(t))"))
+    # content flag: alnum-leading token, not a function word; NUM pool for
+    # digit-leading (wn pos n), hash pool otherwise
+    pool = "array('NOUN','NOUN','NOUN','VERB','VERB','ADJ','ADV')"
+    pos_expr = (
+        "transform(lemmas, t -> CASE"
+        " WHEN NOT t rlike '^[a-z0-9]' THEN 'PUNCT'"
+        f" WHEN array_contains({{fw}}, t) THEN 'DET'"
+        " WHEN t rlike '^[0-9]' THEN 'NUM'"
+        f" ELSE element_at({pool}, CAST(CAST(conv(substring(md5(concat('pos:', t)), 1, 8), 16, 10) AS BIGINT) % 7 + 1 AS INT))"
+        " END)"
+    )
+    df = df.withColumn("fw", func_words).withColumn(
+        "poss", F.expr(pos_expr.format(fw="fw"))
+    )
+    wn_map = (
+        "CASE WHEN p IN ('NOUN','PROPN','NUM','INTJ') THEN 'n'"
+        " WHEN p = 'VERB' THEN 'v' WHEN p = 'ADJ' THEN 'a'"
+        " WHEN p = 'ADV' THEN 'r' END"
+    )
+    df = df.withColumn(
+        "wn_poss", F.expr(f"transform(poss, p -> {wn_map})")
+    )
+    # explode mentions: content tokens only
+    df = df.select(
+        "url",
+        "toks",
+        "lemmas",
+        "sent_ids",
+        "wn_poss",
+        F.posexplode(F.arrays_zip("lemmas", "wn_poss", "sent_ids", "toks")).alias(
+            "position", "z"
+        ),
+    ).filter(F.col("z.wn_poss").isNotNull())
+    # context: same-sentence content lemmas within +-window, excluding self
+    # and same-lemma tokens (identical predicate to the pandas path)
+    ctx = F.expr(
+        "filter(transform(lemmas, (t, i) ->"
+        " CASE WHEN i != position AND abs(i - position) <= {w}"
+        "  AND sent_ids[i] = z.sent_ids AND wn_poss[i] IS NOT NULL"
+        "  AND lemmas[i] != z.lemmas THEN lemmas[i] END),"
+        " x -> x IS NOT NULL)".format(w=window)
+    )
+    return df.select(
+        "url",
+        F.concat_ws(":", "url", F.col("position").cast("string")).alias("mention_id"),
+        F.col("position").cast("int").alias("position"),
+        F.col("z.toks").alias("surface"),
+        F.col("z.lemmas").alias("norm_surface"),
+        F.col("z.lemmas").alias("lemma"),
+        F.col("z.wn_poss").alias("pos"),
+        F.col("z.sent_ids").cast("int").alias("sentence_id"),
+        ctx.alias("context_words"),
+        F.size(ctx).alias("n_context"),
+    )
 
 
 def mentions_from_pages(

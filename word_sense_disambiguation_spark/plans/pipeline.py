@@ -17,14 +17,25 @@ from word_sense_disambiguation_spark.operators.scoring import (
     assign_senses,
     score_candidates,
 )
-from word_sense_disambiguation_spark.operators.tokenize import mentions_from_pages
+from word_sense_disambiguation_spark.operators.tokenize import (
+    mentions_from_pages,
+    mentions_from_pages_sql,
+)
 
 
 def sense_assignments(
     pages: DataFrame, senses: DataFrame, use_html: bool = False
 ) -> DataFrame:
-    """pages + inventory -> per-mention sense assignments (the flagship query)."""
-    mentions = mentions_from_pages(pages, use_html=use_html)
+    """pages + inventory -> per-mention sense assignments (the flagship query).
+
+    Uses the JVM-only mention extractor (whole-stage codegen, scales with
+    cores) unless ``use_html`` demands python-side byte extraction; the two
+    extractors are row-identical (tested), so the choice is purely physical.
+    """
+    if use_html:
+        mentions = mentions_from_pages(pages, use_html=True)
+    else:
+        mentions = mentions_from_pages_sql(pages)
     cands = candidates_for_mentions(mentions, senses)
     scored = score_candidates(cands)
     return assign_senses(scored)

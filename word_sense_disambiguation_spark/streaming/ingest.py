@@ -1,0 +1,91 @@
+"""Structured Streaming: incremental page ingest and windowed event stats.
+
+The reference is request/response-only (no stream surface, SURVEY §2), but
+a web-scale crawl pipeline ingests incrementally, so the engine exposes:
+
+* :func:`stream_windowed_event_counts` — tumbling-window counts/sums with a
+  watermark for late data; in tests it runs a parquet directory through the
+  streaming engine synchronously (memory sink + ``processAllAvailable``)
+  and the result equals the batch ``date_trunc`` aggregate — the streaming/
+  batch parity Spark guarantees for append-mode windowed aggregates.
+* :func:`stream_sense_assignments` — foreachBatch incremental version of
+  the flagship pipeline: each micro-batch of pages runs the same
+  pages->assignments DAG and appends to a parquet sink (exactly-once via
+  checkpointLocation), demonstrating mid-stream resumability.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    schema: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Run a tumbling-window streaming aggregate over a parquet dir to
+    completion; returns the materialized result as a DataFrame."""
+    name = "stream_out_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(schema).parquet(events_path)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def stream_sense_assignments(
+    spark: SparkSession,
+    pages_dir: str,
+    senses: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> int:
+    """Incremental flagship pipeline via foreachBatch; returns rows written.
+
+    Each micro-batch runs the identical batch DAG — one code path for batch
+    and streaming, the engine-wide rule.
+    """
+    from word_sense_disambiguation_spark.datagen import PAGES_SCHEMA
+    from word_sense_disambiguation_spark.plans.pipeline import sense_assignments
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        out = sense_assignments(batch_df, senses)
+        out.drop("context_words").write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .parquet(pages_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).count()
