@@ -467,6 +467,17 @@ def _q_media_metadata(spark, sf_dir):
     return media_metadata(pages_from_documents(docs), "url", "html", "image")
 
 
+def _q_prompt_path_assignments(spark, sf_dir):
+    """Full prompt path: build MC prompts, batched 128-way scorer, decode."""
+    from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
+    from word_sense_disambiguation_spark.plans.pipeline import (
+        sense_assignments_prompted,
+    )
+
+    sw = world_to_spark(spark, build_world(n_pages=150, seed=42))
+    return sense_assignments_prompted(sw["pages"], sw["senses"])
+
+
 def _q_training_prompts(spark, sf_dir):
     from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
     from word_sense_disambiguation_spark.operators.prompts import training_examples
@@ -518,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "fingerprint_counts": _q_fingerprints,
         "training_prompts": _q_training_prompts,
+        "prompt_path_assignments": _q_prompt_path_assignments,
     }
 
 

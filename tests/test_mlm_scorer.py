@@ -1,0 +1,121 @@
+"""Prompt-path scorer (T10-T12): batching equivalence, order preservation,
+vector contract, and the full prompt-path pipeline against the gold F1 gate
+(mirrors wsd/test_masked_language_model.py's equivalence properties)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from word_sense_disambiguation_spark.functions.letters import (
+    NOTA_LETTER_INDEX,
+    NUM_LETTERS,
+    build_letters,
+)
+from word_sense_disambiguation_spark.operators.mlm_scorer import (
+    load_scorer,
+    score_prompts,
+)
+from word_sense_disambiguation_spark.plans.pipeline import (
+    sense_assignments,
+    sense_assignments_prompted,
+)
+
+PROMPT = """What is the meaning of *bank* in this sentence?
+
+Sentence: I deposited money at the *bank* with a teller
+
+A. bank as a matter of money deposit teller
+B. bank as a matter of water shore mud
+
+{nota}. none of the above
+
+Answer: [unused0] [MASK]"""
+
+
+def _prompt():
+    nota = build_letters().letters[NOTA_LETTER_INDEX]
+    return PROMPT.format(nota=nota)
+
+
+def test_scorer_vector_contract():
+    score = load_scorer()
+    probs = score([_prompt()])[0]
+    assert probs.shape == (NUM_LETTERS,)
+    assert abs(probs.sum() - 1.0) < 1e-5
+    # A overlaps (money, deposit, teller, bank) >> B
+    assert probs[0] > probs[1] > 0
+    assert probs[0] > probs[NOTA_LETTER_INDEX]
+
+
+def test_scorer_nota_wins_on_zero_overlap():
+    score = load_scorer()
+    p = _prompt().replace("money deposit teller", "xq zq wq").replace(
+        "water shore mud", "aq bq cq"
+    ).replace("Sentence: I deposited money at the *bank* with a teller",
+              "Sentence: totally unrelated *bank* gibberish")
+    probs = score([p])[0]
+    assert probs[NOTA_LETTER_INDEX] == probs.max()
+
+
+def test_batch_equals_sequential():
+    """Chunked/length-bucketed batch scoring == one-at-a-time scoring
+    (reference wsd/test_masked_language_model.py:122-160)."""
+    score = load_scorer()
+    prompts = [
+        _prompt().replace("I deposited", ("pad " * i) + "I deposited")
+        for i in range(6)
+    ]
+    batch = score(prompts)
+    for i, p in enumerate(prompts):
+        single = score([p])[0]
+        assert np.allclose(batch[i], single)
+
+
+def test_score_prompts_order_and_parallelism(spark):
+    prompts = [
+        (f"m{i}", _prompt().replace("I deposited", ("pad " * (i % 5)) + "I deposited"))
+        for i in range(40)
+    ] + [("mnull", None)]
+    df = spark.createDataFrame(prompts, schema="mention_id string, prompt string")
+    one = score_prompts(df.coalesce(1)).select("mention_id", "probabilities").collect()
+    many = score_prompts(df.repartition(7)).select("mention_id", "probabilities").collect()
+    a = {r.mention_id: tuple(r.probabilities) for r in one}
+    b = {r.mention_id: tuple(r.probabilities) for r in many}
+    assert a == b
+    assert a["mnull"] == tuple([0.0] * NUM_LETTERS)  # null prompt short-circuit
+
+
+def test_prompt_path_matches_gold_and_columnar(spark, sworld):
+    """The full prompt path (build prompts -> batched scorer -> decode)
+    passes the same accuracy gate as the columnar Lesk path."""
+    prompted = sense_assignments_prompted(sworld["pages"], sworld["senses"]).cache()
+    gold = sworld["gold_pairs"]
+    j = gold.join(
+        prompted.select("url", "lemma", "pos", "decision", "pred_sense_id"),
+        on=["url", "lemma", "pos"],
+    )
+    correct = F.when(F.col("is_nota"), F.col("decision") == "nota").otherwise(
+        F.col("pred_sense_id") == F.col("gold_sense_id")
+    )
+    acc = j.agg(F.avg(F.coalesce(correct, F.lit(False)).cast("double"))).collect()[0][0]
+    assert acc >= 0.99, acc
+
+    # agreement with the columnar path on decisions
+    columnar = sense_assignments(sworld["pages"], sworld["senses"])
+    both = prompted.select(
+        "mention_id", F.col("decision").alias("d1"), F.col("pred_sense_id").alias("p1")
+    ).join(
+        columnar.select(
+            "mention_id", F.col("decision").alias("d2"),
+            F.col("pred_sense_id").alias("p2"),
+        ),
+        on="mention_id",
+    )
+    n = both.count()
+    agree = both.filter(
+        (F.col("d1") == F.col("d2"))
+        & (F.coalesce(F.col("p1"), F.lit("-")) == F.coalesce(F.col("p2"), F.lit("-")))
+    ).count()
+    assert agree / n >= 0.95, (agree, n)

@@ -45,7 +45,12 @@ def prepare_senses(senses: DataFrame) -> DataFrame:
             F.col("lemma").alias("s_lemma"),
             "join_pos",
             "sense_id",
-            F.col("source_definition").alias("sense_definition"),
+            # the displayed gloss carries both inventory definitions — the
+            # same token set as profile_words, so the prompt path and the
+            # columnar Lesk path see identical evidence
+            F.concat_ws(
+                " — ", "source_definition", "alternative_definition"
+            ).alias("sense_definition"),
             "sense_rank",
             "profile_words",
         )
