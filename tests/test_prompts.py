@@ -56,6 +56,19 @@ def test_build_prompts_layout(spark):
     assert out[2].prompt is None
 
 
+def test_length_filter(spark, sworld):
+    """T19: over-budget and null prompts land in the dropped side table."""
+    from word_sense_disambiguation_spark.operators.prompts import (
+        filter_prompts_by_length,
+    )
+
+    ex = training_examples(sworld["senses"], seed=42)
+    kept, dropped = filter_prompts_by_length(ex, max_tokens=2048)
+    assert kept.count() == ex.count() and dropped.count() == 0
+    kept2, dropped2 = filter_prompts_by_length(ex, max_tokens=10)
+    assert kept2.count() == 0 and dropped2.count() == ex.count()
+
+
 def test_training_examples(spark, sworld):
     ex = training_examples(sworld["senses"], seed=42).cache()
     n = ex.count()

@@ -1,0 +1,88 @@
+"""Planted-skew correctness (SURVEY §7 hard part b) and physical-plan
+regression checks (broadcast where expected, pruned scans, bounded
+exchanges)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from word_sense_disambiguation_spark.operators.skew import (
+    salt_explode_small,
+    salted_group_count,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # hot key 'the' carries 50k rows; 100 cold keys carry 100 each
+    hot = spark.range(50_000).select(
+        F.lit("the").alias("key"), F.col("id").alias("rid"), F.lit(1.0).alias("v")
+    )
+    cold = spark.range(10_000).select(
+        F.concat(F.lit("k"), (F.col("id") % 100).cast("string")).alias("key"),
+        (F.col("id") + 100_000).alias("rid"),
+        F.lit(2.0).alias("v"),
+    )
+    return hot.union(cold)
+
+
+def test_salted_group_count_matches_plain(spark, skewed):
+    plain = {
+        (r.key): (r.n, r.sv)
+        for r in skewed.groupBy("key")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+        .collect()
+    }
+    salted = {
+        (r.key): (r.n, r.sv)
+        for r in salted_group_count(
+            skewed, ["key"], "rid", buckets=16, agg_exprs={"v": "sv"}
+        ).collect()
+    }
+    assert salted == plain
+    assert salted["the"] == (50_000, 50_000.0)
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("the", "stop"), ("k1", "cold"), ("k2", "cold")], "key string, tag string"
+    )
+    plain = skewed.join(dim, on="key").groupBy("key", "tag").count()
+    salted = salt_explode_small(skewed, dim, "key", "rid", buckets=8).groupBy(
+        "key", "tag"
+    ).count()
+    a = {(r.key, r.tag): r["count"] for r in plain.collect()}
+    b = {(r.key, r.tag): r["count"] for r in salted.collect()}
+    assert a == b and a[("the", "stop")] == 50_000
+
+
+def test_flagship_plan_shape(spark, sworld, tmp_path):
+    """Plan regressions the 100 TB design forbids: the inventory join must
+    broadcast (no sort-merge), the pages scan must prune unused columns,
+    and the whole flagship must contain exactly one shuffle exchange."""
+    from word_sense_disambiguation_spark.plans.pipeline import sense_assignments
+
+    # write pages to parquet so pushdown/pruning is observable
+    p = str(tmp_path / "pages")
+    sworld["pages"].write.parquet(p)
+    pages = spark.read.parquet(p)
+    plan = sense_assignments(pages, sworld["senses"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, plan[:2000]
+    # column pruning: the parquet scan must not read the html payload
+    scan_lines = [ln for ln in plan.splitlines() if "Scan parquet" in ln or "ReadSchema" in ln]
+    joined = "\n".join(scan_lines) or plan
+    assert "html" not in joined, joined
+
+
+def test_candidate_filter_pushdown(spark, sworld, tmp_path):
+    """A lang filter over parquet pages must reach the scan as a pushed
+    filter (Catalyst predicate pushdown survives our operators)."""
+    p = str(tmp_path / "pages2")
+    sworld["pages"].write.parquet(p)
+    pages = spark.read.parquet(p).filter(F.col("lang") == "en")
+    plan = pages.select("url")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan

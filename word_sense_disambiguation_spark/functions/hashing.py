@@ -29,6 +29,21 @@ def md5_u64(s: str) -> int:
     return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
 
 
+# shingle -> hash memo: char k-gram vocabularies are small relative to the
+# shingle stream (Zipfian text), so the md5 cost collapses to a dict lookup
+# on repeats. Executor-lifetime; bounded by vocabulary, not corpus.
+_SHINGLE_CACHE: dict[str, int] = {}
+
+
+def _shingle_hash(s: str) -> int:
+    h = _SHINGLE_CACHE.get(s)
+    if h is None:
+        h = md5_u64(s)
+        if len(_SHINGLE_CACHE) < 4_000_000:  # hard memory bound
+            _SHINGLE_CACHE[s] = h
+    return h
+
+
 # token -> md5_u64("emb:"+token) memo; executor-lifetime, tiny (vocab-sized)
 _EMB_HASH_CACHE: dict[str, int] = {}
 
@@ -123,8 +138,9 @@ def minhash_signature(
     a, b = _minhash_params(num_perm, seed)
     if not shingles:
         return np.full(num_perm, _MASK64, dtype=np.uint64)
+    uniq = set(shingles)
     hv = np.fromiter(
-        (md5_u64(s) for s in set(shingles)), dtype=np.uint64, count=len(set(shingles))
+        (_shingle_hash(s) for s in uniq), dtype=np.uint64, count=len(uniq)
     )
     # (n, p): (a * h + b) mod p, computed in python-int free numpy uint64
     # arithmetic; overflow wraps mod 2^64 which is fine for a hash family as

@@ -87,6 +87,24 @@ def build_prompts(
     )
 
 
+def filter_prompts_by_length(
+    prompts: DataFrame,
+    prompt_col: str = "prompt",
+    max_tokens: int = 2048,
+) -> tuple[DataFrame, DataFrame]:
+    """T19: drop prompts that would lose their answer slot after truncation
+    (``training/train.py:374-396`` — the reference warns with a dropped
+    count; we return the dropped rows as a side table — no silent caps).
+
+    Token proxy = whitespace pieces (the reference counts tokenizer tokens;
+    the bound is a budget, not an exact length).
+    """
+    n_tok = F.size(F.split(F.coalesce(F.col(prompt_col), F.lit("")), r"\s+"))
+    kept = prompts.filter(F.col(prompt_col).isNotNull() & (n_tok <= max_tokens))
+    dropped = prompts.filter(F.col(prompt_col).isNull() | (n_tok > max_tokens))
+    return kept, dropped
+
+
 def _phash(*cols, salt: str) -> F.Column:
     """Portable deterministic pseudo-random long from columns + salt."""
     return F.conv(
