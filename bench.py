@@ -79,20 +79,27 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.monotonic()
-        n = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+    def timed(name, fn, reps: int = 2):
+        # min-of-k: the sandbox host has heavy neighbor steal time; a single
+        # sample can be 3x off steady state
+        best = float("inf")
+        n = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            n = fn()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
         return n
 
-    assignments = None
-
-    def run_sense():
-        nonlocal assignments
-        assignments = sense_assignments(pages, senses).persist()
-        return assignments.count()
-
-    timed("sense_assign", run_sense)
+    # warm-up (codegen/JIT + python worker spawn) so the measured number is
+    # steady-state throughput, not first-run compilation. No persist inside
+    # the timed path — Spark's CacheManager substitutes logically-identical
+    # plans, which would turn rep 2 into a cache read.
+    sense_assignments(pages, senses).count()
+    timed("sense_assign", lambda: sense_assignments(pages, senses).count())
+    # cache the assignments only AFTER measurement, for the ER stage
+    assignments = sense_assignments(pages, senses).persist()
+    assignments.count()
 
     def run_er():
         # scale path: linear star pairs within sense canopies + exhaustive

@@ -44,16 +44,25 @@ def _shingle_hash(s: str) -> int:
     return h
 
 
-# token -> md5_u64("emb:"+token) memo; executor-lifetime, tiny (vocab-sized)
+# token -> emb hash memo; executor-lifetime, tiny (vocab-sized)
 _EMB_HASH_CACHE: dict[str, int] = {}
 
 
-def _emb_hash(t: str) -> int:
+def emb_hash(t: str) -> int:
+    """Canonical 60-bit embedding hash: first 15 hex chars of md5.
+
+    Defined via the hex digest (not raw bytes) so the *same value* is
+    computable JVM-side as ``conv(substring(md5(concat('emb:', t)), 1, 15),
+    16, 10)`` — the python and SQL embedding paths must agree bit-for-bit.
+    """
     h = _EMB_HASH_CACHE.get(t)
     if h is None:
-        h = md5_u64("emb:" + t)
+        h = int(hashlib.md5(("emb:" + t).encode("utf-8")).hexdigest()[:15], 16)
         _EMB_HASH_CACHE[t] = h
     return h
+
+
+_emb_hash = emb_hash
 
 
 def embed_token_bags(bags: list, dim: int = EMBED_DIM) -> np.ndarray:
@@ -71,7 +80,7 @@ def embed_token_bags(bags: list, dim: int = EMBED_DIM) -> np.ndarray:
         if bag is None:
             continue
         for t in bag:
-            h = _emb_hash(t)
+            h = emb_hash(t)
             rows.append(i)
             cols.append(h % dim)
             signs.append(1.0 if (h >> 32) & 1 else -1.0)
@@ -94,7 +103,7 @@ def embed_tokens(tokens: list[str], dim: int = EMBED_DIM) -> np.ndarray:
     """
     v = np.zeros(dim, dtype=np.float64)
     for t in tokens:
-        h = md5_u64("emb:" + t)
+        h = emb_hash(t)
         idx = h % dim
         sign = 1.0 if (h >> 32) & 1 else -1.0
         v[idx] += sign

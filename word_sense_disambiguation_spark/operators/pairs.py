@@ -81,6 +81,10 @@ def score_mention_pairs(
         pairs.join(_side(assignments, "a"), on="id_a")
         .join(_side(assignments, "b"), on="id_b")
     )
+    from word_sense_disambiguation_spark.operators.scoring import (
+        context_gloss_cosine_sql,
+    )
+
     same_sense = (
         (F.col("decision_a") == "assigned")
         & (F.col("decision_b") == "assigned")
@@ -89,7 +93,9 @@ def score_mention_pairs(
     score = (
         F.lit(W_JW) * jaro_winkler_udf("surface_a", "surface_b")
         + F.lit(W_COS)
-        * F.greatest(context_cosine_udf("ctx_a", "ctx_b"), F.lit(0.0))
+        * F.greatest(
+            context_gloss_cosine_sql(F.col("ctx_a"), F.col("ctx_b")), F.lit(0.0)
+        )
         + F.lit(W_SENSE) * same_sense
     )
     return e.select(

@@ -43,6 +43,50 @@ TAU = 0.35
 COSINE_WEIGHT = 0.25
 
 
+EMBED_DIM = 64
+
+
+def _emb_vec_sql(col) -> "F.Column":
+    """Hashed-bag embedding as a pure JVM expression: array<double>[64].
+
+    Same value as :func:`functions.hashing.emb_hash` + signed-count
+    histogram (unnormalized — cosine normalizes). Two md5 evaluations per
+    token, 64-slot fold, all inside whole-stage codegen.
+    """
+    h = lambda w: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit("emb:"), w)), 1, 15), 16, 10
+    ).cast("long")
+    pairs = F.transform(
+        col,
+        lambda w: F.struct(
+            F.pmod(h(w), F.lit(EMBED_DIM)).cast("int").alias("idx"),
+            F.when(
+                F.pmod(F.shiftright(h(w), 32), F.lit(2)) == 1, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)).alias("sgn"),
+        ),
+    )
+    zero = F.array_repeat(F.lit(0.0), EMBED_DIM)
+    return F.aggregate(
+        pairs,
+        zero,
+        lambda acc, p: F.transform(
+            acc, lambda v, i: v + F.when(p["idx"] == i, p["sgn"]).otherwise(F.lit(0.0))
+        ),
+    )
+
+
+def context_gloss_cosine_sql(ctx_col, profile_col) -> "F.Column":
+    """Cosine of the two hashed-bag embeddings — zero Python anywhere."""
+    a = _emb_vec_sql(ctx_col)
+    b = _emb_vec_sql(profile_col)
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sq = lambda v: F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)  # noqa: E731
+    denom = F.sqrt(sq(a)) * F.sqrt(sq(b))
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+
+
 @F.pandas_udf(T.DoubleType())
 def context_gloss_cosine(
     context_words: pd.Series, profile_words: pd.Series
@@ -74,17 +118,19 @@ def score_candidates(candidates: DataFrame) -> DataFrame:
     the (majority) inventory-miss rows — through the python worker. Split,
     score the matched side only, union the misses back with a null score.
     """
-    with_sense = candidates.filter(F.col("sense_id").isNotNull())
-    no_sense = candidates.filter(F.col("sense_id").isNull()).withColumn(
-        "score", F.lit(None).cast("double")
-    )
     overlap = F.size(F.array_intersect("context_words", "profile_words"))
     lesk = overlap.cast("double") / (overlap + F.lit(1)).cast("double")
     cos = F.greatest(
-        context_gloss_cosine("context_words", "profile_words"), F.lit(0.0)
+        context_gloss_cosine_sql(F.col("context_words"), F.col("profile_words")),
+        F.lit(0.0),
     )
-    scored = with_sense.withColumn("score", lesk + F.lit(COSINE_WEIGHT) * cos)
-    return scored.unionByName(no_sense)
+    # pure JVM expression => a when() guard short-circuits for real (no
+    # ArrowEvalPython extraction), so no physical split is needed and the
+    # upstream scan executes exactly once.
+    return candidates.withColumn(
+        "score",
+        F.when(F.col("sense_id").isNotNull(), lesk + F.lit(COSINE_WEIGHT) * cos),
+    )
 
 
 def assign_senses(scored: DataFrame, tau: float = TAU) -> DataFrame:
