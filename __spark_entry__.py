@@ -448,12 +448,14 @@ def _q_er_clusters_synthetic(spark, sf_dir):
     from word_sense_disambiguation_spark.operators.blocking import surface_key_pairs
     from word_sense_disambiguation_spark.operators.clustering import cluster_mentions
     from word_sense_disambiguation_spark.operators.pairs import score_mention_pairs
-    from word_sense_disambiguation_spark.operators.tokenize import mentions_from_pages
+    from word_sense_disambiguation_spark.operators.tokenize import (
+        mentions_from_pages_sql,
+    )
     from word_sense_disambiguation_spark.plans.pipeline import sense_assignments
 
     sw = world_to_spark(spark, build_world(n_pages=150, seed=42))
     assignments = sense_assignments(sw["pages"], sw["senses"])
-    mentions = mentions_from_pages(sw["pages"])
+    mentions = mentions_from_pages_sql(sw["pages"])
     pairs, _ = surface_key_pairs(mentions, max_block_size=256)
     edges = score_mention_pairs(pairs.select("id_a", "id_b"), assignments)
     return cluster_mentions(edges)

@@ -47,7 +47,9 @@ def main() -> None:
         brute_force_topk,
     )
     from word_sense_disambiguation_spark.operators.textstats import text_profile
-    from word_sense_disambiguation_spark.operators.tokenize import mentions_from_pages
+    from word_sense_disambiguation_spark.operators.tokenize import (
+        mentions_from_pages_sql,
+    )
     from word_sense_disambiguation_spark.plans.pipeline import sense_assignments
     from word_sense_disambiguation_spark.session import get_spark
     from word_sense_disambiguation_spark.sources.pages import pages_from_documents
@@ -104,7 +106,7 @@ def main() -> None:
     def run_er():
         # scale path: linear star pairs within sense canopies + exhaustive
         # pairs only inside small surface blocks
-        mentions = mentions_from_pages(world_pages)
+        mentions = mentions_from_pages_sql(world_pages)
         small, _ = surface_key_pairs(mentions, max_block_size=64)
         pairs = (
             sense_block_star_pairs(assignments)

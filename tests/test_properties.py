@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis): similarity functions agree with the
+DuckDB oracle on arbitrary inputs; marking and hashing invariants hold.
+
+No SparkSession needed — these pin down the pure functions the distributed
+operators are built from.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from word_sense_disambiguation_spark.functions.hashing import (
+    char_shingles,
+    hamming64,
+    minhash_signature,
+    simhash64,
+)
+from word_sense_disambiguation_spark.functions.similarity import (
+    jaro_winkler,
+    levenshtein,
+)
+from word_sense_disambiguation_spark.functions.text import (
+    SentenceAlreadyMarkedError,
+    WordNotFoundError,
+    extract_text,
+    mark_word_in_sentence,
+    wrap_html,
+)
+
+_ascii_word = st.text(
+    alphabet=st.characters(min_codepoint=97, max_codepoint=122), min_size=0, max_size=24
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_ascii_word, _ascii_word)
+def test_jaro_winkler_matches_duckdb(a, b):
+    d = duckdb.sql("select jaro_winkler_similarity(?, ?)", params=[a, b]).fetchone()[0]
+    assert abs(jaro_winkler(a, b) - d) < 1e-9, (a, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_ascii_word, _ascii_word)
+def test_levenshtein_matches_duckdb(a, b):
+    d = duckdb.sql("select levenshtein(?, ?)", params=[a, b]).fetchone()[0]
+    assert levenshtein(a, b) == d, (a, b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(min_size=0, max_size=200))
+def test_html_roundtrip_property(text):
+    assert extract_text(wrap_html(text, title="t")) == text
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(_ascii_word.filter(lambda w: len(w) >= 1), min_size=1, max_size=12),
+    st.integers(min_value=0, max_value=11),
+)
+def test_marking_invariants(words, idx):
+    sentence = " ".join(words)
+    word = words[idx % len(words)]
+    marked = mark_word_in_sentence(sentence, word)
+    assert marked.count("*") == 2
+    assert f"*{word}*" in marked or f"*{word.lower()}*" in marked.lower()
+    with pytest.raises(SentenceAlreadyMarkedError):
+        mark_word_in_sentence(marked, word)
+    with pytest.raises(WordNotFoundError):
+        mark_word_in_sentence(sentence, "q" + "".join(words) + "x")
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(min_size=0, max_size=300))
+def test_minhash_self_identity(text):
+    s1 = minhash_signature(char_shingles(text), 64)
+    s2 = minhash_signature(char_shingles(text), 64)
+    assert (s1 == s2).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_ascii_word, min_size=0, max_size=30))
+def test_simhash_hamming_bounds(tokens):
+    h = simhash64(tokens)
+    assert 0 <= h < (1 << 64)
+    assert hamming64(h, h) == 0
+    assert hamming64(h, ~h & ((1 << 64) - 1)) == 64

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 
@@ -29,19 +30,16 @@ def md5_u64(s: str) -> int:
     return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
 
 
-# shingle -> hash memo: char k-gram vocabularies are small relative to the
-# shingle stream (Zipfian text), so the md5 cost collapses to a dict lookup
-# on repeats. Executor-lifetime; bounded by vocabulary, not corpus.
-_SHINGLE_CACHE: dict[str, int] = {}
-
-
 def _shingle_hash(s: str) -> int:
-    h = _SHINGLE_CACHE.get(s)
-    if h is None:
-        h = md5_u64(s)
-        if len(_SHINGLE_CACHE) < 4_000_000:  # hard memory bound
-            _SHINGLE_CACHE[s] = h
-    return h
+    """Deterministic 64-bit shingle hash, C-speed (two salted crc32 words).
+
+    MinHash only needs a uniform-ish deterministic base hash — the 128-way
+    universal-hash family on top provides the permutations — so crc32 (zlib,
+    ~20x faster than hashlib.md5 per call) is the right primitive for the
+    2M-shingles-per-partition hot loop.
+    """
+    b = s.encode("utf-8")
+    return (zlib.crc32(b"s1:" + b) << 32) | zlib.crc32(b"s2:" + b)
 
 
 # token -> emb hash memo; executor-lifetime, tiny (vocab-sized)

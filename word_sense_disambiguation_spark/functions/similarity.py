@@ -14,11 +14,13 @@ import numpy as np
 
 
 def jaro(s1: str, s2: str) -> float:
-    if s1 == s2:
-        return 1.0
     len1, len2 = len(s1), len(s2)
+    # empty-vs-anything (including empty-vs-empty) is 0.0 — DuckDB's
+    # convention, which the oracle comparison makes normative here.
     if len1 == 0 or len2 == 0:
         return 0.0
+    if s1 == s2:
+        return 1.0
     match_dist = max(len1, len2) // 2 - 1
     m1 = [False] * len1
     m2 = [False] * len2

@@ -136,10 +136,18 @@ def run_er_pipeline(
         assign_senses,
         score_candidates,
     )
-    from word_sense_disambiguation_spark.operators.tokenize import mentions_from_pages
+    from word_sense_disambiguation_spark.operators.tokenize import (
+        mentions_from_pages,
+        mentions_from_pages_sql,
+    )
 
     r = StageRunner(spark, run_dir, run_id)
-    mentions = r.stage("mentions", lambda: mentions_from_pages(pages, use_html=use_html))
+    mentions = r.stage(
+        "mentions",
+        lambda: mentions_from_pages(pages, use_html=True)
+        if use_html
+        else mentions_from_pages_sql(pages),
+    )
     assignments = r.stage(
         "assignments",
         lambda: assign_senses(score_candidates(candidates_for_mentions(mentions, senses))),
