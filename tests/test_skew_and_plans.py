@@ -78,6 +78,41 @@ def test_flagship_plan_shape(spark, sworld, tmp_path):
     assert "html" not in joined, joined
 
 
+def test_bucketed_join_is_shuffle_free(spark, sworld):
+    """Bucketed tables joined on the bucket key need no exchange on either
+    side — the repeated-join scale path (SURVEY §4 physical strategies)."""
+    from word_sense_disambiguation_spark.operators.tokenize import (
+        mentions_from_pages_sql,
+    )
+    from word_sense_disambiguation_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    m = mentions_from_pages_sql(sworld["pages"]).select(
+        "mention_id", "lemma", "pos", "n_context"
+    )
+    write_bucketed(m, "mentions_a", "lemma", buckets=8)
+    write_bucketed(m, "mentions_b", "lemma", buckets=8)
+    a = read_bucketed(spark, "mentions_a")
+    b = read_bucketed(spark, "mentions_b").selectExpr(
+        "mention_id as mid_b", "lemma", "n_context as nc_b"
+    )
+    # disable broadcast so the join must co-locate — the case bucketing is
+    # for (both sides too big to broadcast at production scale)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, on="lemma")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan[:1500]
+        assert "Bucketed: true" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_candidate_filter_pushdown(spark, sworld, tmp_path):
     """A lang filter over parquet pages must reach the scan as a pushed
     filter (Catalyst predicate pushdown survives our operators)."""
