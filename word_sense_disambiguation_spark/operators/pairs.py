@@ -85,13 +85,28 @@ def score_mention_pairs(
         context_gloss_cosine_sql,
     )
 
+    # Surface-equal pairs (the overwhelming majority under surface-key
+    # blocking) have JW = 1.0 by definition — short-circuit them physically
+    # so the python JW UDF only ever sees the differing-surface minority
+    # (same ArrowEvalPython-is-unconditional reasoning as score_candidates).
+    eq = (
+        F.col("surface_a").isNotNull()
+        & F.col("surface_b").isNotNull()
+        & (F.col("surface_a") == F.col("surface_b"))
+    )
+    e_eq = e.filter(eq).withColumn("jw", F.lit(1.0))
+    e_ne = e.filter(~eq | F.col("surface_a").isNull() | F.col("surface_b").isNull()).withColumn(
+        "jw", jaro_winkler_udf("surface_a", "surface_b")
+    )
+    e = e_eq.unionByName(e_ne)
+
     same_sense = (
         (F.col("decision_a") == "assigned")
         & (F.col("decision_b") == "assigned")
         & (F.col("sense_a") == F.col("sense_b"))
     ).cast("double")
     score = (
-        F.lit(W_JW) * jaro_winkler_udf("surface_a", "surface_b")
+        F.lit(W_JW) * F.col("jw")
         + F.lit(W_COS)
         * F.greatest(
             context_gloss_cosine_sql(F.col("ctx_a"), F.col("ctx_b")), F.lit(0.0)
