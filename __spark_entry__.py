@@ -385,6 +385,47 @@ def _q_semi_anti_join(spark, sf_dir):
     )
 
 
+def _q_running_sum(spark, sf_dir):
+    """Cumulative per-user running sum (window frame parity)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("running_value"),
+    )
+
+
+def _q_conditional_pivot(spark, sf_dir):
+    """Pivot as conditional aggregation (engine-portable form)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = lambda t: F.sum(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("value").cast("decimal(18,2)"))
+    )
+    return ev.groupBy("user_id").agg(
+        agg("click").alias("sum_click"),
+        agg("view").alias("sum_view"),
+        F.count("*").alias("n"),
+    )
+
+
+def _q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT over derived key sets (T6 set-op family)."""
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    both = cust.intersect(orders)
+    only_cust = cust.exceptAll(orders.distinct()).distinct()
+    return both.agg(F.count("*").alias("n_both")).crossJoin(
+        only_cust.agg(F.count("*").alias("n_only_cust"))
+    )
+
+
 def _q_streaming_window_counts(spark, sf_dir):
     """Tumbling-window counts through the *actual* Structured Streaming
     engine; the oracle is the equivalent batch date_trunc aggregate."""
@@ -522,6 +563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": _q_top_orders_per_customer,
         "sessionization": _q_sessionization,
         "semi_anti_join": _q_semi_anti_join,
+        "running_sum": _q_running_sum,
+        "conditional_pivot": _q_conditional_pivot,
+        "set_ops": _q_set_ops,
         "streaming_window_counts": _q_streaming_window_counts,
         # rows-only (iterative / hash-based / pipeline composites)
         "minhash_dedup_clusters": _q_minhash_clusters,
@@ -752,6 +796,31 @@ def oracle_sql() -> dict[str, str]:
                WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with,
               (SELECT count(*) FROM customer
                WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without
+        """,
+        "running_sum": """
+            SELECT user_id, event_id,
+                   sum(CAST(value AS DECIMAL(18,2)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS running_value
+            FROM events
+        """,
+        "conditional_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click'
+                            THEN CAST(value AS DECIMAL(18,2)) END) AS sum_click,
+                   sum(CASE WHEN event_type = 'view'
+                            THEN CAST(value AS DECIMAL(18,2)) END) AS sum_view,
+                   count(*) AS n
+            FROM events GROUP BY user_id
+        """,
+        "set_ops": """
+            SELECT
+              (SELECT count(*) FROM
+                (SELECT c_custkey AS k FROM customer
+                 INTERSECT SELECT o_custkey FROM orders)) AS n_both,
+              (SELECT count(*) FROM
+                (SELECT c_custkey AS k FROM customer
+                 EXCEPT SELECT o_custkey FROM orders)) AS n_only_cust
         """,
         "streaming_window_counts": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

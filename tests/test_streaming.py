@@ -40,6 +40,36 @@ def test_stream_batch_parity_windowed_counts(spark, tmp_path):
     assert batch.exceptAll(s).count() == 0
 
 
+def test_stateful_stream_dedup(spark, world, tmp_path):
+    """applyInPandasWithState dedup: duplicates are flagged within a batch
+    AND across micro-batch restarts (state survives via checkpoint)."""
+    from word_sense_disambiguation_spark.datagen import PAGES_SCHEMA, world_to_spark
+    from word_sense_disambiguation_spark.streaming.stateful import stream_exact_dedup
+
+    sw = world_to_spark(spark, world)
+    pages_dir = str(tmp_path / "pages")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    half = sw["pages"].filter(
+        F.col("url") < "https://synthetic.example/0000/page-0000060"
+    )
+    half.write.mode("append").parquet(pages_dir)
+    r1 = stream_exact_dedup(spark, pages_dir, PAGES_SCHEMA, ck, out)
+    n1 = r1.count()
+    assert n1 == half.count()
+    assert r1.filter("first_seen").count() == half.select("text").distinct().count()
+
+    # second round: re-append the SAME pages under new urls -> all dups
+    half.withColumn("url", F.concat(F.col("url"), F.lit("-copy"))).write.mode(
+        "append"
+    ).parquet(pages_dir)
+    r2 = stream_exact_dedup(spark, pages_dir, PAGES_SCHEMA, ck, out)
+    copies = r2.filter(F.col("url").endswith("-copy"))
+    assert copies.count() == half.count()
+    assert copies.filter("first_seen").count() == 0  # state remembered all
+
+
 def test_incremental_sense_pipeline_resumes(spark, world, tmp_path):
     """Two micro-batch rounds: new files only are processed on round 2
     (checkpointed offsets), and the union equals the batch run."""
