@@ -93,27 +93,36 @@ def main() -> None:
         timings[name] = round(best, 3)
         return n
 
+    def materialize(df):
+        # noop sink: full column materialization — count() would let
+        # Catalyst prune the scoring computation away
+        df.write.mode("overwrite").format("noop").save()
+        return 1
+
     # warm-up (codegen/JIT + python worker spawn) so the measured number is
     # steady-state throughput, not first-run compilation. No persist inside
     # the timed path — Spark's CacheManager substitutes logically-identical
     # plans, which would turn rep 2 into a cache read.
-    sense_assignments(pages, senses).count()
-    timed("sense_assign", lambda: sense_assignments(pages, senses).count())
+    materialize(sense_assignments(pages, senses))
+    timed("sense_assign", lambda: materialize(sense_assignments(pages, senses)))
     # cache the assignments only AFTER measurement, for the ER stage
     assignments = sense_assignments(pages, senses).persist()
     assignments.count()
 
     def run_er():
-        # scale path: linear star pairs within sense canopies + exhaustive
-        # pairs only inside small surface blocks
-        mentions = mentions_from_pages_sql(world_pages)
-        small, _ = surface_key_pairs(mentions, max_block_size=64)
+        # scale path: prune unlinkable mentions (guaranteed singletons),
+        # then linear star pairs within sense canopies + exhaustive pairs
+        # only inside small surface blocks
+        import pyspark.sql.functions as F
+
+        a = assignments.filter(F.col("decision") != "no_definitions")
+        small, _ = surface_key_pairs(a, max_block_size=64)
         pairs = (
-            sense_block_star_pairs(assignments)
+            sense_block_star_pairs(a)
             .unionByName(small.select("id_a", "id_b"))
             .distinct()
         )
-        edges = score_mention_pairs(pairs, assignments)
+        edges = score_mention_pairs(pairs, a)
         return cluster_mentions(edges).count()
 
     timed("er_cluster", run_er)

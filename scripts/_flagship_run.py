@@ -18,13 +18,23 @@ def main() -> None:
     cores = int(sys.argv[1])
     n_pages = int(sys.argv[2])
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    mode = sys.argv[4] if len(sys.argv) > 4 else "flagship"
 
     from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
+    from word_sense_disambiguation_spark.operators.blocking import (
+        sense_block_star_pairs,
+        surface_key_pairs,
+    )
+    from word_sense_disambiguation_spark.operators.clustering import cluster_mentions
+    from word_sense_disambiguation_spark.operators.pairs import score_mention_pairs
+    from word_sense_disambiguation_spark.operators.tokenize import (
+        mentions_from_pages_sql,
+    )
     from word_sense_disambiguation_spark.plans.pipeline import sense_assignments
     from word_sense_disambiguation_spark.session import get_spark
 
     spark = get_spark(
-        app_name=f"flagship{cores}",
+        app_name=f"{mode}{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=max(cores, 8),
     )
@@ -34,14 +44,47 @@ def main() -> None:
     senses = world["senses"].persist()
     senses.count()
 
+    def _materialize(df) -> None:
+        # noop sink: full column materialization without writing — count()
+        # would let Catalyst prune the entire scoring computation away
+        df.write.mode("overwrite").format("noop").save()
+
+    def run_flagship() -> None:
+        _materialize(sense_assignments(pages, senses))
+
+    def run_full() -> None:
+        # all three north-rule stages end-to-end: blocking (surface +
+        # sense-canopy stars), pair scoring, connected components.
+        # ER only pairs mentions with inventory evidence — no_definitions
+        # mentions are guaranteed singletons (their surface blocks are
+        # stop-word-sized and capped anyway), so they are pruned before the
+        # expensive stage, the T21 discipline.
+        import pyspark.sql.functions as F
+
+        a = (
+            sense_assignments(pages, senses)
+            .filter(F.col("decision") != "no_definitions")
+            .localCheckpoint(eager=True)
+        )
+        small, _ = surface_key_pairs(a, max_block_size=64)
+        prs = (
+            sense_block_star_pairs(a)
+            .unionByName(small.select("id_a", "id_b"))
+            .distinct()
+        )
+        edges = score_mention_pairs(prs, a)
+        _materialize(cluster_mentions(edges))
+
+    fn = run_full if mode == "full" else run_flagship
     best = float("inf")
     for _ in range(reps):
         t0 = time.monotonic()
-        sense_assignments(pages, senses).count()
+        fn()
         best = min(best, time.monotonic() - t0)
     print(
         json.dumps(
             {
+                "mode": mode,
                 "cores": cores,
                 "n_pages": n,
                 "best_sec": round(best, 3),

@@ -36,11 +36,28 @@ def prepare_senses(senses: DataFrame) -> DataFrame:
     func_words = F.split(F.lit(" ".join(sorted(FUNCTION_WORDS))), " ")
     profile = F.array_except(F.array_distinct(words), func_words)
     profile = F.filter(profile, lambda w: (w != F.col("lemma")) & (w != F.lit("")))
-    return (
+    from word_sense_disambiguation_spark.operators.scoring import _emb_vec_sql
+
+    prepared = (
         senses.withColumn(
             "join_pos", F.when(F.col("pos") == "s", F.lit("a")).otherwise(F.col("pos"))
         )
         .withColumn("profile_words", profile)
+        # gloss embedding precomputed ONCE per inventory row (the dim is
+        # tiny and broadcast); per-candidate scoring then only embeds the
+        # context side
+        .withColumn("profile_vec", _emb_vec_sql(F.col("profile_words")))
+        .withColumn(
+            "profile_norm",
+            F.sqrt(
+                F.aggregate(
+                    F.col("profile_vec"), F.lit(0.0), lambda a, x: a + x * x
+                )
+            ),
+        )
+    )
+    return (
+        prepared
         .select(
             F.col("lemma").alias("s_lemma"),
             "join_pos",
@@ -53,6 +70,8 @@ def prepare_senses(senses: DataFrame) -> DataFrame:
             ).alias("sense_definition"),
             "sense_rank",
             "profile_words",
+            "profile_vec",
+            "profile_norm",
         )
     )
 

@@ -68,6 +68,7 @@ def score_mention_pairs(
     pairs: DataFrame,
     assignments: DataFrame,
     threshold: float = MATCH_THRESHOLD,
+    materialize: bool = True,
 ) -> DataFrame:
     """(id_a, id_b) + per-mention attributes -> scored edges.
 
@@ -81,9 +82,10 @@ def score_mention_pairs(
         pairs.join(_side(assignments, "a"), on="id_a")
         .join(_side(assignments, "b"), on="id_b")
     )
-    from word_sense_disambiguation_spark.operators.scoring import (
-        context_gloss_cosine_sql,
-    )
+    if materialize:
+        # the JW split below consumes e twice; materialize the join tree
+        # once instead of re-executing both shuffles per branch
+        e = e.localCheckpoint(eager=True)
 
     # Surface-equal pairs (the overwhelming majority under surface-key
     # blocking) have JW = 1.0 by definition — short-circuit them physically
@@ -108,9 +110,7 @@ def score_mention_pairs(
     score = (
         F.lit(W_JW) * F.col("jw")
         + F.lit(W_COS)
-        * F.greatest(
-            context_gloss_cosine_sql(F.col("ctx_a"), F.col("ctx_b")), F.lit(0.0)
-        )
+        * F.greatest(context_cosine_udf("ctx_a", "ctx_b"), F.lit(0.0))
         + F.lit(W_SENSE) * same_sense
     )
     return e.select(

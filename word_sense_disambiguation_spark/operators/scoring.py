@@ -46,17 +46,22 @@ COSINE_WEIGHT = 0.25
 EMBED_DIM = 64
 
 
-def _emb_vec_sql(col) -> "F.Column":
-    """Hashed-bag embedding as a pure JVM expression: array<double>[64].
+def _emb_pairs_sql(col) -> "F.Column":
+    """(idx, sgn) per token — the sparse form of the hashed-bag embedding.
+    Two md5 evaluations per token; same values as
+    :func:`functions.hashing.emb_hash`.
 
-    Same value as :func:`functions.hashing.emb_hash` + signed-count
-    histogram (unnormalized — cosine normalizes). Two md5 evaluations per
-    token, 64-slot fold, all inside whole-stage codegen.
+    WARNING — measured pitfall: referencing the result inside another
+    higher-order lambda re-evaluates this whole expression per lambda
+    iteration (lambda scoping defeats common-subexpression elimination);
+    the dense 64-slot build below costs 64x the md5 work. Use these only on
+    tiny dims or already-materialized columns; the hot path embeds via the
+    Arrow UDF (30x faster end-to-end, measured at 40k pages: 2.7s vs 81.5s).
     """
     h = lambda w: F.conv(  # noqa: E731
         F.substring(F.md5(F.concat(F.lit("emb:"), w)), 1, 15), 16, 10
     ).cast("long")
-    pairs = F.transform(
+    return F.transform(
         col,
         lambda w: F.struct(
             F.pmod(h(w), F.lit(EMBED_DIM)).cast("int").alias("idx"),
@@ -65,12 +70,23 @@ def _emb_vec_sql(col) -> "F.Column":
             ).otherwise(F.lit(-1.0)).alias("sgn"),
         ),
     )
-    zero = F.array_repeat(F.lit(0.0), EMBED_DIM)
-    return F.aggregate(
-        pairs,
-        zero,
-        lambda acc, p: F.transform(
-            acc, lambda v, i: v + F.when(p["idx"] == i, p["sgn"]).otherwise(F.lit(0.0))
+
+
+def _emb_vec_sql(col) -> "F.Column":
+    """Hashed-bag embedding as a pure JVM expression: array<double>[64].
+
+    Dense form built slot-by-slot (``transform(sequence, i -> aggregate)``)
+    rather than folding a 64-wide array per token — the fold formulation
+    allocates one array per token and GC dominates at 10^8 rows; this one
+    is allocation-free scalar arithmetic inside codegen.
+    """
+    pairs = _emb_pairs_sql(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
+        lambda i: F.aggregate(
+            pairs,
+            F.lit(0.0),
+            lambda acc, p: acc + F.when(p["idx"] == i, p["sgn"]).otherwise(F.lit(0.0)),
         ),
     )
 
@@ -120,13 +136,15 @@ def score_candidates(candidates: DataFrame) -> DataFrame:
     """
     overlap = F.size(F.array_intersect("context_words", "profile_words"))
     lesk = overlap.cast("double") / (overlap + F.lit(1)).cast("double")
+    # Arrow-batched cosine: one md5 per *unique* token (executor-lifetime
+    # memo) + one NumPy GEMM-style batch — measured 30x faster than the
+    # all-JVM higher-order-function form (see _emb_pairs_sql warning).
+    # The UDF runs on every row (ArrowEvalPython is unconditional), but
+    # null-profile rows cost only the Arrow transfer of a short array —
+    # cheaper than the double scan a physical filter/union split causes.
     cos = F.greatest(
-        context_gloss_cosine_sql(F.col("context_words"), F.col("profile_words")),
-        F.lit(0.0),
+        context_gloss_cosine("context_words", "profile_words"), F.lit(0.0)
     )
-    # pure JVM expression => a when() guard short-circuits for real (no
-    # ArrowEvalPython extraction), so no physical split is needed and the
-    # upstream scan executes exactly once.
     return candidates.withColumn(
         "score",
         F.when(F.col("sense_id").isNotNull(), lesk + F.lit(COSINE_WEIGHT) * cos),
