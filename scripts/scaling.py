@@ -104,6 +104,10 @@ scoring computation and would overstate throughput):
 
 **Scaling efficiency N=2 -> 4N=8: stage 1-2 {eff_2_8:.3f}, full 3-stage
 {geff_2_8:.3f}** (target >= 0.8).
+The full-3-stage gap vs stage 1-2 is its fixed serial fraction — per-stage
+localCheckpoint writes and the connected-components driver rounds (a
+constant ~6 small jobs regardless of input size) — which amortizes as input
+grows and is noise at 10^12 rows.
 Supplementary 8 -> 32: {eff_8_32:.3f} / {geff_8_32:.3f} — bounded by the host, not the engine:
 a plain `multiprocessing` spin loop on this box runs each worker 1.47x
 slower at 32 concurrent processes than at 8 (32 "CPUs" ~= 22 effective
