@@ -68,7 +68,7 @@ def score_mention_pairs(
     pairs: DataFrame,
     assignments: DataFrame,
     threshold: float = MATCH_THRESHOLD,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """(id_a, id_b) + per-mention attributes -> scored edges.
 
@@ -83,24 +83,15 @@ def score_mention_pairs(
         .join(_side(assignments, "b"), on="id_b")
     )
     if materialize:
-        # the JW split below consumes e twice; materialize the join tree
-        # once instead of re-executing both shuffles per branch
+        # optional barrier for callers that will consume the result many
+        # times without their own checkpoint
         e = e.localCheckpoint(eager=True)
 
-    # Surface-equal pairs (the overwhelming majority under surface-key
-    # blocking) have JW = 1.0 by definition — short-circuit them physically
-    # so the python JW UDF only ever sees the differing-surface minority
-    # (same ArrowEvalPython-is-unconditional reasoning as score_candidates).
-    eq = (
-        F.col("surface_a").isNotNull()
-        & F.col("surface_b").isNotNull()
-        & (F.col("surface_a") == F.col("surface_b"))
-    )
-    e_eq = e.filter(eq).withColumn("jw", F.lit(1.0))
-    e_ne = e.filter(~eq | F.col("surface_a").isNull() | F.col("surface_b").isNull()).withColumn(
-        "jw", jaro_winkler_udf("surface_a", "surface_b")
-    )
-    e = e_eq.unionByName(e_ne)
+    # JW runs unsplit: surface-equal pairs (the overwhelming majority under
+    # surface-key blocking) short-circuit inside the python loop itself
+    # (jaro() checks equality first), so a physical filter/union split —
+    # which would double the upstream join — buys nothing.
+    e = e.withColumn("jw", jaro_winkler_udf("surface_a", "surface_b"))
 
     same_sense = (
         (F.col("decision_a") == "assigned")
