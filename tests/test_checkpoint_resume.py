@@ -45,6 +45,60 @@ def test_metrics_per_partition(spark, tmp_path):
     assert {x.partition_id for x in rows} == set(range(len(rows)))
 
 
+def test_mid_stage_bucket_resume(spark, sworld, tmp_path):
+    """Kill INSIDE a stage: completed buckets survive and are not
+    recomputed; the resumed run fills in only the missing buckets."""
+    import glob
+
+    from word_sense_disambiguation_spark.operators.tokenize import (
+        mentions_from_pages_sql,
+    )
+
+    run_dir = str(tmp_path / "run")
+    pages = sworld["pages"]
+    n_buckets = 8
+
+    # simulate a mid-stage crash: write only buckets 0-2 manually, no manifest
+    r = StageRunner(spark, run_dir, run_id="midstage")
+    data_dir = os.path.join(run_dir, "mentions", "data")
+    full = mentions_from_pages_sql(pages)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("mention_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    ).cast("int")
+    partial = full.withColumn("_bucket", bucket).filter(F.col("_bucket") <= 2)
+    partial.write.mode("append").partitionBy("_bucket").parquet(data_dir)
+    assert not r.is_committed("mentions")
+    pre_rows = spark.read.parquet(data_dir).count()
+    done_dirs = sorted(glob.glob(os.path.join(data_dir, "_bucket=*")))
+    assert len(done_dirs) == 3
+    mtimes = {d: os.path.getmtime(d) for d in done_dirs}
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return mentions_from_pages_sql(pages)
+
+    out = r.stage_partitioned("mentions", build, "mention_id", n_buckets=n_buckets)
+    assert r.is_committed("mentions")
+    assert calls["n"] == 1
+    # all buckets now present; completed buckets were not rewritten
+    assert len(glob.glob(os.path.join(data_dir, "_bucket=*"))) == n_buckets
+    # previously-done buckets contain no new files (same file sets)
+    for d in done_dirs:
+        assert os.path.getmtime(d) == mtimes[d], d
+    # final rows == a clean full build, with no duplicates
+    assert out.count() == full.count()
+    assert pre_rows < full.count()
+    # resumed_buckets recorded in the manifest
+    m = json.load(open(os.path.join(run_dir, "mentions", "_MANIFEST.json")))
+    assert m["resumed_buckets"] == [0, 1, 2]
+    # committed stage: a further call skips the build
+    r.stage_partitioned("mentions", build, "mention_id", n_buckets=n_buckets)
+    assert calls["n"] == 1
+
+
 def test_kill_and_resume_mid_pipeline(spark, sworld, tmp_path):
     """Simulate a crash after stage 2 of 5; resume must not recompute
     committed stages and must produce identical final clusters."""

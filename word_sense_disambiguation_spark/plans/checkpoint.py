@@ -110,6 +110,81 @@ class StageRunner:
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(self.metrics_dir())
 
+    def stage_partitioned(
+        self,
+        name: str,
+        build: Callable[[], DataFrame],
+        bucket_col: str,
+        n_buckets: int = 32,
+    ) -> DataFrame:
+        """Mid-stage-resumable stage: output written bucket-by-bucket.
+
+        The stage output is hash-bucketed on ``bucket_col`` (portable md5,
+        so bucket membership is stable across runs) and written with
+        ``partitionBy`` — a killed run leaves the completed buckets on
+        disk, and the re-run writes ONLY the missing buckets (the
+        anti-join-on-done-keys resume of the reference's generator,
+        ``training/data/generate.py:148-160``, at sub-stage granularity).
+        The completed-bucket filter sits above the build plan: when the
+        stage input is partitioned on the same bucket column, Catalyst
+        prunes the re-scan too; otherwise upstream compute re-runs but all
+        completed write/shuffle work is skipped. The manifest commits only
+        when every bucket is present.
+        """
+        import glob as _glob
+
+        from pyspark.sql import functions as F
+
+        if self.is_committed(name):
+            return self.read(name)
+        data_dir = self._data_dir(name)
+        done = {
+            int(os.path.basename(p).split("=")[1])
+            for p in _glob.glob(os.path.join(data_dir, "_bucket=*"))
+        }
+        t0 = time.monotonic()
+        df = build()
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col(bucket_col).cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % n_buckets
+        ).cast("int")
+        df = df.withColumn("_bucket", bucket)
+        if done:
+            df = df.filter(~F.col("_bucket").isin(*sorted(done)))
+        df.write.mode("append").partitionBy("_bucket").parquet(data_dir)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+
+        out = self.spark.read.parquet(data_dir)
+        part_counts = out.groupBy(F.col("_bucket").alias("partition_id")).agg(
+            F.count("*").alias("rows")
+        )
+        part_counts.select(
+            F.lit(self.run_id).alias("run_id"),
+            F.lit(name).alias("stage"),
+            "partition_id",
+            "rows",
+            F.lit(wall_ms).alias("stage_wall_ms"),
+            F.current_timestamp().alias("committed_at"),
+        ).write.mode("append").parquet(self.metrics_dir())
+
+        manifest = {
+            "stage": name,
+            "run_id": self.run_id,
+            "rows": out.count(),
+            "wall_ms": wall_ms,
+            "n_buckets": n_buckets,
+            "resumed_buckets": sorted(done),
+            "schema": out.schema.simpleString(),
+            "engine_version": __version__,
+        }
+        tmp = self._manifest_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(name))
+        return out
+
 
 def run_er_pipeline(
     spark: SparkSession,
