@@ -217,11 +217,14 @@ def run_er_pipeline(
     )
 
     r = StageRunner(spark, run_dir, run_id)
-    mentions = r.stage(
+    # the widest stage is bucket-partitioned: a killed run resumes
+    # mid-stage, re-writing only the missing url-buckets
+    mentions = r.stage_partitioned(
         "mentions",
         lambda: mentions_from_pages(pages, use_html=True)
         if use_html
         else mentions_from_pages_sql(pages),
+        bucket_col="url",
     )
     assignments = r.stage(
         "assignments",
