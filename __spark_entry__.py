@@ -124,7 +124,12 @@ def _q_blocking_join(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            # exact decimal sum, then ONE conversion to double — DuckDB's
+            # DECIMAL/HUGEINT aggregates pandas-convert to float64, so the
+            # driver's value hash needs float64 on both sides.
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
         )
     )
 
@@ -335,8 +340,12 @@ def _q_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base"),
             F.count("*").alias("n"),
         )
     )
@@ -398,7 +407,10 @@ def _q_running_sum(spark, sf_dir):
     return ev.select(
         "user_id",
         "event_id",
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("running_value"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
     )
 
 
@@ -407,7 +419,7 @@ def _q_conditional_pivot(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     agg = lambda t: F.sum(  # noqa: E731
         F.when(F.col("event_type") == t, F.col("value").cast("decimal(18,2)"))
-    )
+    ).cast("double")
     return ev.groupBy("user_id").agg(
         agg("click").alias("sum_click"),
         agg("view").alias("sum_view"),
@@ -443,12 +455,17 @@ def _q_streaming_window_counts(spark, sf_dir):
 
     stage = tempfile.mkdtemp(prefix="wsd_stream_")
     shutil.copy(os.path.join(sf_dir, "events.parquet"), stage)
+    # Pin the session zone so hour-window boundaries and rendering are
+    # timezone-independent vs the DuckDB naive-timestamp oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = stream_windowed_event_counts(spark, stage, schema)
+    # epoch seconds (tz-free) + a double sum: both sides hash as int64 /
+    # float64 through the driver's pandas conversion.
     return out.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("window_start").cast("long").alias("window_start"),
         "event_type",
         "n",
-        "sum_value",
+        F.col("sum_value").cast("double").alias("sum_value"),
     )
 
 
@@ -615,7 +632,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "blocking_join": """
             SELECT p_brand, count(*) AS n,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
         """,
@@ -659,7 +676,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid_accuracy": f"""
             SELECT count(*) AS n,
-                   sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS n_match
+                   CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_match
             FROM (
               SELECT lang,
                      CASE WHEN en > 0 AND en = g THEN 'en'
@@ -759,8 +776,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
                    count(*) AS n
             FROM lineitem
             WHERE l_shipdate <= DATE '1998-09-02'
@@ -787,7 +804,8 @@ def oracle_sql() -> dict[str, str]:
                      sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                          ROWS UNBOUNDED PRECEDING) AS session_no
               FROM s)
-            SELECT user_id, max(session_no) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(max(session_no) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM c GROUP BY user_id
         """,
         "semi_anti_join": """
@@ -799,17 +817,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "running_sum": """
             SELECT user_id, event_id,
-                   sum(CAST(value AS DECIMAL(18,2)))
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS running_value
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
             FROM events
         """,
         "conditional_pivot": """
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'click'
-                            THEN CAST(value AS DECIMAL(18,2)) END) AS sum_click,
-                   sum(CASE WHEN event_type = 'view'
-                            THEN CAST(value AS DECIMAL(18,2)) END) AS sum_view,
+                   CAST(sum(CASE WHEN event_type = 'click'
+                            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_click,
+                   CAST(sum(CASE WHEN event_type = 'view'
+                            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_view,
                    count(*) AS n
             FROM events GROUP BY user_id
         """,
@@ -823,9 +841,9 @@ def oracle_sql() -> dict[str, str]:
                  EXCEPT SELECT o_custkey FROM orders)) AS n_only_cust
         """,
         "streaming_window_counts": """
-            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
                    event_type, count(*) AS n,
-                   sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
         """,
     }

@@ -1,7 +1,11 @@
 """Local mimic of the driver's correctness gate: run every queries() entry
 and its oracle_sql() through DuckDB at a given sf, compare row count, column
-names, and order-insensitive values. Exact string compare per cell (floats
-via repr) — stricter than the driver's hash, so passing here implies
+names, and order-insensitive values. Both sides are pulled through their
+pandas conversion (Spark ``toPandas()``, DuckDB ``.df()``) and compared by
+exact cell repr — this is TYPE-SENSITIVE on purpose: DuckDB pandas-converts
+HUGEINT and DECIMAL aggregates to float64, so an oracle whose final type
+isn't pinned to BIGINT/DOUBLE hashes differently at the driver even when
+the values are equal (the round-1 failure mode). Passing here implies
 passing there.
 
 Usage: python scripts/check_oracles.py [sf_dir] [only_query ...]
@@ -23,21 +27,27 @@ from word_sense_disambiguation_spark.sources.catalog import TESTDATA_TABLES  # n
 
 
 def norm_cell(v):
+    # NO decimal->float or rounding leniency: a Decimal object on one side
+    # and a float64 on the other must FAIL (it fails the driver's hash).
     if v is None:
         return "NULL"
-    if isinstance(v, bool):
-        return str(v).lower()
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return repr(round(v, 9))
     try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return repr(float(v))
+        if v != v:  # NaN (covers float('nan') and np.nan)
+            return "nan"
     except Exception:
         pass
+    if isinstance(v, bool) or type(v).__name__ == "bool_":
+        return str(bool(v)).lower()
+    if isinstance(v, float) or type(v).__name__ in ("float32", "float64"):
+        return "f:" + repr(float(v))
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return "dec:" + str(v)
+    import numbers
+
+    if isinstance(v, numbers.Integral):
+        return "i:" + str(int(v))
     return str(v)
 
 
@@ -65,8 +75,9 @@ def main():
             continue
         try:
             df = fn(spark, sf_dir)
-            spark_rows = df.collect()
-            spark_cols = df.columns
+            spark_pdf = df.toPandas()
+            spark_cols = list(spark_pdf.columns)
+            spark_rows = [list(t) for t in spark_pdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
@@ -76,9 +87,9 @@ def main():
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [c[0] for c in res.description]
-            duck_rows = res.fetchall()
+            duck_pdf = con.execute(oracles[name]).df()
+            duck_cols = list(duck_pdf.columns)
+            duck_rows = [list(t) for t in duck_pdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
@@ -91,7 +102,7 @@ def main():
             print(f"FAIL  {name}: rowcount {len(spark_rows)} vs {len(duck_rows)}")
             n_fail += 1
             continue
-        a = rows_key(spark_cols, [[r[c] for c in spark_cols] for r in spark_rows])
+        a = rows_key(spark_cols, spark_rows)
         b = rows_key(duck_cols, duck_rows)
         if a != b:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
