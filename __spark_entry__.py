@@ -503,7 +503,10 @@ def _q_connected_components(spark, sf_dir):
 
 def _q_er_clusters_synthetic(spark, sf_dir):
     from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
-    from word_sense_disambiguation_spark.operators.blocking import surface_key_pairs
+    from word_sense_disambiguation_spark.operators.blocking import (
+        oversized_star_pairs,
+        surface_key_pairs,
+    )
     from word_sense_disambiguation_spark.operators.clustering import cluster_mentions
     from word_sense_disambiguation_spark.operators.pairs import score_mention_pairs
     from word_sense_disambiguation_spark.operators.tokenize import (
@@ -514,8 +517,12 @@ def _q_er_clusters_synthetic(spark, sf_dir):
     sw = world_to_spark(spark, build_world(n_pages=150, seed=42))
     assignments = sense_assignments(sw["pages"], sw["senses"])
     mentions = mentions_from_pages_sql(sw["pages"])
-    pairs, _ = surface_key_pairs(mentions, max_block_size=256)
-    edges = score_mention_pairs(pairs.select("id_a", "id_b"), assignments)
+    pairs, oversized = surface_key_pairs(mentions, max_block_size=256)
+    # no silent caps: blocks over the size cap degrade to linear star
+    # edges (canopy-aware) instead of losing all their ER edges.
+    recovered = oversized_star_pairs(mentions, oversized, assignments)
+    all_pairs = pairs.select("id_a", "id_b").unionByName(recovered).distinct()
+    edges = score_mention_pairs(all_pairs, assignments)
     return cluster_mentions(edges)
 
 

@@ -175,6 +175,57 @@ def test_star_pairs_path_preserves_f1(spark, sworld, er_outputs):
     assert f1 >= 0.99, r
 
 
+def test_oversized_block_star_recovery(spark):
+    """A block exceeding max_block_size must still recover its clusters via
+    linear star edges — no mention may lose all its ER edges. The canopy
+    split also means a mixed hot block (two senses sharing one surface)
+    cannot be merged or stranded by an unlucky hub."""
+    from word_sense_disambiguation_spark.operators.blocking import (
+        oversized_star_pairs,
+        surface_key_pairs,
+    )
+
+    n = 40
+    rows = []
+    for i in range(n):
+        sense = "s1" if i % 2 == 0 else "s2"
+        rows.append(
+            (f"m{i:03d}", "acme corp", "Acme Corp", "NOUN", "acme",
+             "assigned", sense, [f"ctx_{sense}", "shared", "words"])
+        )
+    rows.append(("m100", "acme corp", "Acme Corp", "NOUN", "acme", "nota", None, ["x"]))
+    rows.append(("m101", "acme corp", "Acme Corp", "NOUN", "acme", "nota", None, ["y"]))
+    asg = spark.createDataFrame(
+        rows,
+        "mention_id string, norm_surface string, surface string, pos string, "
+        "lemma string, decision string, pred_sense_id string, "
+        "context_words array<string>",
+    )
+    mentions = asg.select("mention_id", "norm_surface", "pos")
+    pairs, oversized = surface_key_pairs(mentions, max_block_size=16)
+    assert pairs.count() == 0 and oversized.count() == 1
+
+    recovered = oversized_star_pairs(mentions, oversized, asg)
+    assert recovered.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+    touched = (
+        recovered.select(F.col("id_a").alias("v"))
+        .union(recovered.select("id_b"))
+        .distinct()
+        .count()
+    )
+    assert touched == n + 2  # nobody in the hot block is stranded
+
+    edges = score_mention_pairs(recovered, asg)
+    clusters = cluster_mentions(edges)
+    got = {r.mention_id: r.entity_id for r in clusters.collect()}
+    s1 = {f"m{i:03d}" for i in range(0, n, 2)}
+    s2 = {f"m{i:03d}" for i in range(1, n, 2)}
+    assert {got[m] for m in s1} == {"m000"}
+    assert {got[m] for m in s2} == {"m001"}
+    # unassigned fallback edges get scored but not matched -> singletons
+    assert got["m100"] == "m100" and got["m101"] == "m101"
+
+
 def test_cluster_canonical_id_is_min_member(er_outputs):
     _a, _e, clusters = er_outputs
     bad = clusters.groupBy("entity_id").agg(F.min("mention_id").alias("mn")).filter(

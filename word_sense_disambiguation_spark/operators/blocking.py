@@ -90,15 +90,65 @@ def sense_block_star_pairs(assignments: DataFrame) -> DataFrame:
     mentions have no canopy; small-block all-pairs still covers them).
     Emitted pairs satisfy ``id_a < id_b`` because the hub is the minimum.
     """
-    from pyspark.sql import Window
-
     assigned = assignments.filter(F.col("decision") == "assigned")
-    w = Window.partitionBy("lemma", "pos", "pred_sense_id")
+    return _star_pairs(assigned, "mention_id", ["lemma", "pos", "pred_sense_id"])
+
+
+def _star_pairs(df: DataFrame, id_col: str, part_cols: list[str]) -> DataFrame:
+    """(id, partition key) -> (hub=min_id, id) edges, one per non-hub member.
+
+    groupBy + join, NOT a window: ``Window.partitionBy`` funnels an entire
+    hot block through one task (the exact skew this path exists to survive),
+    while the aggregate is map-side-combined to one row per block and the
+    re-join is auto-broadcast / AQE-skew-splittable.
+    """
+    hubs = df.groupBy(*part_cols).agg(F.min(id_col).alias("_hub"))
     return (
-        assigned.withColumn("hub", F.min("mention_id").over(w))
-        .filter(F.col("mention_id") != F.col("hub"))
-        .select(F.col("hub").alias("id_a"), F.col("mention_id").alias("id_b"))
+        df.select(id_col, *part_cols)
+        .join(hubs, on=part_cols)
+        .filter(F.col(id_col) != F.col("_hub"))
+        .select(F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b"))
     )
+
+
+def oversized_star_pairs(
+    mentions: DataFrame,
+    oversized: DataFrame,
+    assignments: DataFrame | None = None,
+    id_col: str = "mention_id",
+    key_cols: tuple[str, ...] = ("norm_surface", "pos"),
+) -> DataFrame:
+    """Linear-size recovery edges for the blocks ``surface_key_pairs``
+    excluded as oversized — the no-silent-caps contract's second half: a
+    block bigger than ``max_block_size`` degrades to O(B) star edges, never
+    to zero edges.
+
+    * With ``assignments``: members assigned a sense star within their
+      (block key, lemma, pred_sense_id) canopy, so a mixed hot block cannot
+      strand one entity's members just because the block hub belongs to
+      another entity; unassigned members fall back to a block-key star.
+    * Without: every member stars within the block key; the downstream pair
+      scorer vets each edge, so these are candidates, not merges.
+    """
+    members = mentions.join(
+        F.broadcast(oversized.select(*key_cols)), on=list(key_cols), how="left_semi"
+    ).select(id_col, *key_cols)
+    if assignments is None:
+        return _star_pairs(members, id_col, list(key_cols))
+
+    asg = assignments.select(id_col, "decision", "lemma", "pred_sense_id")
+    m = members.join(asg, on=id_col, how="left")
+    canopy = _star_pairs(
+        m.filter(F.col("decision") == "assigned"),
+        id_col,
+        list(key_cols) + ["lemma", "pred_sense_id"],
+    )
+    fallback = _star_pairs(
+        m.filter(F.col("decision").isNull() | (F.col("decision") != "assigned")),
+        id_col,
+        list(key_cols),
+    )
+    return canopy.unionByName(fallback)
 
 
 def minhash_bands(
