@@ -591,13 +591,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_pivot": _q_conditional_pivot,
         "set_ops": _q_set_ops,
         "streaming_window_counts": _q_streaming_window_counts,
-        # rows-only (iterative / hash-based / pipeline composites)
-        "minhash_dedup_clusters": _q_minhash_clusters,
         "simhash_candidates": _q_simhash_candidates,
         "connected_components": _q_connected_components,
-        "er_clusters_synthetic": _q_er_clusters_synthetic,
         "media_metadata": _q_media_metadata,
         "fingerprint_counts": _q_fingerprints,
+        # rows-only: minhash needs crc32 (not in DuckDB); the other three
+        # run on the in-process synthetic gold world, which DuckDB's parquet
+        # views cannot reproduce (their correctness gates live in tests/).
+        "minhash_dedup_clusters": _q_minhash_clusters,
+        "er_clusters_synthetic": _q_er_clusters_synthetic,
         "training_prompts": _q_training_prompts,
         "prompt_path_assignments": _q_prompt_path_assignments,
     }
@@ -852,5 +854,117 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # Spark side is iterative large-star/small-star CC; the oracle is a
+        # recursive-CTE transitive closure + min-reachable-node label.
+        "connected_components": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT user_id * 2 AS src,
+                              user_id * 2 + (event_id % 2) AS dst
+              FROM events
+            ),
+            nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+            sym AS (
+              SELECT src, dst FROM e WHERE src <> dst
+              UNION
+              SELECT dst AS src, src AS dst FROM e WHERE src <> dst
+            ),
+            reach(a, b) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+            )
+            SELECT a AS node, min(b) AS component FROM reach GROUP BY a
+        """,
+        # Recompute SimHash bit-by-bit in SQL: md5('sim:'||token) read as a
+        # little-endian u64 (byte j = hex chars 2j+1..2j+2, bit i = bit i%8
+        # of byte i//8), per-bit majority over the token bag, then all-pairs
+        # Hamming <= r — which the Spark pigeonhole chunk join equals by the
+        # exact-recall guarantee.
+        "simhash_candidates": """
+            WITH th AS (
+              SELECT doc_id, md5('sim:' || tok) AS hx
+              FROM (SELECT doc_id,
+                           unnest(string_split(
+                             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                             ' ')) AS tok
+                    FROM documents)
+              WHERE tok <> ''
+            ),
+            bits AS (
+              SELECT doc_id, i,
+                     CASE WHEN sum(CASE WHEN
+                         ((CAST(('0x' || substr(hx, 2 * (i // 8) + 1, 2)) AS INTEGER)
+                           >> CAST(i % 8 AS INTEGER)) & 1) = 1
+                       THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS m
+              FROM th CROSS JOIN (SELECT unnest(range(64)) AS i)
+              GROUP BY doc_id, i
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(sum(CASE WHEN a.m <> b.m THEN 1 ELSE 0 END) AS INTEGER)
+                     AS hamming
+            FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING sum(CASE WHEN a.m <> b.m THEN 1 ELSE 0 END) <= 3
+        """,
+        # Winnowing 0-mod-8 sampling: keep window-grams whose little-endian
+        # md5-u64 is 0 mod 8 — i.e. the low 3 bits of digest byte 0 (hex
+        # chars 1..2) are zero.
+        "fingerprint_counts": """
+            WITH s AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+              FROM documents
+            ),
+            kept AS (
+              SELECT doc_id
+              FROM (SELECT doc_id, s, unnest(range(0, length(s) - 15)) AS i
+                    FROM s WHERE length(s) >= 16)
+              WHERE CAST(('0x' || substr(md5('fp:' || substr(s, i + 1, 16)), 1, 2))
+                         AS INTEGER) % 8 = 0
+              UNION ALL
+              SELECT doc_id FROM s WHERE length(s) > 0 AND length(s) < 16
+            )
+            SELECT doc_id AS id, count(*) AS n_fp FROM kept GROUP BY doc_id
+        """,
+        # pages_from_documents wraps text in a fixed html template
+        # (prefix 41B + escaped title + 30B + escaped body + 24B); the fake
+        # decoder reads the first bytes of that template, so width/height/
+        # n_frames are template constants and sample_hash is the little-
+        # endian md5-u64 of the first 64 bytes (prefix + url head) with the
+        # sign bit cleared. html.escape(quote=False) grows '&' by 4 and
+        # '<'/'>' by 3 bytes each.
+        "media_metadata": """
+            WITH base AS (
+              SELECT 'https://crawl.example/' || source || '/doc-'
+                       || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+                     text
+              FROM documents
+            ),
+            m AS (
+              SELECT url,
+                     md5(substr('<html><head><meta charset="utf-8"><title>' || url,
+                                1, 64)) AS hx,
+                     41 + strlen(url) + 30 + strlen(text)
+                       + 4 * (strlen(text) - strlen(replace(text, '&', '')))
+                       + 3 * (strlen(text) - strlen(replace(text, '<', '')))
+                       + 3 * (strlen(text) - strlen(replace(text, '>', '')))
+                       + 24 AS n_bytes
+              FROM base
+            )
+            SELECT url, 'image' AS media_type, CAST(n_bytes AS BIGINT) AS n_bytes,
+                   2109 AS width, 3445 AS height, 45 AS n_frames,
+                   CAST(
+                     CAST(('0x' || substr(hx, 1, 2)) AS BIGINT)
+                   + CAST(('0x' || substr(hx, 3, 2)) AS BIGINT) * 256
+                   + CAST(('0x' || substr(hx, 5, 2)) AS BIGINT) * 65536
+                   + CAST(('0x' || substr(hx, 7, 2)) AS BIGINT) * 16777216
+                   + CAST(('0x' || substr(hx, 9, 2)) AS BIGINT) * 4294967296
+                   + CAST(('0x' || substr(hx, 11, 2)) AS BIGINT) * 1099511627776
+                   + CAST(('0x' || substr(hx, 13, 2)) AS BIGINT) * 281474976710656
+                   + (CAST(('0x' || substr(hx, 15, 2)) AS BIGINT) & 127)
+                       * 72057594037927936
+                   AS BIGINT) AS sample_hash
+            FROM m
         """,
     }
