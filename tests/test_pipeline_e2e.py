@@ -71,6 +71,32 @@ def test_sql_and_pandas_extractors_identical(spark, sworld):
         assert b.exceptAll(a).count() == 0
 
 
+def test_sql_and_pandas_extractors_identical_non_ascii(spark):
+    """Row identity must survive non-ASCII letters and exotic whitespace —
+    testdata is pure ASCII so only a synthetic case can catch drift between
+    python's Unicode-aware classes and Java's ASCII ones."""
+    from word_sense_disambiguation_spark.operators.tokenize import (
+        mentions_from_pages_sql,
+    )
+
+    texts = [
+        "the café é served espresso to loyal visitors daily.",
+        "café menu listed sñack and straße options. plain words too.",
+        "emoji \U0001f600 and cjk 中文 mixed with normal mention words.",
+        "hard space and em space still tokenize identically.",
+    ]
+    pages = spark.createDataFrame(
+        [(f"u{i}", None, None, t, "en") for i, t in enumerate(texts)],
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    a = mentions_from_pages(pages)
+    b = mentions_from_pages_sql(pages)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # non-ASCII-leading tokens are PUNCT in both paths: never mentions
+    assert a.filter(F.col("surface") == "é").count() == 0
+
+
 def test_accuracy_and_f1_gate(assignments, sworld):
     acc = accuracy(assignments, sworld["gold_pairs"]).collect()[0]
     assert acc.n_examples > 50

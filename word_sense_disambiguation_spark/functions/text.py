@@ -56,7 +56,12 @@ def text_sha256(text: str) -> str:
 
 # Word tokens: alphanumeric runs with optional internal apostrophe
 # (``don't`` is one token); everything else non-space is punctuation.
-_TOKEN_RE = re.compile(r"[A-Za-z0-9]+(?:'[A-Za-z0-9]+)?|[^\sA-Za-z0-9]")
+# The whitespace class is explicit ASCII, NOT \s: python \s is Unicode-aware
+# while Java's is not, so \s would tokenize U+00A0 differently in the pandas
+# and JVM extractors. With the explicit class, exotic whitespace becomes a
+# PUNCT token in BOTH paths — row-identity over parity-breaking semantics.
+TOKEN_PATTERN = r"[A-Za-z0-9]+(?:'[A-Za-z0-9]+)?|[^ \t\n\r\f\vA-Za-z0-9]"
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
 
 
 def tokenize(text: str) -> list[tuple[str, int, int, int]]:
@@ -124,11 +129,15 @@ def pos_tag(word: str) -> str:
     both candidates and gold labels (``/root/reference/wsd/benchmark.py``).
     """
     lemma = lemma_of(word)
-    if not lemma or not any(c.isalnum() for c in lemma):
+    # ASCII-strict on purpose: the JVM fast path classifies via
+    # rlike '^[a-z0-9]', and the two extractors must stay row-identical on
+    # ANY input — a Unicode-aware isalnum() here would make 'é' a mention
+    # in this path but PUNCT in the SQL path.
+    if not lemma or lemma[0] not in "0123456789abcdefghijklmnopqrstuvwxyz":
         return "PUNCT"
     if lemma in FUNCTION_WORDS:
         return "DET"
-    if lemma[0].isdigit():
+    if lemma[0] in "0123456789":
         return "NUM"
     return _CONTENT_POS_POOL[_md5_int("pos:" + lemma) % len(_CONTENT_POS_POOL)]
 

@@ -122,7 +122,9 @@ def mentions_from_pages_sql(
     measured on this host: JVM stages scale ~5x from 8->32 cores, Python
     stages ~2.3x.
     """
-    token_re = r"[A-Za-z0-9]+(?:'[A-Za-z0-9]+)?|[^\sA-Za-z0-9]"
+    from word_sense_disambiguation_spark.functions.text import TOKEN_PATTERN
+
+    token_re = TOKEN_PATTERN  # shared with the pandas tokenizer — one source
     # one string literal instead of 120 array literals: plan analysis time
     # is serial driver work — keep the logical plan small.
     func_words = F.split(F.lit(" ".join(sorted(FUNCTION_WORDS))), " ")
