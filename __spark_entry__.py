@@ -526,6 +526,43 @@ def _q_er_clusters_synthetic(spark, sf_dir):
     return cluster_mentions(edges)
 
 
+def _q_entity_span_candidates(spark, sf_dir):
+    """T14 span machinery under a hash-checked oracle: tokenizer-faithful
+    1-2 token spans (sentence-scoped) matched against a self-derived
+    inventory (bigrams occurring >= 8 times, ranked)."""
+    from pyspark.sql import Window
+
+    from word_sense_disambiguation_spark.operators.entities import candidate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = candidate_spans(docs, "doc_id", "text", max_span=2)
+    bigrams = (
+        spans.filter(F.col("n_tokens") == 2)
+        .groupBy("span_key")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 8)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("span_key"))
+    inv = bigrams.select(
+        "span_key", F.row_number().over(w).cast("long").alias("entity_id")
+    )
+    return spans.join(F.broadcast(inv), on="span_key").select(
+        "doc_id", "start_token", "end_token", "span_key", "entity_id"
+    )
+
+
+def _q_entity_linking(spark, sf_dir):
+    """Full T14 composite on the synthetic world: multi-token spans ->
+    broadcast KB alias join -> filter_spans overlap resolution. Exact-golden
+    gate lives in tests/test_entities.py (the generator records every
+    planted span)."""
+    from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
+    from word_sense_disambiguation_spark.operators.entities import linked_entities
+
+    sw = world_to_spark(spark, build_world(n_pages=150, seed=42))
+    return linked_entities(sw["pages"], sw["entities"])
+
+
 def _q_media_metadata(spark, sf_dir):
     from word_sense_disambiguation_spark.operators.multimodal import media_metadata
     from word_sense_disambiguation_spark.sources.pages import pages_from_documents
@@ -595,11 +632,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "media_metadata": _q_media_metadata,
         "fingerprint_counts": _q_fingerprints,
+        "entity_span_candidates": _q_entity_span_candidates,
         # rows-only: minhash needs crc32 (not in DuckDB); the other three
         # run on the in-process synthetic gold world, which DuckDB's parquet
         # views cannot reproduce (their correctness gates live in tests/).
         "minhash_dedup_clusters": _q_minhash_clusters,
         "er_clusters_synthetic": _q_er_clusters_synthetic,
+        "entity_linking": _q_entity_linking,
         "training_prompts": _q_training_prompts,
         "prompt_path_assignments": _q_prompt_path_assignments,
     }
@@ -926,6 +965,44 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id FROM s WHERE length(s) > 0 AND length(s) < 16
             )
             SELECT doc_id AS id, count(*) AS n_fp FROM kept GROUP BY doc_id
+        """,
+        # Same tokenizer regex (explicit ASCII whitespace class), same
+        # sentence rule ('.' tokens strictly before), same bigram inventory
+        # ranking. L=2 spans stay in-sentence iff their first token is not
+        # '.' (the only boundary marker).
+        "entity_span_candidates": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(
+                       regexp_extract_all(text,
+                         '[A-Za-z0-9]+(?:''[A-Za-z0-9]+)?|[^ \\t\\n\\r\\f\\vA-Za-z0-9]'),
+                       x -> lower(x)) AS lem
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, lem, unnest(range(len(lem))) AS i FROM t
+            ),
+            spans AS (
+              SELECT p.doc_id, p.i AS start_token, p.i + L.L - 1 AS end_token,
+                     L.L AS n,
+                     CASE WHEN L.L = 1 THEN p.lem[p.i + 1]
+                          ELSE p.lem[p.i + 1] || ' ' || p.lem[p.i + 2]
+                     END AS span_key
+              FROM pos p CROSS JOIN (SELECT unnest([1, 2]) AS L) L
+              WHERE p.i + L.L - 1 < len(p.lem)
+                AND (L.L = 1 OR p.lem[p.i + 1] <> '.')
+            ),
+            inv AS (
+              SELECT span_key,
+                     row_number() OVER (ORDER BY c DESC, span_key ASC)
+                       AS entity_id
+              FROM (SELECT span_key, count(*) AS c FROM spans
+                    WHERE n = 2 GROUP BY span_key HAVING count(*) >= 8)
+            )
+            SELECT s.doc_id, CAST(s.start_token AS INT) AS start_token,
+                   CAST(s.end_token AS INT) AS end_token, s.span_key,
+                   CAST(i.entity_id AS BIGINT) AS entity_id
+            FROM spans s JOIN inv i USING (span_key)
         """,
         # pages_from_documents wraps text in a fixed html template
         # (prefix 41B + escaped title + 30B + escaped body + 24B); the fake

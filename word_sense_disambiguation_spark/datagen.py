@@ -34,8 +34,10 @@ import pandas as pd
 
 from word_sense_disambiguation_spark.functions.text import (
     SPACY_TO_WORDNET_POS,
+    lemma_of,
     mark_word_in_sentence,
     pos_tag,
+    tokenize,
     wrap_html,
 )
 
@@ -77,6 +79,59 @@ AMBIGUOUS_LEMMAS = (
 ).split()
 
 FILLERS = "afternoon village neighbor visitor moment journey holiday corner window doorway season festival".split()
+
+# ---------------------------------------------------------------------------
+# Entity KB: multi-token named entities for the span-linking path (T14).
+# Names use invented tokens (disjoint from topics/lemmas/fillers) so a gold
+# span can never collide with an ordinary mention — the same disjointness
+# the sense topics rely on. Mirrors the reference's Entity fields
+# (``/root/reference/wsd/word_sense_disambiguation.py:45-52``; golden
+# Wikidata fixture ``wsd/test_server.py:162-170``).
+# ---------------------------------------------------------------------------
+
+_ENTITY_KB: list[tuple[str, list[str], str]] = [
+    ("Zorvex Industries", ["Zorvex"], "computing"),
+    ("Quillon Harbor Authority", ["Quillon Harbor"], "maritime"),
+    ("Mirelle Vance", [], "law"),
+    ("Ostrander Valley Observatory", ["Ostrander Observatory"], "astronomy"),
+    ("Tessingly Flour Works", ["Tessingly"], "cooking"),
+    ("Branwick Field Hospital", ["Branwick Hospital"], "medicine"),
+]
+
+_ENTITY_TEMPLATES = [
+    "reporters visited {ent} during the {f0}",
+    "{ent} announced a new effort last {f0}",
+    "crowds gathered outside {ent} every {f0}",
+]
+
+
+def build_entity_kb(seed: int = SEED) -> pd.DataFrame:
+    """The entity inventory: (entity_id, name, description, url, aliases)."""
+    rows = []
+    for idx, (name, aliases, topic) in enumerate(_ENTITY_KB):
+        rng = random.Random(f"{seed}:kb:{name}")
+        t = rng.sample(TOPICS[topic], 3)
+        rows.append(
+            {
+                "entity_id": 100 + idx,
+                "name": name,
+                "description": f"{name} is known for {t[0]} {t[1]} and {t[2]}",
+                "url": f"https://kb.example/Q{100 + idx}",
+                "aliases": list(aliases),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _find_token_span(text: str, surface: str) -> tuple[int, int]:
+    """First token-run in ``text`` whose lemmas equal ``surface``'s lemmas —
+    the span the tokenizer-faithful linker will produce."""
+    toks = [lemma_of(w) for w, _, _, _ in tokenize(text)]
+    target = [lemma_of(w) for w, _, _, _ in tokenize(surface)]
+    for s in range(len(toks) - len(target) + 1):
+        if toks[s : s + len(target)] == target:
+            return s, s + len(target) - 1
+    raise ValueError(f"{surface!r} not found in page text")
 
 _SENTENCE_TEMPLATES = [
     "the {lemma} near the {t0} was known for {t1} and {t2} during the {f0}",
@@ -166,16 +221,24 @@ def build_world(
     seed: int = SEED,
     nota_rate: float = 0.1,
     dup_rate: float = 0.12,
+    entity_rate: float = 0.35,
 ) -> dict[str, pd.DataFrame]:
     """Build the full deterministic world.
 
     Returns dict with keys ``pages``, ``senses``, ``gold_pairs``,
-    ``dup_groups``. Each page has 2-5 sentences; most contain one planted
-    gold mention (a lemma used in one specific sense), ~``nota_rate`` are
-    NOTA mentions, and ~``dup_rate`` of pages are near-duplicates of an
-    earlier page (one filler token changed) for the dedup/clustering gold.
+    ``dup_groups``, ``entities``, ``gold_entities``. Each page has 2-5
+    sentences; most contain one planted gold mention (a lemma used in one
+    specific sense), ~``nota_rate`` are NOTA mentions, ~``dup_rate`` of
+    pages are near-duplicates of an earlier page (one filler token changed)
+    for the dedup/clustering gold, and ~``entity_rate`` of original pages
+    carry one planted KB entity mention (sometimes via a shorter alias) for
+    the span-linking gold. Entity sentences are appended after the filler,
+    so gold mention sentence ids and contexts are untouched, and they are
+    never copied into near-duplicate pages.
     """
     senses = build_senses(seed)
+    entity_kb = build_entity_kb(seed)
+    entity_records = entity_kb.to_dict("records")
     by_lemma = {
         lemma: grp.sort_values("sense_rank").to_dict("records")
         for lemma, grp in senses.groupby("lemma")
@@ -185,6 +248,7 @@ def build_world(
     pages_rows: list[dict] = []
     gold_rows: list[dict] = []
     dup_rows: list[dict] = []
+    gold_entity_rows: list[dict] = []
     pair_id = 0
 
     def _emit_page(i: int, sentences: list[str], golds: list[dict]) -> dict:
@@ -211,12 +275,14 @@ def build_world(
         return row
 
     i = 0
-    base_pages: list[tuple[int, list[str], list[dict]]] = []
+    base_pages: list[
+        tuple[int, list[str], list[dict], tuple[dict, str] | None]
+    ] = []
     while i < n_pages:
         rng = random.Random(f"{seed}:page:{i}")
         # near-duplicate of an earlier page?
         if base_pages and rng.random() < dup_rate:
-            src_i, src_sents, _src_golds = base_pages[
+            src_i, src_sents, _src_golds, src_ent = base_pages[
                 rng.randrange(len(base_pages))
             ]
             sents = list(src_sents)
@@ -226,7 +292,24 @@ def build_world(
             sents[-1] = src_sents[-1].replace(
                 " to everyone there", " for most readers then"
             )
-            pages_rows.append(_emit_page(i, sents, []))
+            row = _emit_page(i, sents, [])
+            pages_rows.append(row)
+            if src_ent is not None:
+                # the dup inherits the source's entity span (the perturbed
+                # filler comes after it, so positions are identical — but
+                # recompute from the dup's own text to keep gold honest)
+                ent, surface = src_ent
+                s, e = _find_token_span(row["text"], surface)
+                gold_entity_rows.append(
+                    {
+                        "url": row["url"],
+                        "entity_id": ent["entity_id"],
+                        "start_token": s,
+                        "end_token": e,
+                        "text": ent["name"],
+                        "span_text": surface,
+                    }
+                )
             dup_rows.append(
                 {
                     "url_a": pages_rows[src_i]["url"],
@@ -271,19 +354,55 @@ def build_world(
                     "is_nota": is_nota,
                 }
             )
+        # entity planting: inserted BEFORE the trailing filler sentence, so
+        # near-dup copies (which perturb only the filler) inherit the span
+        # at identical token positions and stay shingle-close to the source
+        ent_rng = random.Random(f"{seed}:ent:{i}")
+        planted_entity = None
+        if entity_records and ent_rng.random() < entity_rate:
+            ent = entity_records[ent_rng.randrange(len(entity_records))]
+            surface = ent["name"]
+            if ent["aliases"] and ent_rng.random() < 0.4:
+                surface = ent["aliases"][ent_rng.randrange(len(ent["aliases"]))]
+            sents.append(
+                ent_rng.choice(_ENTITY_TEMPLATES).format(
+                    ent=surface, f0=ent_rng.choice(FILLERS)
+                )
+            )
+            planted_entity = (ent, surface)
         sents.append(_filler_sentence(f"{seed}:fill:{i}"))
-        base_pages.append((i, sents, golds))
-        pages_rows.append(_emit_page(i, sents, golds))
+        base_pages.append((i, sents, golds, planted_entity))
+        row = _emit_page(i, sents, golds)
+        pages_rows.append(row)
+        if planted_entity is not None:
+            ent, surface = planted_entity
+            s, e = _find_token_span(row["text"], surface)
+            gold_entity_rows.append(
+                {
+                    "url": row["url"],
+                    "entity_id": ent["entity_id"],
+                    "start_token": s,
+                    "end_token": e,
+                    "text": ent["name"],
+                    "span_text": surface,
+                }
+            )
         i += 1
 
     pages = pd.DataFrame(pages_rows)
     gold_pairs = pd.DataFrame(gold_rows)
     dup_groups = pd.DataFrame(dup_rows, columns=["url_a", "url_b", "group_id"])
+    gold_entities = pd.DataFrame(
+        gold_entity_rows,
+        columns=["url", "entity_id", "start_token", "end_token", "text", "span_text"],
+    )
     return {
         "pages": pages,
         "senses": senses,
         "gold_pairs": gold_pairs,
         "dup_groups": dup_groups,
+        "entities": entity_kb,
+        "gold_entities": gold_entities,
     }
 
 
@@ -299,6 +418,14 @@ GOLD_SCHEMA = (
     "word_form string, lemma string, pos string, sentence string, "
     "marked_text string, gold_sense_id string, is_nota boolean, "
     "pair_id long, url string"
+)
+ENTITIES_SCHEMA = (
+    "entity_id long, name string, description string, url string, "
+    "aliases array<string>"
+)
+GOLD_ENTITIES_SCHEMA = (
+    "url string, entity_id long, start_token int, end_token int, "
+    "text string, span_text string"
 )
 
 
@@ -316,6 +443,14 @@ def world_to_spark(spark, world: dict[str, pd.DataFrame]) -> dict:
         out["gold_pairs"] = spark.createDataFrame(gp, schema=GOLD_SCHEMA)
     else:
         out["gold_pairs"] = spark.createDataFrame([], schema=GOLD_SCHEMA)
+    out["entities"] = spark.createDataFrame(
+        world["entities"], schema=ENTITIES_SCHEMA
+    )
+    ge = world["gold_entities"]
+    if len(ge):
+        out["gold_entities"] = spark.createDataFrame(ge, schema=GOLD_ENTITIES_SCHEMA)
+    else:
+        out["gold_entities"] = spark.createDataFrame([], schema=GOLD_ENTITIES_SCHEMA)
     # embeddings-style table for ANN operators uses the driver testdata.
     return out
 
