@@ -46,8 +46,10 @@ def test_metrics_per_partition(spark, tmp_path):
 
 
 def test_mid_stage_bucket_resume(spark, sworld, tmp_path):
-    """Kill INSIDE a stage: completed buckets survive and are not
-    recomputed; the resumed run fills in only the missing buckets."""
+    """Kill INSIDE a stage: sidecar-recorded buckets survive untouched; an
+    unrecorded (partially-written) bucket dir is treated as garbage —
+    deleted and rewritten — so the resumed output has no lost or duplicated
+    rows. Bucket-dir existence alone must prove nothing."""
     import glob
 
     from word_sense_disambiguation_spark.operators.tokenize import (
@@ -58,21 +60,32 @@ def test_mid_stage_bucket_resume(spark, sworld, tmp_path):
     pages = sworld["pages"]
     n_buckets = 8
 
-    # simulate a mid-stage crash: write only buckets 0-2 manually, no manifest
+    # simulate a mid-stage crash: buckets 0-2 committed (sidecar written
+    # after their group's job succeeded), bucket 3 written ONLY PARTIALLY
+    # (half its rows) with no sidecar record — the commit-phase-crash shape.
     r = StageRunner(spark, run_dir, run_id="midstage")
-    data_dir = os.path.join(run_dir, "mentions", "data")
+    stage_dir = os.path.join(run_dir, "mentions")
+    data_dir = os.path.join(stage_dir, "data")
     full = mentions_from_pages_sql(pages)
     bucket = (
         F.conv(F.substring(F.md5(F.col("mention_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % n_buckets
     ).cast("int")
-    partial = full.withColumn("_bucket", bucket).filter(F.col("_bucket") <= 2)
-    partial.write.mode("append").partitionBy("_bucket").parquet(data_dir)
+    bucketed = full.withColumn("_bucket", bucket)
+    bucketed.filter(F.col("_bucket") <= 2).write.mode("append").partitionBy(
+        "_bucket"
+    ).parquet(data_dir)
+    bucketed.filter(
+        (F.col("_bucket") == 3) & (F.crc32(F.col("mention_id")) % 2 == 0)
+    ).write.mode("append").partitionBy("_bucket").parquet(data_dir)
+    os.makedirs(stage_dir, exist_ok=True)
+    with open(os.path.join(stage_dir, "_DONE_BUCKETS.json"), "w") as f:
+        json.dump({"buckets": [0, 1, 2]}, f)
     assert not r.is_committed("mentions")
-    pre_rows = spark.read.parquet(data_dir).count()
     done_dirs = sorted(glob.glob(os.path.join(data_dir, "_bucket=*")))
-    assert len(done_dirs) == 3
-    mtimes = {d: os.path.getmtime(d) for d in done_dirs}
+    assert len(done_dirs) == 4  # 0-2 committed + the partial 3
+    mtimes = {d: os.path.getmtime(d) for d in done_dirs[:3]}
+    partial_rows = spark.read.parquet(os.path.join(data_dir, "_bucket=3")).count()
 
     calls = {"n": 0}
 
@@ -83,14 +96,15 @@ def test_mid_stage_bucket_resume(spark, sworld, tmp_path):
     out = r.stage_partitioned("mentions", build, "mention_id", n_buckets=n_buckets)
     assert r.is_committed("mentions")
     assert calls["n"] == 1
-    # all buckets now present; completed buckets were not rewritten
+    # all buckets now present; committed buckets were not rewritten
     assert len(glob.glob(os.path.join(data_dir, "_bucket=*"))) == n_buckets
-    # previously-done buckets contain no new files (same file sets)
-    for d in done_dirs:
-        assert os.path.getmtime(d) == mtimes[d], d
-    # final rows == a clean full build, with no duplicates
+    for d, t in mtimes.items():
+        assert os.path.getmtime(d) == t, d
+    # the partial bucket was rewritten in full (no silent undercount, no dup)
+    b3 = spark.read.parquet(os.path.join(data_dir, "_bucket=3")).count()
+    full_b3 = bucketed.filter(F.col("_bucket") == 3).count()
+    assert partial_rows < full_b3 and b3 == full_b3
     assert out.count() == full.count()
-    assert pre_rows < full.count()
     # resumed_buckets recorded in the manifest
     m = json.load(open(os.path.join(run_dir, "mentions", "_MANIFEST.json")))
     assert m["resumed_buckets"] == [0, 1, 2]

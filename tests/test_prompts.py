@@ -97,3 +97,60 @@ def test_training_examples(spark, sworld):
         .count()
     )
     assert diff > 0
+
+
+def test_jvm_marking_identical_to_python_contract(spark):
+    """mark_word_jvm must agree with mark_word_in_sentence on adversarial
+    cases: boundary-only matches, case-insensitive first occurrence with
+    original casing kept, NULL exactly where python raises."""
+    from word_sense_disambiguation_spark.functions.text import (
+        mark_word_in_sentence,
+    )
+    from word_sense_disambiguation_spark.operators.prompts import mark_word_jvm
+
+    cases = [
+        ("the artist painted art daily", "art"),      # not inside 'artist'
+        ("the Art of war", "art"),                    # case-insensitive, keep 'Art'
+        ("battalion moved to the bat cave", "bat"),   # not inside 'battalion'
+        ("no match here at all", "zebra"),            # python raises -> NULL
+        ("already *marked* sentence with bank", "bank"),  # premarked -> NULL
+        ("bank on the river bank", "bank"),           # first occurrence only
+        ("a 100th runner and 100 meters", "100"),     # '100' not in '100th'
+        ("c++ is mentioned as c++ once", "c++"),      # regex metachars escaped
+    ]
+    df = spark.createDataFrame(cases, "sentence string, word string")
+    got = {
+        (r.sentence, r.word): r.marked
+        for r in df.withColumn(
+            "marked", mark_word_jvm("sentence", "word")
+        ).collect()
+    }
+    for sentence, word in cases:
+        try:
+            expect = mark_word_in_sentence(sentence, word)
+        except ValueError:
+            expect = None
+        assert got[(sentence, word)] == expect, (sentence, word)
+
+
+def test_training_examples_mark_word_boundaries(spark):
+    """A lemma that appears only inside a longer word must yield a dropped
+    (NULL-prompt) example, never a corrupted sentence."""
+    from word_sense_disambiguation_spark.operators.prompts import (
+        filter_prompts_by_length,
+    )
+
+    senses = spark.createDataFrame(
+        [
+            ("art", "n", "s1", 0, "art one", "art alt", ["the artist left early"]),
+            ("art", "n", "s2", 1, "art two", "art alt2", ["fine art hung there"]),
+        ],
+        "lemma string, pos string, sense_id string, sense_rank int, "
+        "source_definition string, alternative_definition string, "
+        "examples array<string>",
+    )
+    out = training_examples(senses, seed=42)
+    kept, dropped = filter_prompts_by_length(out)
+    marked = {r.marked_sentence for r in kept.collect()}
+    assert marked == {"fine *art* hung there"}
+    assert dropped.count() == 1  # 'artist' example has no markable 'art'

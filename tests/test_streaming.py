@@ -96,3 +96,47 @@ def test_incremental_sense_pipeline_resumes(spark, world, tmp_path):
     cols = ["mention_id", "decision", "pred_sense_id"]
     assert streamed.select(cols).exceptAll(batch.select(cols)).count() == 0
     assert batch.select(cols).exceptAll(streamed.select(cols)).count() == 0
+
+
+def test_stateful_dedup_ttl_readmits(spark, tmp_path):
+    """With a processing-time TTL, a hash idle past the window is evicted:
+    its next arrival is first_seen again (bounded state on endless crawls).
+    Within the window it still dedups."""
+    import time
+
+    from word_sense_disambiguation_spark.datagen import PAGES_SCHEMA
+    from word_sense_disambiguation_spark.streaming.stateful import stream_exact_dedup
+
+    pages_dir = str(tmp_path / "pages")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def page(url, text):
+        return (url, None, None, text, "en")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema=PAGES_SCHEMA).write.mode(
+            "append"
+        ).parquet(pages_dir)
+
+    ttl = 1500
+    # batch 1: X twice (in-batch dup), Y once
+    write([page("a1", "text x"), page("a2", "text x"), page("b1", "text y")])
+    r1 = stream_exact_dedup(spark, pages_dir, PAGES_SCHEMA, ck, out, ttl_ms=ttl)
+    f1 = {r.url: r.first_seen for r in r1.collect()}
+    assert f1 == {"a1": True, "a2": False, "b1": True}
+
+    # batch 2, still inside the TTL: X again -> dup
+    write([page("a3", "text x")])
+    r2 = stream_exact_dedup(spark, pages_dir, PAGES_SCHEMA, ck, out, ttl_ms=ttl)
+    assert {r.url: r.first_seen for r in r2.collect()}["a3"] is False
+
+    # let the TTL lapse, tick a batch with only unrelated data so the
+    # timeout fires and evicts X, then re-send X -> first_seen again
+    time.sleep(3.0)
+    write([page("c1", "text z")])
+    stream_exact_dedup(spark, pages_dir, PAGES_SCHEMA, ck, out, ttl_ms=ttl)
+    time.sleep(0.2)
+    write([page("a4", "text x")])
+    r4 = stream_exact_dedup(spark, pages_dir, PAGES_SCHEMA, ck, out, ttl_ms=ttl)
+    assert {r.url: r.first_seen for r in r4.collect()}["a4"] is True

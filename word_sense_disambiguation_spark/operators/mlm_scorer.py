@@ -173,7 +173,10 @@ def decode_probabilities(
         )
         + nota_p.cast("double")
     )
-    is_nota = (nota_p >= best_p) | (n == 0)
+    # strict >: the reference argmaxes over [choices..., NOTA] with
+    # list.index(max), so a choice slot wins an exact probability tie
+    # (observable with float32 ties, e.g. uniform vectors).
+    is_nota = (nota_p > best_p) | (n == 0)
     choice_idx = F.array_position(choice_slice, best_p).cast("int") - 1
     winner = F.when(is_nota, nota_p.cast("double")).otherwise(best_p.cast("double"))
     return scored.select(

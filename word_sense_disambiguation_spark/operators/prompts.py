@@ -112,6 +112,32 @@ def _phash(*cols, salt: str) -> F.Column:
     ).cast("long")
 
 
+def mark_word_jvm(sentence, word) -> F.Column:
+    """JVM twin of :func:`functions.text.mark_word_in_sentence` — same
+    contract (first word-boundary, case-insensitive occurrence marked with
+    ``*``, original casing preserved), but as a codegen expression: NULL
+    where the python function would raise (no match / already marked),
+    so callers route failures to a side table instead of emitting
+    corrupted text. Tested row-identical to the python function over
+    adversarial cases ('art' in 'artist', case flips, pre-marked).
+    """
+    s = F.col(sentence) if isinstance(sentence, str) else sentence
+    w = F.col(word) if isinstance(word, str) else word
+    # escape regex metacharacters in the word, then anchor on \b
+    esc = F.regexp_replace(w, F.lit(r"([^a-zA-Z0-9])"), F.lit(r"\\$1"))
+    pat = F.concat(F.lit(r"(?i)\b"), esc, F.lit(r"\b"))
+    pos = F.regexp_instr(s, pat)  # 1-based; 0 = no boundary match
+    matched = s.substr(pos, F.length(w))  # literal pattern: match len == word len
+    marked = F.concat(
+        s.substr(F.lit(1), pos - 1),
+        F.lit("*"),
+        matched,
+        F.lit("*"),
+        s.substr(pos + F.length(w), F.length(s)),
+    )
+    return F.when((pos > 0) & ~s.contains("*"), marked)
+
+
 def training_examples(
     senses: DataFrame, seed: int = 42, max_prompt_defs: int = 100
 ) -> DataFrame:
@@ -151,11 +177,11 @@ def training_examples(
         "lemma", "pos", "sense_id", F.explode("examples").alias("sentence")
     )
     joined = exploded.join(grouped, on=["lemma", "pos"])
-    marked = F.expr(
-        "concat(substring(sentence, 1, instr(sentence, lemma) - 1),"
-        " '*', lemma, '*',"
-        " substring(sentence, instr(sentence, lemma) + length(lemma)))"
-    )
+    # word-boundary marking (NULL when unmarkable): a substring instr()
+    # would mid-word-mark 'bat' inside 'battalion'; NULL-marked rows yield
+    # NULL prompts, which filter_prompts_by_length routes to its dropped
+    # side table — no silent caps, no corrupted sentences.
+    marked = mark_word_jvm(F.col("sentence"), F.col("lemma"))
     offset_span = F.lit(NOTA_LETTER_INDEX) - F.size("definitions")
     offset = (
         _phash(F.col("sense_id"), F.col("sentence"), salt=f"{seed}:off")

@@ -128,11 +128,15 @@ def score_candidates(candidates: DataFrame) -> DataFrame:
     overlap dominates, the embedding breaks near-ties.
 
     The empty-candidate short-circuit (reference: no model call,
-    ``...py:250-257``) is enforced *physically*, not with a ``when()``:
-    Catalyst extracts python UDFs into an unconditional ArrowEvalPython
-    node, so a conditional expression would still ship every row — including
-    the (majority) inventory-miss rows — through the python worker. Split,
-    score the matched side only, union the misses back with a null score.
+    ``...py:250-257``) is *logical* here: inventory-miss rows get a null
+    score via ``when()``. The cosine UDF deliberately runs UNSPLIT on every
+    row — Catalyst extracts python UDFs into an unconditional
+    ArrowEvalPython node either way, and for this operator the measured
+    cost of shipping a null-profile row (one short Arrow array) is lower
+    than the double scan + union a physical filter/split would add. This
+    is one of the two documented exceptions to the engine's physical
+    UDF-short-circuit rule (the other is the pair scorer's JW, whose
+    equality fast path lives inside the python loop) — see CLAUDE.md.
     """
     overlap = F.size(F.array_intersect("context_words", "profile_words"))
     lesk = overlap.cast("double") / (overlap + F.lit(1)).cast("double")

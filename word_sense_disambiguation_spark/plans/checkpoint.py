@@ -110,50 +110,82 @@ class StageRunner:
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(self.metrics_dir())
 
+    def _done_buckets_path(self, name: str) -> str:
+        return os.path.join(self._stage_dir(name), "_DONE_BUCKETS.json")
+
     def stage_partitioned(
         self,
         name: str,
         build: Callable[[], DataFrame],
         bucket_col: str,
         n_buckets: int = 32,
+        buckets_per_commit: int | None = None,
     ) -> DataFrame:
-        """Mid-stage-resumable stage: output written bucket-by-bucket.
+        """Mid-stage-resumable stage: output written and COMMITTED in
+        bucket groups.
 
         The stage output is hash-bucketed on ``bucket_col`` (portable md5,
         so bucket membership is stable across runs) and written with
-        ``partitionBy`` — a killed run leaves the completed buckets on
-        disk, and the re-run writes ONLY the missing buckets (the
-        anti-join-on-done-keys resume of the reference's generator,
-        ``training/data/generate.py:148-160``, at sub-stage granularity).
-        The completed-bucket filter sits above the build plan: when the
-        stage input is partitioned on the same bucket column, Catalyst
-        prunes the re-scan too; otherwise upstream compute re-runs but all
-        completed write/shuffle work is skipped. The manifest commits only
-        when every bucket is present.
+        ``partitionBy``, ``buckets_per_commit`` buckets per write job; after
+        each job succeeds, those buckets are recorded in an atomically-
+        replaced ``_DONE_BUCKETS.json`` sidecar. A bucket directory's mere
+        existence proves nothing — a crash during a write job's commit
+        phase leaves partially-moved bucket dirs — so on resume any bucket
+        dir NOT in the sidecar is deleted and rewritten, and only sidecar
+        buckets are skipped (the anti-join-on-done-keys resume of the
+        reference's generator, ``training/data/generate.py:148-160``, at
+        sub-stage granularity, made exactly-once). The build plan is
+        localCheckpoint'ed once per attempt so the group loop re-reads
+        executor-local blocks instead of recomputing upstream per group.
+        The manifest commits only when every bucket is present.
         """
         import glob as _glob
+        import shutil as _shutil
 
         from pyspark.sql import functions as F
 
         if self.is_committed(name):
             return self.read(name)
         data_dir = self._data_dir(name)
-        done = {
-            int(os.path.basename(p).split("=")[1])
-            for p in _glob.glob(os.path.join(data_dir, "_bucket=*"))
-        }
+        sidecar = self._done_buckets_path(name)
+        done: set[int] = set()
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                done = set(json.load(f)["buckets"])
+        # partial-commit garbage: bucket dirs never recorded done
+        for p in _glob.glob(os.path.join(data_dir, "_bucket=*")):
+            if int(os.path.basename(p).split("=")[1]) not in done:
+                _shutil.rmtree(p)
+        resumed = sorted(done)
+
         t0 = time.monotonic()
-        df = build()
-        bucket = (
-            F.conv(
-                F.substring(F.md5(F.col(bucket_col).cast("string")), 1, 8), 16, 10
-            ).cast("long")
-            % n_buckets
-        ).cast("int")
-        df = df.withColumn("_bucket", bucket)
-        if done:
-            df = df.filter(~F.col("_bucket").isin(*sorted(done)))
-        df.write.mode("append").partitionBy("_bucket").parquet(data_dir)
+        missing = [b for b in range(n_buckets) if b not in done]
+        if missing:
+            bucket = (
+                F.conv(
+                    F.substring(F.md5(F.col(bucket_col).cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % n_buckets
+            ).cast("int")
+            df = build().withColumn("_bucket", bucket).filter(
+                F.col("_bucket").isin(missing)
+            )
+            group_size = buckets_per_commit or max(1, n_buckets // 4)
+            if len(missing) > group_size:
+                # one materialization, many commit points
+                df = df.localCheckpoint(eager=True)
+            for g0 in range(0, len(missing), group_size):
+                group = missing[g0 : g0 + group_size]
+                df.filter(F.col("_bucket").isin(group)).write.mode(
+                    "append"
+                ).partitionBy("_bucket").parquet(data_dir)
+                done.update(group)
+                tmp = sidecar + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"buckets": sorted(done)}, f)
+                os.replace(tmp, sidecar)
         wall_ms = int((time.monotonic() - t0) * 1000)
 
         out = self.spark.read.parquet(data_dir)
@@ -175,7 +207,7 @@ class StageRunner:
             "rows": out.count(),
             "wall_ms": wall_ms,
             "n_buckets": n_buckets,
-            "resumed_buckets": sorted(done),
+            "resumed_buckets": resumed,
             "schema": out.schema.simpleString(),
             "engine_version": __version__,
         }
