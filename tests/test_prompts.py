@@ -154,3 +154,45 @@ def test_training_examples_mark_word_boundaries(spark):
     marked = {r.marked_sentence for r in kept.collect()}
     assert marked == {"fine *art* hung there"}
     assert dropped.count() == 1  # 'artist' example has no markable 'art'
+
+
+def test_letterset_with_mock_bpe_tokenizer():
+    """The pluggable token_id probe must drive the set exactly like the
+    reference's single-token-under-tokenizer rule: symbols the tokenizer
+    splits (probe -> None) are skipped, ids (not codepoints) dedup, and
+    training/inference agree when injecting the same probe."""
+    from word_sense_disambiguation_spark.functions.letters import (
+        NUM_LETTERS,
+        NotEnoughLettersError,
+        build_letters,
+    )
+
+    def mock_bpe(sym: str) -> int | None:
+        cp = ord(sym)
+        if 0x0400 <= cp <= 0x04FF:
+            return None  # this BPE splits every Cyrillic char -> multi-token
+        if sym in "!@":
+            return 7000  # '!' and '@' collide on one merged token id
+        return 10_000 + cp
+
+    ls = build_letters(mock_bpe)
+    assert len(ls.letters) == NUM_LETTERS
+    assert len(set(ls.token_ids)) == NUM_LETTERS
+    # no Cyrillic admitted; the id collision keeps '!' and drops '@'
+    assert not any(0x0400 <= ord(c) <= 0x04FF for c in ls.letters)
+    assert "!" in ls.letters and "@" not in ls.letters
+    # deterministic agreement: same probe object -> same mapping
+    assert build_letters(mock_bpe) == ls
+    # Greek backfills the slots Cyrillic lost, keeping priority order:
+    # the default-probe set is a different mapping
+    assert ls != build_letters()
+
+    # a probe admitting too few symbols fails loudly, never silently short
+    def tiny(sym: str) -> int | None:
+        return ord(sym) if sym.isdigit() else None
+
+    try:
+        build_letters(tiny)
+        raise AssertionError("expected NotEnoughLettersError")
+    except NotEnoughLettersError as e:
+        assert "10" in str(e) and "128" in str(e)
