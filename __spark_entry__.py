@@ -286,6 +286,16 @@ def _q_ngram_jaccard(spark, sf_dir):
     g = docs.filter(F.size(toks) >= 3).select(
         "doc_id", "lang", "source", grams.alias("grams")
     )
+    # block-cap hygiene: the (lang, source) key is coarse; cap block size so
+    # the self-join can never go near-cartesian at scale (mirrored in the
+    # oracle, so results stay hash-identical)
+    ok_blocks = (
+        g.groupBy("lang", "source")
+        .agg(F.count("*").alias("bs"))
+        .filter(F.col("bs") <= 64)
+        .select("lang", "source")
+    )
+    g = g.join(F.broadcast(ok_blocks), on=["lang", "source"], how="left_semi")
     a = g.select(
         F.col("doc_id").alias("id_a"), "lang", "source", F.col("grams").alias("ga")
     )
@@ -582,6 +592,23 @@ def _q_prompt_path_assignments(spark, sf_dir):
     return sense_assignments_prompted(sw["pages"], sw["senses"])
 
 
+def _q_eval_examples(spark, sf_dir):
+    """Labeled corpus -> MC eval prompts (build_eval_examples_from_wn
+    parity): rank-ordered candidates via the inference-time broadcast
+    join, gold letter at the gold index, skips as a side table."""
+    from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
+    from word_sense_disambiguation_spark.operators.evaluation import (
+        eval_examples_from_corpus,
+    )
+
+    sw = world_to_spark(spark, build_world(n_pages=150, seed=42))
+    kept, _skipped = eval_examples_from_corpus(sw["gold_pairs"], sw["senses"])
+    return kept.select(
+        "word", "marked_sentence", "correct_sense_id",
+        "correct_letter_index", "correct_letter", "n_defs", "prompt",
+    )
+
+
 def _q_training_prompts(spark, sf_dir):
     from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
     from word_sense_disambiguation_spark.operators.prompts import training_examples
@@ -639,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_clusters": _q_minhash_clusters,
         "er_clusters_synthetic": _q_er_clusters_synthetic,
         "entity_linking": _q_entity_linking,
+        "eval_examples": _q_eval_examples,
         "training_prompts": _q_training_prompts,
         "prompt_path_assignments": _q_prompt_path_assignments,
     }
@@ -799,11 +827,15 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, lang, source,
                            regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
                     FROM documents WHERE n_chars < 200)
-              WHERE len(toks) >= 3)
+              WHERE len(toks) >= 3),
+            ok AS (
+              SELECT lang, source FROM g GROUP BY lang, source
+              HAVING count(*) <= 64)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
                    / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
-            FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source
+            FROM g a JOIN ok ON a.lang = ok.lang AND a.source = ok.source
+                 JOIN g b ON a.lang = b.lang AND a.source = b.source
                  AND a.doc_id < b.doc_id
             WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
                   / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) > 0.0

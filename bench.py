@@ -115,7 +115,10 @@ def main() -> None:
         # only inside small surface blocks
         import pyspark.sql.functions as F
 
-        a = assignments.filter(F.col("decision") != "no_definitions")
+        a = assignments.filter(F.col("decision") != "no_definitions").select(
+            "mention_id", "lemma", "pos", "norm_surface", "surface",
+            "context_words", "pred_sense_id", "decision",
+        )
         small, _ = surface_key_pairs(a, max_block_size=64)
         pairs = (
             sense_block_star_pairs(a)

@@ -64,6 +64,13 @@ def main() -> None:
         a = (
             sense_assignments(pages, senses)
             .filter(F.col("decision") != "no_definitions")
+            # checkpoint only the columns the ER stages read: the fat
+            # pred_definition / url / position columns would otherwise
+            # dominate the materialization cost
+            .select(
+                "mention_id", "lemma", "pos", "norm_surface", "surface",
+                "context_words", "pred_sense_id", "decision",
+            )
             .localCheckpoint(eager=True)
         )
         small, _ = surface_key_pairs(a, max_block_size=64)

@@ -67,3 +67,30 @@ def test_cc_empty_and_selfloops(spark):
     df = spark.createDataFrame([(5, 5), (7, 7)], schema="src long, dst long")
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == {5: 5, 7: 7}
+
+
+def test_cc_iterative_and_local_paths_identical(spark):
+    """The adaptive strategy must be invisible: the single-task NumPy path
+    (small graphs) and the iterative star rounds (forced via threshold=0)
+    agree exactly, on longs and on string ids."""
+    rng = random.Random(7)
+    nodes = list(range(1, 300))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(400)]
+    df = spark.createDataFrame(edges, schema="src long, dst long")
+    local = {r.node: r.component for r in connected_components(df).collect()}
+    iterative = {
+        r.node: r.component
+        for r in connected_components(df, small_graph_threshold=0).collect()
+    }
+    assert local == iterative == _uf_oracle(edges)
+
+    sdf = spark.createDataFrame(
+        [(f"m{a:03d}", f"m{b:03d}") for a, b in edges], schema="src string, dst string"
+    )
+    slocal = {r.node: r.component for r in connected_components(sdf).collect()}
+    siter = {
+        r.node: r.component
+        for r in connected_components(sdf, small_graph_threshold=0).collect()
+    }
+    assert slocal == siter
+    assert slocal == {f"m{k:03d}": f"m{v:03d}" for k, v in local.items()}

@@ -196,3 +196,47 @@ def test_letterset_with_mock_bpe_tokenizer():
         raise AssertionError("expected NotEnoughLettersError")
     except NotEnoughLettersError as e:
         assert "10" in str(e) and "128" in str(e)
+
+
+def test_eval_examples_from_corpus(spark, sworld):
+    """build_eval_examples_from_wn parity: candidates in rank order via the
+    inference-time join, gold letter at the gold index, skips surfaced as a
+    reasoned side table, and the prompt path decodes the gold letter."""
+    from word_sense_disambiguation_spark.operators.evaluation import (
+        eval_examples_from_corpus,
+    )
+    from word_sense_disambiguation_spark.operators.mlm_scorer import (
+        decode_probabilities,
+        score_prompts,
+    )
+
+    corpus = sworld["gold_pairs"]
+    kept, skipped = eval_examples_from_corpus(corpus, sworld["senses"])
+    n_nota = corpus.filter("is_nota").count()
+    assert n_nota > 0
+    assert (
+        skipped.filter(F.col("skip_reason") == "gold_not_in_inventory").count()
+        == n_nota
+    )
+    assert kept.count() == corpus.count() - n_nota
+    assert kept.filter(F.col("prompt").isNull()).count() == 0
+    # the gold sense sits exactly at the correct letter's index
+    bad = kept.filter(
+        F.element_at("sense_ids", F.col("correct_letter_index") + 1)
+        != F.col("correct_sense_id")
+    ).count()
+    assert bad == 0
+
+    # letter-budget skips are reported, not dropped
+    _k2, s2 = eval_examples_from_corpus(corpus, sworld["senses"], max_definitions=2)
+    assert s2.filter(F.col("skip_reason") == "over_letter_budget").count() > 0
+
+    # end-to-end: the batched scorer + decoder recover the gold letter
+    scored = score_prompts(kept.drop("sense_ids"), id_cols=("word",))
+    dec = decode_probabilities(scored, n_defs_col="n_defs")
+    n = dec.count()
+    good = dec.filter(
+        ~F.col("is_nota_pred")
+        & (F.col("choice_index") == F.col("correct_letter_index"))
+    ).count()
+    assert good / n >= 0.95, (good, n)

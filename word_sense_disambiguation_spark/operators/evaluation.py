@@ -95,6 +95,90 @@ def pairwise_f1(assignments: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
+def eval_examples_from_corpus(
+    corpus: DataFrame,
+    senses: DataFrame,
+    gold_col: str = "gold_sense_id",
+    max_definitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Labeled corpus (WordNetExample shape) + inventory -> MC eval prompts.
+
+    The Spark form of ``build_eval_examples_from_wn``
+    (``/root/reference/training/train.py:258-306``): per example, the
+    candidate definitions for ``(lemma, pos)`` arrive in rank order via ONE
+    broadcast join (adjective a->{a,s} expansion folded into the dim key,
+    like inference); the correct answer sits at the letter matching the
+    gold sense's index; offset 0 (eval never spreads letters). The
+    reference silently ``continue``s on gold-not-found / over-budget rows —
+    this engine returns them as a ``skipped`` side table with a reason
+    column instead (no silent caps). Output: ``(kept, skipped)``.
+    """
+    from word_sense_disambiguation_spark.functions.letters import (
+        NOTA_LETTER_INDEX,
+        build_letters,
+    )
+    from word_sense_disambiguation_spark.operators.candidates import prepare_senses
+    from word_sense_disambiguation_spark.operators.prompts import build_prompts
+
+    budget = max_definitions if max_definitions is not None else NOTA_LETTER_INDEX
+    dim = prepare_senses(senses)
+    grouped = (
+        dim.groupBy("s_lemma", "join_pos")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sense_rank", "sense_id", "sense_definition"))
+            ).alias("cands")
+        )
+        .withColumn("definitions", F.transform("cands", lambda c: c["sense_definition"]))
+        .withColumn("sense_ids", F.transform("cands", lambda c: c["sense_id"]))
+        .drop("cands")
+    )
+    joined = corpus.join(
+        F.broadcast(grouped),
+        (corpus["lemma"] == grouped["s_lemma"])
+        & (corpus["pos"] == grouped["join_pos"]),
+        "left",
+    ).drop("s_lemma", "join_pos")
+    correct_pos = F.array_position(F.col("sense_ids"), F.col(gold_col))  # 1-based
+    skip = F.when(
+        F.col("sense_ids").isNull() | (F.coalesce(correct_pos, F.lit(0)) == 0),
+        F.lit("gold_not_in_inventory"),
+    ).when(F.size("sense_ids") > budget, F.lit("over_letter_budget"))
+    tagged = joined.withColumn("skip_reason", skip)
+    skipped = tagged.filter(F.col("skip_reason").isNotNull()).select(
+        *corpus.columns, "skip_reason"
+    )
+
+    letters = build_letters()
+    letters_col = F.array(*[F.lit(c) for c in letters.letters])
+    kept = (
+        tagged.filter(F.col("skip_reason").isNull())
+        .withColumn("correct_letter_index", (correct_pos - 1).cast("int"))
+        .withColumn("correct_letter", F.element_at(letters_col, correct_pos.cast("int")))
+        .withColumn("n_defs", F.size("definitions"))
+    )
+    prompted = build_prompts(
+        kept,
+        word_col="word_form",
+        sentence_col="marked_text",
+        defs_col="definitions",
+    )
+    return (
+        prompted.select(
+            F.col("word_form").alias("word"),
+            "sentence",
+            F.col("marked_text").alias("marked_sentence"),
+            F.col(gold_col).alias("correct_sense_id"),
+            "correct_letter_index",
+            "correct_letter",
+            "n_defs",
+            "sense_ids",
+            "prompt",
+        ),
+        skipped,
+    )
+
+
 def disjoint_split(
     examples: DataFrame, key: str = "gold_sense_id", n_buckets: int = 5, seed: int = 42
 ) -> DataFrame:
