@@ -344,6 +344,33 @@ def _q_cosine_topk(spark, sf_dir):
     )
 
 
+def _q_embedding_neardup(spark, sf_dir):
+    """Exact-cosine verify kernel of the embedding near-dup family, over
+    all pairs (the production operator equals this on its LSH candidates —
+    recall-tested). Threshold sits mid-gap between adjacent cosine values
+    so float32-vs-float64 engine noise cannot flip membership."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot / (nrm(F.col("va")) * nrm(F.col("vb")))
+    return pairs.select("id_a", "id_b", (cos >= 0.2951857).alias("m")).where(
+        "m"
+    ).select("id_a", "id_b")
+
+
 def _q_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -647,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_block": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
+        "embedding_neardup": _q_embedding_neardup,
         "pricing_summary": _q_pricing_summary,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "sessionization": _q_sessionization,
@@ -853,6 +881,12 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cosine DESC, vid ASC) AS rank
               FROM scored)
             SELECT query_id, vid, rank FROM ranked WHERE rank <= 10
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding)
+                  >= 0.2951857
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -114,12 +114,14 @@ scoring computation and would overstate throughput):
 
 **Scaling efficiency N=2 -> 4N=8: stage 1-2 {eff_2_8:.3f}, full 3-stage
 {geff_2_8:.3f}, full 3-stage at 2x input {g2eff_2_8:.3f}** (target >= 0.8).
-The full-3-stage gap vs stage 1-2 is its fixed, input-size-independent
-serial fraction — stage commits (localCheckpoint materialization) plus the
-adaptive single-task connected-components finish — and the 2x-input row
-demonstrates the amortization directly: double the input, same constant,
-higher efficiency. At 10^12 rows the constant is noise (and the CC
-strategy flips to the distributed star rounds).
+The full-3-stage gap vs stage 1-2 is its serial add-on — stage commits
+(localCheckpoint materialization), python-worker spawn, the single-task
+CC finish. Check the constancy directly from the table: full-minus-stage
+wall at local[2] vs local[8], and at 1x vs 2x input — a parallelism- and
+input-independent constant divides out as input grows (at 10x input it is
+<2% of wall), and at 10^12 rows the CC strategy flips to the distributed
+star rounds. Single samples on this shared host carry ±20-30% neighbor
+noise; trust within-suite comparisons, not cross-window ones.
 Supplementary 8 -> 32: {eff_8_32:.3f} / {geff_8_32:.3f} — bounded by the host, not the engine:
 a plain `multiprocessing` spin loop on this box runs each worker 1.47x
 slower at 32 concurrent processes than at 8 (32 "CPUs" ~= 22 effective

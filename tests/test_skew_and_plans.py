@@ -121,3 +121,31 @@ def test_candidate_filter_pushdown(spark, sworld, tmp_path):
     pages = spark.read.parquet(p).filter(F.col("lang") == "en")
     plan = pages.select("url")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "lang" in plan
+
+def test_entity_linking_plan_shape(spark, sworld, tmp_path):
+    """Entity linking's 100 TB contract: the KB alias join must broadcast
+    (never sort-merge the span stream), the pages scan must prune html, and
+    the only hash exchange is the per-page regroup of MATCHED spans."""
+    from word_sense_disambiguation_spark.operators.entities import linked_entities
+
+    p = str(tmp_path / "pages_ent")
+    sworld["pages"].write.parquet(p)
+    pages = spark.read.parquet(p)
+    plan = (
+        linked_entities(pages, sworld["entities"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly two hash exchanges are legitimate: the per-page regroup of
+    # matched spans (small), and the alias-dedup distinct on the KB dim
+    # (constant-size, pre-broadcast). The span stream itself must never
+    # exchange before the join.
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+    scan_lines = [
+        ln for ln in plan.splitlines() if "Scan parquet" in ln or "ReadSchema" in ln
+    ]
+    joined = "\n".join(scan_lines) or plan
+    assert "html" not in joined, joined

@@ -30,16 +30,26 @@ def md5_u64(s: str) -> int:
     return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
 
 
+_SHINGLE_HASH_CACHE: dict[str, int] = {}
+_CACHE_CAP = 2_000_000  # bound executor memory; hits dominate long before this
+
+
 def _shingle_hash(s: str) -> int:
     """Deterministic 64-bit shingle hash, C-speed (two salted crc32 words).
 
     MinHash only needs a uniform-ish deterministic base hash — the 128-way
     universal-hash family on top provides the permutations — so crc32 (zlib,
     ~20x faster than hashlib.md5 per call) is the right primitive for the
-    2M-shingles-per-partition hot loop.
+    2M-shingles-per-partition hot loop. Executor-lifetime memo: natural
+    language reuses its shingle vocabulary heavily across documents.
     """
-    b = s.encode("utf-8")
-    return (zlib.crc32(b"s1:" + b) << 32) | zlib.crc32(b"s2:" + b)
+    h = _SHINGLE_HASH_CACHE.get(s)
+    if h is None:
+        b = s.encode("utf-8")
+        h = (zlib.crc32(b"s1:" + b) << 32) | zlib.crc32(b"s2:" + b)
+        if len(_SHINGLE_HASH_CACHE) < _CACHE_CAP:
+            _SHINGLE_HASH_CACHE[s] = h
+    return h
 
 
 # token -> emb hash memo; executor-lifetime, tiny (vocab-sized)
@@ -172,17 +182,33 @@ def lsh_bands(signature: np.ndarray, bands: int = 16) -> list[tuple[int, int]]:
     return out
 
 
+_SIM_VEC_CACHE: dict[str, np.ndarray] = {}
+_SIM_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def _sim_vec(t: str) -> np.ndarray:
+    """±1 bit vector of a token's sim-hash — memoized per executor: the
+    md5 + bit expansion runs once per *unique* token, not once per
+    occurrence (the round-1 hot loop)."""
+    v = _SIM_VEC_CACHE.get(t)
+    if v is None:
+        h = md5_u64("sim:" + t)
+        bits = (np.uint64(h) >> _SIM_SHIFTS) & np.uint64(1)
+        v = np.where(bits.astype(bool), np.int32(1), np.int32(-1))
+        if len(_SIM_VEC_CACHE) < _CACHE_CAP:
+            _SIM_VEC_CACHE[t] = v
+    return v
+
+
 def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash over a token bag (Charikar 2002)."""
     if not tokens:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     for t in tokens:
-        h = md5_u64("sim:" + t)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
+        acc += _sim_vec(t)
     bits = (acc > 0).astype(np.uint64)
-    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+    return int((bits << _SIM_SHIFTS).sum())
 
 
 def hamming64(a: int, b: int) -> int:
