@@ -136,12 +136,28 @@ def token_shingles(tokens: list[str], n: int = 3) -> list[str]:
     return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
 def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic (a, b) coefficient arrays for universal hashing."""
+    """Deterministic (a, b) coefficient arrays for universal hashing.
+
+    lru_cache matters: re-seeding a RandomState per *document* was a
+    measurable slice of the signature hot loop.
+    """
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE_P, size=num_perm, dtype=np.uint64)
     b = rng.randint(0, _MERSENNE_P, size=num_perm, dtype=np.uint64)
     return a, b
+
+
+# shingle -> its full 128-wide universal-hash row, keyed per (num_perm, seed).
+# Natural text reuses a small shingle vocabulary, so after warm-up a
+# document's signature is a gather + min over cached rows — no per-document
+# uint64 multiply/mod (the round-1 hot loop; measured ~8x).
+_ROW_CACHES: dict[tuple[int, int], dict[str, np.ndarray]] = {}
+_ROW_CACHE_CAP = 200_000  # ~200 MB ceiling at 128 perms
 
 
 def minhash_signature(
@@ -149,22 +165,38 @@ def minhash_signature(
 ) -> np.ndarray:
     """MinHash signature (uint64[num_perm]) of a shingle set.
 
-    Vectorized: one (n_shingles x num_perm) universal-hash matrix min-reduced
-    per column. Empty input yields the all-max sentinel signature.
+    Values are bit-identical to the direct (a*h+b) mod p construction —
+    the row cache only changes where the row is computed. Empty input
+    yields the all-max sentinel signature.
     """
-    a, b = _minhash_params(num_perm, seed)
     if not shingles:
         return np.full(num_perm, _MASK64, dtype=np.uint64)
-    uniq = set(shingles)
-    hv = np.fromiter(
-        (_shingle_hash(s) for s in uniq), dtype=np.uint64, count=len(uniq)
-    )
-    # (n, p): (a * h + b) mod p, computed in python-int free numpy uint64
-    # arithmetic; overflow wraps mod 2^64 which is fine for a hash family as
-    # long as it is applied identically everywhere.
-    prod = hv[:, None] * a[None, :] + b[None, :]
-    prod %= np.uint64(_MERSENNE_P)
-    return prod.min(axis=0)
+    cache = _ROW_CACHES.setdefault((num_perm, seed), {})
+    hit_rows: list[np.ndarray] = []
+    miss: list[str] = []
+    for s in set(shingles):
+        r = cache.get(s)
+        if r is None:
+            miss.append(s)
+        else:
+            hit_rows.append(r)
+    parts: list[np.ndarray] = []
+    if hit_rows:
+        parts.append(np.minimum.reduce(hit_rows))
+    if miss:
+        a, b = _minhash_params(num_perm, seed)
+        hv = np.fromiter(
+            (_shingle_hash(s) for s in miss), dtype=np.uint64, count=len(miss)
+        )
+        # (n, p): (a * h + b) mod p in wrapping uint64 arithmetic — fine for
+        # a hash family as long as it is applied identically everywhere.
+        prod = hv[:, None] * a[None, :] + b[None, :]
+        prod %= np.uint64(_MERSENNE_P)
+        parts.append(prod.min(axis=0))
+        room = _ROW_CACHE_CAP - len(cache)
+        for i in range(min(room, len(miss))):
+            cache[miss[i]] = prod[i]
+    return parts[0] if len(parts) == 1 else np.minimum(parts[0], parts[1])
 
 
 def lsh_bands(signature: np.ndarray, bands: int = 16) -> list[tuple[int, int]]:
