@@ -563,6 +563,16 @@ def _q_er_clusters_synthetic(spark, sf_dir):
     return cluster_mentions(edges)
 
 
+def _q_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing over the fake decoder: every 8th frame of
+    each payload's n_frames (a template constant, see media_metadata)."""
+    from word_sense_disambiguation_spark.operators.multimodal import frame_sample
+    from word_sense_disambiguation_spark.sources.pages import pages_from_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return frame_sample(pages_from_documents(docs), "url", "html", every_n=8)
+
+
 def _q_entity_span_candidates(spark, sf_dir):
     """T14 span machinery under a hash-checked oracle: tokenizer-faithful
     1-2 token spans (sentence-scoped) matched against a self-derived
@@ -686,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": _q_simhash_candidates,
         "connected_components": _q_connected_components,
         "media_metadata": _q_media_metadata,
+        "frame_sample": _q_frame_sample,
         "fingerprint_counts": _q_fingerprints,
         "entity_span_candidates": _q_entity_span_candidates,
         # rows-only: minhash needs crc32 (not in DuckDB); the other three
@@ -1031,6 +1042,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id FROM s WHERE length(s) > 0 AND length(s) < 16
             )
             SELECT doc_id AS id, count(*) AS n_fp FROM kept GROUP BY doc_id
+        """,
+        # every_n=8 over the template-constant n_frames=45 (see the
+        # media_metadata oracle's derivation): frames 0,8,...,40 per url.
+        "frame_sample": """
+            SELECT 'https://crawl.example/' || source || '/doc-'
+                     || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+                   CAST(f.f AS INT) AS frame_no
+            FROM documents
+            CROSS JOIN (SELECT unnest([0, 8, 16, 24, 32, 40]) AS f) f
         """,
         # Same tokenizer regex (explicit ASCII whitespace class), same
         # sentence rule ('.' tokens strictly before), same bigram inventory

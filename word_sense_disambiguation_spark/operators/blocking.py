@@ -202,7 +202,13 @@ def minhash_lsh_pairs(
     r = num_perm/b rows, collision probability is 1-(1-s^r)^b — the usual
     S-curve; defaults (b=16, r=8) put the knee near Jaccard ~0.7.
     """
-    banded = minhash_bands(df, id_col, text_col, num_perm, bands, shingle_k)
+    # materialize the signatures ONCE: the band table fans out to four
+    # consumers (block counts, the oversized anti-join, and both self-join
+    # sides) — without a checkpoint Catalyst re-runs the signature UDF for
+    # each subtree (measured 4x MapInPandas in the physical plan).
+    banded = minhash_bands(
+        df, id_col, text_col, num_perm, bands, shingle_k
+    ).localCheckpoint(eager=True)
     pairs, oversized = _pairs_within_blocks(
         banded, "id", ["band_id", "band_hash"], max_block_size
     )
