@@ -552,8 +552,17 @@ def _q_er_clusters_synthetic(spark, sf_dir):
     from word_sense_disambiguation_spark.plans.pipeline import sense_assignments
 
     sw = world_to_spark(spark, build_world(n_pages=150, seed=42))
-    assignments = sense_assignments(sw["pages"], sw["senses"])
-    mentions = mentions_from_pages_sql(sw["pages"])
+    # materialize once: assignments (carries the Arrow scoring UDF) feed
+    # both scorer sides + the oversized-canopy recovery, and mentions feed
+    # four blocking subtrees — uncheckpointed, Catalyst re-runs each DAG
+    # per consumer.
+    assignments = sense_assignments(sw["pages"], sw["senses"]).select(
+        "mention_id", "lemma", "pos", "norm_surface", "surface",
+        "context_words", "pred_sense_id", "decision",
+    ).localCheckpoint(eager=True)
+    mentions = mentions_from_pages_sql(sw["pages"]).select(
+        "mention_id", "norm_surface", "pos"
+    ).localCheckpoint(eager=True)
     pairs, oversized = surface_key_pairs(mentions, max_block_size=256)
     # no silent caps: blocks over the size cap degrade to linear star
     # edges (canopy-aware) instead of losing all their ER edges.

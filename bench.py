@@ -119,6 +119,11 @@ def main() -> None:
             "mention_id", "lemma", "pos", "norm_surface", "surface",
             "context_words", "pred_sense_id", "decision",
         )
+        # oversized side table safely unused HERE (unlike the raw-mention
+        # entry path): assigned mentions in dropped blocks are fully covered
+        # by the canopy star pairs below, and nota mentions can never reach
+        # the match threshold without the same-sense weight (0.2*jw +
+        # 0.4*cos < 0.6 needs cos > 1), so their dropped pairs carry no edges.
         small, _ = surface_key_pairs(a, max_block_size=64)
         pairs = (
             sense_block_star_pairs(a)

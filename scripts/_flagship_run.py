@@ -73,6 +73,9 @@ def main() -> None:
             )
             .localCheckpoint(eager=True)
         )
+        # oversized side table safely unused on this path: canopy stars
+        # cover all assigned mentions, and nota pairs can't reach the match
+        # threshold without the same-sense weight (see bench.py)
         small, _ = surface_key_pairs(a, max_block_size=64)
         prs = (
             sense_block_star_pairs(a)

@@ -119,24 +119,34 @@ def test_stateful_dedup_ttl_readmits(spark, tmp_path):
             "append"
         ).parquet(pages_dir)
 
-    ttl = 1500
-    # batch 1: X twice (in-batch dup), Y once
+    # window A: TTL far longer than any drain/restart latency, so the
+    # dedup-within-window behavior cannot be raced by wakeup batches
+    ttl_long = 120_000
     write([page("a1", "text x"), page("a2", "text x"), page("b1", "text y")])
-    r1 = stream_exact_dedup(spark, pages_dir, PAGES_SCHEMA, ck, out, ttl_ms=ttl)
+    r1 = stream_exact_dedup(spark, pages_dir, PAGES_SCHEMA, ck, out, ttl_ms=ttl_long)
     f1 = {r.url: r.first_seen for r in r1.collect()}
     assert f1 == {"a1": True, "a2": False, "b1": True}
-
-    # batch 2, still inside the TTL: X again -> dup
     write([page("a3", "text x")])
-    r2 = stream_exact_dedup(spark, pages_dir, PAGES_SCHEMA, ck, out, ttl_ms=ttl)
+    r2 = stream_exact_dedup(spark, pages_dir, PAGES_SCHEMA, ck, out, ttl_ms=ttl_long)
     assert {r.url: r.first_seen for r in r2.collect()}["a3"] is False
 
-    # let the TTL lapse, tick a batch with only unrelated data so the
-    # timeout fires and evicts X, then re-send X -> first_seen again
+    # window B (separate stream): short TTL; whether the eviction fires on
+    # the tick batch or on a post-drain wakeup, the re-sent key must
+    # re-admit as first_seen — that's the property under test
+    p2, ck2, out2 = str(tmp_path / "p2"), str(tmp_path / "ck2"), str(tmp_path / "o2")
+
+    def write2(rows):
+        spark.createDataFrame(rows, schema=PAGES_SCHEMA).write.mode(
+            "append"
+        ).parquet(p2)
+
+    ttl = 1500
+    write2([page("q1", "text q")])
+    r3 = stream_exact_dedup(spark, p2, PAGES_SCHEMA, ck2, out2, ttl_ms=ttl)
+    assert {r.url: r.first_seen for r in r3.collect()}["q1"] is True
     time.sleep(3.0)
-    write([page("c1", "text z")])
-    stream_exact_dedup(spark, pages_dir, PAGES_SCHEMA, ck, out, ttl_ms=ttl)
-    time.sleep(0.2)
-    write([page("a4", "text x")])
-    r4 = stream_exact_dedup(spark, pages_dir, PAGES_SCHEMA, ck, out, ttl_ms=ttl)
-    assert {r.url: r.first_seen for r in r4.collect()}["a4"] is True
+    write2([page("r1", "text r")])  # tick: fires the expired timeout
+    stream_exact_dedup(spark, p2, PAGES_SCHEMA, ck2, out2, ttl_ms=ttl)
+    write2([page("q2", "text q")])
+    r5 = stream_exact_dedup(spark, p2, PAGES_SCHEMA, ck2, out2, ttl_ms=ttl)
+    assert {r.url: r.first_seen for r in r5.collect()}["q2"] is True
