@@ -240,3 +240,38 @@ def test_eval_examples_from_corpus(spark, sworld):
         & (F.col("choice_index") == F.col("correct_letter_index"))
     ).count()
     assert good / n >= 0.95, (good, n)
+
+
+def test_jvm_marking_identity_randomized(spark):
+    """One batched Spark pass over 300 seeded-random (sentence, word)
+    cases — including absent words and premarked sentences — must agree
+    cell-for-cell with the python contract."""
+    import random
+
+    from word_sense_disambiguation_spark.functions.text import (
+        mark_word_in_sentence,
+    )
+    from word_sense_disambiguation_spark.operators.prompts import mark_word_jvm
+
+    rng = random.Random(42)
+    vocab = ["art", "artist", "bat", "battalion", "Bank", "bank", "c++",
+             "100", "100th", "tie", "untie", "rank", "franks"]
+    cases = []
+    for i in range(300):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(2, 9))]
+        sentence = " ".join(words)
+        if rng.random() < 0.1:
+            sentence = sentence.replace(" ", " *x* ", 1)  # premarked
+        target = rng.choice(vocab)
+        cases.append((sentence, target))
+    df = spark.createDataFrame(cases, "sentence string, word string")
+    got = {
+        (r.sentence, r.word): r.marked
+        for r in df.withColumn("marked", mark_word_jvm("sentence", "word")).collect()
+    }
+    for sentence, word in cases:
+        try:
+            expect = mark_word_in_sentence(sentence, word)
+        except ValueError:
+            expect = None
+        assert got[(sentence, word)] == expect, (sentence, word)

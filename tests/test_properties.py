@@ -87,3 +87,42 @@ def test_simhash_hamming_bounds(tokens):
     assert 0 <= h < (1 << 64)
     assert hamming64(h, h) == 0
     assert hamming64(h, ~h & ((1 << 64) - 1)) == 64
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(min_size=0, max_size=150), st.text(min_size=0, max_size=150))
+def test_minhash_union_is_elementwise_min(a, b):
+    """sig(A ∪ B) == min(sig(A), sig(B)) — the defining MinHash law; also
+    exercises arbitrary cache hit/miss mixes in the row-cached kernel
+    (the empty-set sentinel is the identity of elementwise min)."""
+    import numpy as np
+
+    sa = minhash_signature(char_shingles(a), 64)
+    sb = minhash_signature(char_shingles(b), 64)
+    su = minhash_signature(char_shingles(a) + char_shingles(b), 64)
+    assert (su == np.minimum(sa, sb)).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.sets(st.integers(min_value=0x0391, max_value=0x044F), max_size=100))
+def test_letters_probe_property(banned):
+    """Any probe either yields exactly 128 distinct ids drawn only from
+    admitted symbols, or raises loudly — never a silent short set."""
+    from word_sense_disambiguation_spark.functions.letters import (
+        NUM_LETTERS,
+        NotEnoughLettersError,
+        build_letters,
+    )
+
+    frozen = frozenset(banned)
+
+    def probe(c, _f=frozen):
+        return None if ord(c) in _f else ord(c)
+
+    try:
+        ls = build_letters(probe)
+    except NotEnoughLettersError:
+        return  # loud failure is a valid outcome when too much is banned
+    assert len(ls.letters) == NUM_LETTERS
+    assert len(set(ls.token_ids)) == NUM_LETTERS
+    assert all(ord(c) not in frozen for c in ls.letters)
