@@ -114,14 +114,15 @@ scoring computation and would overstate throughput):
 
 **Scaling efficiency N=2 -> 4N=8: stage 1-2 {eff_2_8:.3f}, full 3-stage
 {geff_2_8:.3f}, full 3-stage at 2x input {g2eff_2_8:.3f}** (target >= 0.8).
-The full-3-stage gap vs stage 1-2 is its serial add-on — stage commits
-(localCheckpoint materialization), python-worker spawn, the single-task
-CC finish. Check the constancy directly from the table: full-minus-stage
-wall at local[2] vs local[8], and at 1x vs 2x input — a parallelism- and
-input-independent constant divides out as input grows (at 10x input it is
-<2% of wall), and at 10^12 rows the CC strategy flips to the distributed
-star rounds. Single samples on this shared host carry ±20-30% neighbor
-noise; trust within-suite comparisons, not cross-window ones.
+The full-3-stage gap vs stage 1-2 is the composite's extra serial
+surface: ~15 additional driver job submissions (stage commits, pair
+distinct, CC strategy count) whose scheduling latency is parallelism-
+independent, python-worker spawn for the pair scorer, and the CC finish.
+On a real cluster each driver round schedules thousands of tasks instead
+of 8, so ROUND COUNT — which the engine minimizes (adaptive CC, fused
+checksums, broadcast dims, one-shuffle stages) — is what matters, not
+per-round latency. Single samples on this shared host carry ±20-30%
+neighbor noise; trust within-suite comparisons, not cross-window ones.
 Supplementary 8 -> 32: {eff_8_32:.3f} / {geff_8_32:.3f} — bounded by the host, not the engine:
 a plain `multiprocessing` spin loop on this box runs each worker 1.47x
 slower at 32 concurrent processes than at 8 (32 "CPUs" ~= 22 effective

@@ -233,7 +233,10 @@ def run_er_pipeline(
     Each is individually committed/resumable; re-running after a crash
     re-executes only uncommitted stages.
     """
-    from word_sense_disambiguation_spark.operators.blocking import surface_key_pairs
+    from word_sense_disambiguation_spark.operators.blocking import (
+        oversized_star_pairs,
+        surface_key_pairs,
+    )
     from word_sense_disambiguation_spark.operators.candidates import (
         candidates_for_mentions,
     )
@@ -262,12 +265,14 @@ def run_er_pipeline(
         "assignments",
         lambda: assign_senses(score_candidates(candidates_for_mentions(mentions, senses))),
     )
-    pairs = r.stage(
-        "pairs",
-        lambda: surface_key_pairs(mentions, max_block_size=max_block_size)[0].select(
-            "id_a", "id_b"
-        ),
-    )
+    def _build_pairs() -> DataFrame:
+        # no silent caps: blocks over max_block_size degrade to linear
+        # canopy-aware star edges instead of losing every ER edge
+        pr, oversized = surface_key_pairs(mentions, max_block_size=max_block_size)
+        recovered = oversized_star_pairs(mentions, oversized, assignments)
+        return pr.select("id_a", "id_b").unionByName(recovered).distinct()
+
+    pairs = r.stage("pairs", _build_pairs)
     edges = r.stage("edges", lambda: score_mention_pairs(pairs, assignments))
     clusters = r.stage("clusters", lambda: cluster_mentions(edges))
     return {
