@@ -13,7 +13,7 @@ Usage: python scripts/check_oracles.py [sf_dir] [only_query ...]
 
 from __future__ import annotations
 
-import math
+
 import os
 import sys
 
