@@ -344,6 +344,20 @@ def _q_cosine_topk(spark, sf_dir):
     )
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF ANN with exhaustive probing (n_probe == n_lists) — exact by
+    construction, so the DuckDB full-scan top-k is a hard oracle over the
+    whole quantize -> probe -> rerank path."""
+    from word_sense_disambiguation_spark.operators.similarity_search import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q_rows = emb.filter(F.col("vec_id") < 3).collect()
+    queries_vec = [(int(r.vec_id), list(r.embedding)) for r in q_rows]
+    return ivf_topk(emb, queries_vec, k=10, n_lists=16, n_probe=16).select(
+        "query_id", "vid", "rank"
+    )
+
+
 def _q_embedding_neardup(spark, sf_dir):
     """Exact-cosine verify kernel of the embedding near-dup family, over
     all pairs (the production operator equals this on its LSH candidates —
@@ -693,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_block": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
+        "ann_ivf": _q_ann_ivf,
         "embedding_neardup": _q_embedding_neardup,
         "pricing_summary": _q_pricing_summary,
         "top_orders_per_customer": _q_top_orders_per_customer,
@@ -889,6 +904,20 @@ def oracle_sql() -> dict[str, str]:
                   / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) > 0.0
         """,
         "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS vid,
+                     list_cosine_similarity(e.embedding, q.qvec) AS cosine
+              FROM embeddings e CROSS JOIN q),
+            ranked AS (
+              SELECT query_id, vid,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vid ASC) AS rank
+              FROM scored)
+            SELECT query_id, vid, rank FROM ranked WHERE rank <= 10
+        """,
+        "ann_ivf": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                        FROM embeddings WHERE vec_id < 3),
             scored AS (

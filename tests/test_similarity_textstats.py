@@ -129,3 +129,41 @@ def test_real_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         real_decode(b"\x00" * 16)
+
+
+def test_ivf_exhaustive_probe_equals_exact(embeddings, queries):
+    """Probing every list degrades IVF to the exact search: same top-k set
+    as brute force (tie-tolerant on set membership, not order)."""
+    from word_sense_disambiguation_spark.operators.similarity_search import ivf_topk
+
+    k = 10
+    exact = brute_force_topk(embeddings, queries, k=k)
+    full = ivf_topk(embeddings, queries, k=k, n_lists=16, n_probe=16)
+    e = {(r.query_id, r.vid) for r in exact.collect()}
+    f = {(r.query_id, r.vid) for r in full.collect()}
+    assert len(e & f) / len(e) >= 0.95  # float32-vs-double ulps at the k-edge
+
+
+def test_ivf_probe_recall_and_determinism(embeddings, queries):
+    from word_sense_disambiguation_spark.operators.similarity_search import (
+        ivf_index,
+        ivf_topk,
+    )
+
+    k = 10
+    exact = {(r.query_id, r.vid) for r in brute_force_topk(embeddings, queries, k=k).collect()}
+    approx = ivf_topk(embeddings, queries, k=k, n_lists=16, n_probe=6)
+    a = {(r.query_id, r.vid) for r in approx.collect()}
+    assert len(exact & a) / len(exact) >= 0.5, len(exact & a) / len(exact)
+    # the query's own vector lives in the query's nearest list -> always found
+    for qid, _ in queries:
+        assert (qid, qid) in a
+    # deterministic: a rebuilt index + rerun yields the identical result set
+    idx = ivf_index(embeddings, n_lists=16)
+    again = ivf_topk(embeddings, queries, k=k, n_probe=6, index=idx)
+    rows_a = sorted((r.query_id, r.rank, r.vid) for r in approx.collect())
+    rows_b = sorted((r.query_id, r.rank, r.vid) for r in again.collect())
+    assert rows_a == rows_b
+    # every vector is assigned to exactly one list
+    n = embeddings.count()
+    assert idx[1].count() == n and idx[1].select("vid").distinct().count() == n

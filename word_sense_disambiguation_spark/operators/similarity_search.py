@@ -1,6 +1,6 @@
 """Approximate-nearest-neighbor search over embedding columns.
 
-Two paths, as the build brief requires:
+Three paths, as the build brief requires:
 
 * :func:`brute_force_topk` — exact cosine top-k, the correctness baseline.
   Scale-aware even so: queries are broadcast, each Arrow batch computes a
@@ -10,8 +10,13 @@ Two paths, as the build brief requires:
   candidates share a ``bits``-wide signature; exact cosine re-rank inside
   buckets. The 1000-executor path: signature computation is a scan, the
   join is an equi-join on a small key.
+* :func:`ivf_topk` — inverted-file ANN: a deterministic coarse quantizer
+  (seeded sample centroids + distributed Lloyd refinement) partitions the
+  corpus into lists; queries probe their ``n_probe`` nearest lists and
+  exact-rerank only those candidates. Probing every list degrades to the
+  exact search (tested).
 
-Both return ``(query_id, vid, cosine, rank)``.
+All return ``(query_id, vid, cosine, rank)``.
 """
 
 from __future__ import annotations
@@ -104,6 +109,128 @@ def brute_force_topk(
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_index(
+    data: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 32,
+    seed: int = 42,
+    lloyd_iters: int = 1,
+) -> tuple[np.ndarray, DataFrame]:
+    """Build the IVF coarse quantizer: (centroids, assignments).
+
+    Centroid seeds are the ``n_lists`` vectors with the smallest portable
+    md5 of their id — a seeded sample with no ``rand()`` — refined by
+    ``lloyd_iters`` distributed Lloyd steps (elementwise mean per list via
+    posexplode + groupBy, a tiny n_lists x dim result collected to the
+    driver). Every vector is then assigned to its nearest centroid by
+    cosine inside one Arrow scan (the centroid matrix ships in the closure
+    — it IS the broadcast dim). Deterministic end to end: same data ->
+    same centroids -> same lists.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:ivf:"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    seeds = (
+        data.select(F.col(vec_col).alias("vec"), h.alias("h"))
+        .orderBy("h")
+        .limit(n_lists)
+        .collect()
+    )
+    C = np.stack([np.asarray(r.vec, dtype=np.float32) for r in seeds])
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    id_type = dict(data.dtypes)[id_col]
+    vec_type = dict(data.dtypes)[vec_col]
+    base = data.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    schema = f"vid {id_type}, vec {vec_type}, list_id int"
+
+    def assigner(Cn: np.ndarray):
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.stack(pdf["vec"].map(np.asarray)).astype(np.float32)
+                Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+                lid = np.argmax(Mn @ Cn.T, axis=1).astype("int32")
+                yield pd.DataFrame(
+                    {"vid": pdf["vid"], "vec": pdf["vec"], "list_id": lid}
+                )
+
+        return run
+
+    assigned = base.mapInPandas(assigner(C), schema=schema)
+    dim = C.shape[1]
+    for _ in range(lloyd_iters):
+        stats = (
+            assigned.select("list_id", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        C_new = C.copy()
+        means: dict[int, np.ndarray] = {}
+        for r in stats:
+            means.setdefault(r.list_id, np.zeros(dim, dtype=np.float64))[r.pos] = r.m
+        for lid, v in means.items():
+            n = np.linalg.norm(v)
+            if n > 0:
+                C_new[lid] = (v / n).astype(np.float32)
+        C = C_new
+        assigned = base.mapInPandas(assigner(C), schema=schema)
+    return C, assigned
+
+
+def ivf_topk(
+    data: DataFrame,
+    queries: list[tuple],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_lists: int = 32,
+    n_probe: int = 8,
+    seed: int = 42,
+    index: tuple[np.ndarray, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF ANN: probe the ``n_probe`` nearest lists per query, exact cosine
+    re-rank inside them. ``n_probe == n_lists`` is the exhaustive search.
+    Pass ``index`` (from :func:`ivf_index`) to amortize the quantizer over
+    many query batches — the production pattern.
+    """
+    C, assigned = index if index is not None else ivf_index(
+        data, id_col, vec_col, n_lists=n_lists, seed=seed
+    )
+    qrows = []
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float32)
+        v = v / max(float(np.linalg.norm(v)), 1e-12)
+        for lid in np.argsort(-(C @ v))[: min(n_probe, C.shape[0])]:
+            qrows.append((int(qid), [float(x) for x in v], int(lid)))
+    spark = data.sparkSession
+    qdf = spark.createDataFrame(
+        qrows, schema="query_id long, qvec array<float>, list_id int"
+    )
+    # every vector lives in exactly one list, so the probe join yields each
+    # (query, vid) at most once — no dedup needed
+    cand = assigned.join(F.broadcast(qdf), on="list_id")
+    dot = F.aggregate(
+        F.zip_with("vec", "qvec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda a, x: a + x * x))
+    cos = dot / F.greatest(nrm, F.lit(1e-12))  # qvec already unit-norm
+    scored = cand.select("query_id", "vid", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def lsh_topk(
