@@ -586,6 +586,24 @@ def _q_er_clusters_synthetic(spark, sf_dir):
     return cluster_mentions(edges)
 
 
+def _q_resize_metadata(spark, sf_dir):
+    from word_sense_disambiguation_spark.operators.multimodal import resize_metadata
+    from word_sense_disambiguation_spark.sources.pages import pages_from_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return resize_metadata(pages_from_documents(docs), "url", "html")
+
+
+def _q_payload_histogram(spark, sf_dir):
+    from word_sense_disambiguation_spark.operators.multimodal import (
+        payload_byte_histogram,
+    )
+    from word_sense_disambiguation_spark.sources.pages import pages_from_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return payload_byte_histogram(pages_from_documents(docs), "url", "html")
+
+
 def _q_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing over the fake decoder: every 8th frame of
     each payload's n_frames (a template constant, see media_metadata)."""
@@ -721,6 +739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "media_metadata": _q_media_metadata,
         "frame_sample": _q_frame_sample,
+        "resize_metadata": _q_resize_metadata,
+        "payload_histogram": _q_payload_histogram,
         "fingerprint_counts": _q_fingerprints,
         "entity_span_candidates": _q_entity_span_candidates,
         # rows-only: minhash needs crc32 (not in DuckDB); the other three
@@ -1080,6 +1100,47 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id FROM s WHERE length(s) > 0 AND length(s) < 16
             )
             SELECT doc_id AS id, count(*) AS n_fp FROM kept GROUP BY doc_id
+        """,
+        # width/height are template constants (first bytes of the html
+        # wrapper, see media_metadata); scales are single IEEE divisions.
+        "resize_metadata": """
+            SELECT 'https://crawl.example/' || source || '/doc-'
+                     || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+                   2109 AS width, 3445 AS height,
+                   224 AS target_w, 224 AS target_h,
+                   CAST(224 AS DOUBLE) / 2109 AS scale_x,
+                   CAST(224 AS DOUBLE) / 3445 AS scale_y
+            FROM documents
+        """,
+        # 16-bin high-nibble histogram of the first 256 html bytes; the
+        # html string is reconstructed from the wrapper template (escape
+        # '&' first, then '<' and '>', matching html.escape), and fractions
+        # are exact count/len doubles.
+        "payload_histogram": """
+            WITH built AS (
+              SELECT 'https://crawl.example/' || source || '/doc-'
+                       || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+                     '<html><head><meta charset="utf-8"><title>'
+                       || 'https://crawl.example/' || source || '/doc-'
+                       || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+                       || '</title></head><body><article>'
+                       || replace(replace(replace(text, '&', '&amp;'),
+                                          '<', '&lt;'), '>', '&gt;')
+                       || '</article></body></html>' AS html_str
+              FROM documents
+            ),
+            h AS (SELECT url, substr(html_str, 1, 256) AS s FROM built),
+            b AS (
+              SELECT url, ord(substr(s, i + 1, 1)) // 16 AS bin
+              FROM (SELECT url, s, unnest(range(len(s))) AS i FROM h)
+            ),
+            grid AS (
+              SELECT url, len(s) AS n, unnest(range(16)) AS bin FROM h
+            ),
+            counts AS (SELECT url, bin, count(*) AS c FROM b GROUP BY url, bin)
+            SELECT g.url, CAST(g.bin AS INT) AS bin,
+                   CAST(COALESCE(c.c, 0) AS DOUBLE) / g.n AS frac
+            FROM grid g LEFT JOIN counts c ON g.url = c.url AND g.bin = c.bin
         """,
         # every_n=8 over the template-constant n_frames=45 (see the
         # media_metadata oracle's derivation): frames 0,8,...,40 per url.

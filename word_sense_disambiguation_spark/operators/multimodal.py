@@ -81,6 +81,66 @@ def media_metadata(
     return df.select(url_col, payload_col).mapInPandas(run, schema=MEDIA_META_SCHEMA)
 
 
+def resize_metadata(
+    df: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "html",
+    target_w: int = 224,
+    target_h: int = 224,
+) -> DataFrame:
+    """Resize plumbing: decode (stub/fake) -> per-payload scale factors.
+
+    A real resize kernel slots into the same Arrow pass; the schema and
+    the single-IEEE-division scale math are the contract (oracle-exact).
+    """
+    from pyspark.sql import functions as F
+
+    meta = media_metadata(df, url_col, payload_col)
+    return meta.select(
+        "url",
+        "width",
+        "height",
+        F.lit(target_w).alias("target_w"),
+        F.lit(target_h).alias("target_h"),
+        (F.lit(float(target_w)) / F.col("width").cast("double")).alias("scale_x"),
+        (F.lit(float(target_h)) / F.col("height").cast("double")).alias("scale_y"),
+    )
+
+
+def payload_byte_histogram(
+    df: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "html",
+    head: int = 256,
+) -> DataFrame:
+    """Feature-extract plumbing: 16-bin high-nibble byte histogram of the
+    payload head, emitted as (url, bin, frac) rows. The deterministic
+    stand-in for a real image/audio feature extractor — swap the kernel,
+    keep the Arrow batch shape, schema, and exact count/head fractions
+    (integer-over-power-of-two: oracle-exact doubles).
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, bins, fracs = [], [], []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                h = np.frombuffer(b[:head], dtype=np.uint8)
+                counts = np.bincount(h >> 4, minlength=16)
+                denom = max(len(h), 1)
+                for i in range(16):
+                    urls.append(url)
+                    bins.append(i)
+                    fracs.append(counts[i] / denom)
+            yield pd.DataFrame({"url": urls, "bin": pd.Series(bins, dtype="int32"),
+                                "frac": pd.Series(fracs, dtype="float64")})
+
+    return df.select(url_col, payload_col).mapInPandas(
+        run, schema="url string, bin int, frac double"
+    )
+
+
 def frame_sample(
     df: DataFrame, url_col: str = "url", payload_col: str = "html", every_n: int = 8
 ) -> DataFrame:
