@@ -12,6 +12,11 @@ streaming-only operators, as the contract allows).
 Float discipline for the value-hash comparison: every floating aggregate is
 either exact (decimal casts of 2dp inputs) or a single IEEE operation on
 exact inputs (one division), so Spark and DuckDB agree bit-for-bit.
+
+Type discipline: the driver hashes through pandas conversion, where DuckDB
+maps HUGEINT (integer sums) and DECIMAL aggregates to float64 — every
+aggregate is therefore pinned to BIGINT or DOUBLE on BOTH sides
+(scripts/check_oracles.py enforces this locally, type-sensitively).
 """
 
 from __future__ import annotations
