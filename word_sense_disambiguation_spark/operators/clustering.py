@@ -156,7 +156,10 @@ def connected_components(
     prev = None
     cur = e
     for _ in range(max_iter):
-        cur = _small_star(_large_star(_symmetrize(cur))).localCheckpoint(eager=True)
+        # non-eager checkpoint: the checksum action below materializes it,
+        # so each round costs ONE driver job (materialize + converge test
+        # fused), not two — lineage is still truncated once computed.
+        cur = _small_star(_large_star(_symmetrize(cur))).localCheckpoint(eager=False)
         ck = _checksum(cur)
         if prev is not None and ck == prev:
             break
