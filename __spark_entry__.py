@@ -512,9 +512,22 @@ def _q_streaming_window_counts(spark, sf_dir):
     stage = tempfile.mkdtemp(prefix="wsd_stream_")
     shutil.copy(os.path.join(sf_dir, "events.parquet"), stage)
     # Pin the session zone so hour-window boundaries and rendering are
-    # timezone-independent vs the DuckDB naive-timestamp oracle.
+    # timezone-independent vs the DuckDB naive-timestamp oracle — but
+    # RESTORE it afterwards: the gate runs every query in one shared
+    # session, and a sticky conf.set would silently change any
+    # timezone-sensitive query that happens to run after this one. The
+    # stream executes eagerly inside stream_windowed_event_counts, and the
+    # returned projection is tz-free (epoch longs), so restoring before
+    # returning is safe.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    out = stream_windowed_event_counts(spark, stage, schema)
+    try:
+        out = stream_windowed_event_counts(spark, stage, schema)
+    finally:
+        if prev_tz is not None:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        else:
+            spark.conf.unset("spark.sql.session.timeZone")
     # epoch seconds (tz-free) + a double sum: both sides hash as int64 /
     # float64 through the driver's pandas conversion.
     return out.select(
@@ -1165,7 +1178,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_transform(
                        regexp_extract_all(text,
-                         '[A-Za-z0-9]+(?:''[A-Za-z0-9]+)?|[^ \\t\\n\\r\\f\\vA-Za-z0-9]'),
+                         '[A-Za-z0-9]+(?:''[A-Za-z0-9]+)?|[^ \\t\\n\\r\\f\\x0BA-Za-z0-9]'),
                        x -> lower(x)) AS lem
               FROM documents
             ),

@@ -35,6 +35,7 @@ def main() -> None:
         world_to_spark,
     )
     from word_sense_disambiguation_spark.operators.blocking import (
+        oversized_star_pairs,
         sense_block_star_pairs,
         surface_key_pairs,
     )
@@ -119,15 +120,20 @@ def main() -> None:
             "mention_id", "lemma", "pos", "norm_surface", "surface",
             "context_words", "pred_sense_id", "decision",
         )
-        # oversized side table safely unused HERE (unlike the raw-mention
-        # entry path): assigned mentions in dropped blocks are fully covered
-        # by the canopy star pairs below, and nota mentions can never reach
-        # the match threshold without the same-sense weight (0.2*jw +
-        # 0.4*cos < 0.6 needs cos > 1), so their dropped pairs carry no edges.
-        small, _ = surface_key_pairs(a, max_block_size=64)
+        # no silent caps, even here: assigned mentions in oversized blocks
+        # are covered by the canopy stars below, but two NOTA mentions with
+        # identical surface AND identical context words (exactly what
+        # near-dup pages produce) score 0.2*1.0 + 0.4*1.0 = 0.60 — which IS
+        # a match (is_match uses >=) — so dropped blocks could lose real
+        # edges. Route oversized-block members through the linear star
+        # recovery, same as run_er_pipeline; distinct() removes the canopy
+        # overlap.
+        small, oversized = surface_key_pairs(a, max_block_size=64)
+        recovered = oversized_star_pairs(a, oversized, a)
         pairs = (
             sense_block_star_pairs(a)
             .unionByName(small.select("id_a", "id_b"))
+            .unionByName(recovered)
             .distinct()
         )
         edges = score_mention_pairs(pairs, a)

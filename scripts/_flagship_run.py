@@ -22,6 +22,7 @@ def main() -> None:
 
     from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
     from word_sense_disambiguation_spark.operators.blocking import (
+        oversized_star_pairs,
         sense_block_star_pairs,
         surface_key_pairs,
     )
@@ -73,13 +74,15 @@ def main() -> None:
             )
             .localCheckpoint(eager=True)
         )
-        # oversized side table safely unused on this path: canopy stars
-        # cover all assigned mentions, and nota pairs can't reach the match
-        # threshold without the same-sense weight (see bench.py)
-        small, _ = surface_key_pairs(a, max_block_size=64)
+        # no silent caps: NOTA pairs with identical surface + context score
+        # exactly 0.60 (a match under >=), so oversized blocks degrade to
+        # linear star recovery instead of losing edges (see bench.py)
+        small, oversized = surface_key_pairs(a, max_block_size=64)
+        recovered = oversized_star_pairs(a, oversized, a)
         prs = (
             sense_block_star_pairs(a)
             .unionByName(small.select("id_a", "id_b"))
+            .unionByName(recovered)
             .distinct()
         )
         edges = score_mention_pairs(prs, a)

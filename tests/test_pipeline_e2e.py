@@ -84,6 +84,13 @@ def test_sql_and_pandas_extractors_identical_non_ascii(spark):
         "café menu listed sñack and straße options. plain words too.",
         "emoji \U0001f600 and cjk 中文 mixed with normal mention words.",
         "hard space and em space still tokenize identically.",
+        # Java-\v trap codepoints: NEL / LINE SEPARATOR / PARA SEPARATOR are
+        # vertical whitespace to Java's \v but single PUNCT tokens to Python
+        # re and RE2 — TOKEN_PATTERN must spell \x0B, not \v, so all engines
+        # classify them identically.
+        "nelseparated words stay mentions. more text follows here.",
+        "line sep and para sep both tokenize as punct marks.",
+        "vtab\x0bchar is real whitespace in every engine. final words.",
     ]
     pages = spark.createDataFrame(
         [(f"u{i}", None, None, t, "en") for i, t in enumerate(texts)],

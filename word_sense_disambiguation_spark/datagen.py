@@ -232,9 +232,12 @@ def build_world(
     pages are near-duplicates of an earlier page (one filler token changed)
     for the dedup/clustering gold, and ~``entity_rate`` of original pages
     carry one planted KB entity mention (sometimes via a shorter alias) for
-    the span-linking gold. Entity sentences are appended after the filler,
-    so gold mention sentence ids and contexts are untouched, and they are
-    never copied into near-duplicate pages.
+    the span-linking gold. The entity sentence is inserted after the gold
+    sentences but BEFORE the trailing filler (so near-dup copies, which
+    perturb only the filler, inherit the span at identical token positions);
+    near-duplicate pages therefore DO carry the source's entity span, and a
+    ``gold_entities`` row is emitted for each — recomputed from the dup's
+    own text to keep the gold honest.
     """
     senses = build_senses(seed)
     entity_kb = build_entity_kb(seed)

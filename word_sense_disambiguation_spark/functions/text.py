@@ -60,7 +60,12 @@ def text_sha256(text: str) -> str:
 # while Java's is not, so \s would tokenize U+00A0 differently in the pandas
 # and JVM extractors. With the explicit class, exotic whitespace becomes a
 # PUNCT token in BOTH paths — row-identity over parity-breaking semantics.
-TOKEN_PATTERN = r"[A-Za-z0-9]+(?:'[A-Za-z0-9]+)?|[^ \t\n\r\f\vA-Za-z0-9]"
+# The vertical tab is spelled \x0B, never \v: Java regex reads \v as the
+# vertical-whitespace CLASS (U+000A-U+000D, U+0085, U+2028, U+2029) while
+# Python re and DuckDB RE2 read it as U+000B only — with \v, text
+# containing U+0085/U+2028/U+2029 (real-web codepoints) tokenizes
+# differently per engine. \x0B means exactly U+000B in all three.
+TOKEN_PATTERN = r"[A-Za-z0-9]+(?:'[A-Za-z0-9]+)?|[^ \t\n\r\f\x0BA-Za-z0-9]"
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 
 
