@@ -104,6 +104,38 @@ def test_sql_and_pandas_extractors_identical_non_ascii(spark):
     assert a.filter(F.col("surface") == "é").count() == 0
 
 
+def test_long_document_sentence_ids_linear(spark):
+    """A 100k-token outlier page must process in near-linear time: the
+    sentence-id construction is run-length expansion over dot positions
+    (O(T)), not the per-token slice/filter count (O(T^2) — ~10^10 lambda
+    evals at this size, minutes of wall). The bound is generous (60s vs
+    ~1.5s measured) so host noise can't flake it, but quadratic cannot
+    pass. Also asserts the ids themselves are right on the same page."""
+    import time
+
+    from word_sense_disambiguation_spark.operators.entities import candidate_spans
+    from word_sense_disambiguation_spark.operators.tokenize import (
+        mentions_from_pages_sql,
+    )
+
+    n_sents = 20_000  # 5 tokens/sentence -> 100k tokens
+    body = " ".join(f"word{i} and token here." for i in range(n_sents))
+    big = spark.createDataFrame(
+        [("big", None, None, body, "en")],
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    t0 = time.monotonic()
+    m = mentions_from_pages_sql(big)
+    rows = m.groupBy("sentence_id").count().count()
+    assert time.monotonic() - t0 < 60
+    assert rows == n_sents  # every sentence contributes >=1 mention
+    last = m.agg(F.max("sentence_id")).collect()[0][0]
+    assert last == n_sents - 1
+    t0 = time.monotonic()
+    assert candidate_spans(big, "url", "text", max_span=2).count() > 0
+    assert time.monotonic() - t0 < 60
+
+
 def test_accuracy_and_f1_gate(assignments, sworld):
     acc = accuracy(assignments, sworld["gold_pairs"]).collect()[0]
     assert acc.n_examples > 50

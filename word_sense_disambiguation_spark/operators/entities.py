@@ -103,14 +103,24 @@ def candidate_spans(
     toks = _lemmas(F.col(text_col))
     d = df.select(F.col(id_col), toks.alias("_toks"))
     d = d.withColumn("_lemmas", F.expr("transform(_toks, t -> lower(t))"))
-    # sentence id per token = '.' tokens strictly before it (same expression
-    # as mentions_from_pages_sql — one tokenizer, one sentence rule)
+    # sentence id per token = '.' tokens strictly before it (same LINEAR
+    # run-length construction as mentions_from_pages_sql — one tokenizer,
+    # one sentence rule, O(T) per page instead of the O(T^2) slice/filter
+    # form that stalls on long-document outliers)
+    d = d.withColumn(
+        "_dots",
+        F.expr("filter(transform(_toks, (t, i) -> IF(t = '.', i, -1)), x -> x >= 0)"),
+    )
     d = d.withColumn(
         "_sids",
         F.expr(
-            "transform(_toks, (t, i) -> size(filter(slice(_toks, 1, i), x -> x = '.')))"
+            "flatten(transform("
+            " zip_with(array_prepend(_dots, -1),"
+            "          array_append(_dots, size(_toks) - 1),"
+            "          (b, e) -> e - b),"
+            " (n, j) -> array_repeat(j, n)))"
         ),
-    )
+    ).drop("_dots")
     spans = F.expr(
         f"""
         filter(

@@ -133,13 +133,28 @@ def mentions_from_pages_sql(
     # backslashes, silently corrupting \s in the token regex.
     toks = F.regexp_extract_all(F.col("text"), F.lit(token_re), F.lit(0))
     df = pages.select("url", toks.alias("toks"))
-    # sentence id per token = number of '.' tokens strictly before it
+    # sentence id per token = number of '.' tokens strictly before it.
+    # LINEAR construction (run-length expansion over dot positions), not the
+    # naive per-token slice/filter count: that form is O(T^2) in page token
+    # count, and one 100k-token outlier page (10^10 ops) stalls its whole
+    # task at crawl scale. Here: dot positions (one pass) -> per-sentence
+    # run lengths via zip_with over [-1]++dots and dots++[T-1] (one pass
+    # over #sentences) -> array_repeat expansion back to T ids. O(T) total,
+    # still pure codegen, still zero shuffle.
+    df = df.withColumn(
+        "_dots",
+        F.expr("filter(transform(toks, (t, i) -> IF(t = '.', i, -1)), x -> x >= 0)"),
+    )
     df = df.withColumn(
         "sent_ids",
         F.expr(
-            "transform(toks, (t, i) -> size(filter(slice(toks, 1, i), x -> x = '.')))"
+            "flatten(transform("
+            " zip_with(array_prepend(_dots, -1),"
+            "          array_append(_dots, size(toks) - 1),"
+            "          (b, e) -> e - b),"
+            " (n, j) -> array_repeat(j, n)))"
         ),
-    )
+    ).drop("_dots")
     # lemma per token; POS pool index via portable md5 (same as pos_tag)
     df = df.withColumn("lemmas", F.expr("transform(toks, t -> lower(t))"))
     # content flag: alnum-leading token, not a function word; NUM pool for
