@@ -553,7 +553,10 @@ def _q_simhash_candidates(spark, sf_dir):
     from word_sense_disambiguation_spark.operators.dedup import simhash_candidates
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_candidates(docs, "doc_id", "text", max_hamming=3)
+    pairs, _oversized = simhash_candidates(
+        docs, "doc_id", "text", max_hamming=3, max_block_size=1024
+    )
+    return pairs
 
 
 def _q_connected_components(spark, sf_dir):
@@ -1070,9 +1073,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Recompute SimHash bit-by-bit in SQL: md5('sim:'||token) read as a
         # little-endian u64 (byte j = hex chars 2j+1..2j+2, bit i = bit i%8
-        # of byte i//8), per-bit majority over the token bag, then all-pairs
-        # Hamming <= r — which the Spark pigeonhole chunk join equals by the
-        # exact-recall guarantee.
+        # of byte i//8), per-bit majority over the token bag. Candidate rule
+        # mirrors the Spark plan EXACTLY, including the skew cap: the 64
+        # bits split into 4 chunks of 16; a pair is a candidate iff it
+        # agrees on >= 1 chunk whose (chunk_id, value) bucket holds <= 1024
+        # docs (the pigeonhole guarantee restricted to non-oversized
+        # buckets); then exact Hamming <= r.
         "simhash_candidates": """
             WITH th AS (
               SELECT doc_id, md5('sim:' || tok) AS hx
@@ -1091,12 +1097,29 @@ def oracle_sql() -> dict[str, str]:
                        THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS m
               FROM th CROSS JOIN (SELECT unnest(range(64)) AS i)
               GROUP BY doc_id, i
+            ),
+            chunks AS (
+              SELECT doc_id, CAST(i // 16 AS INTEGER) AS c,
+                     CAST(sum(m * (1 << CAST(i % 16 AS INTEGER))) AS BIGINT) AS v
+              FROM bits GROUP BY doc_id, i // 16
+            ),
+            ok AS (
+              SELECT c, v FROM chunks GROUP BY c, v HAVING count(*) <= 1024
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM chunks a
+              JOIN ok o ON a.c = o.c AND a.v = o.v
+              JOIN chunks b ON a.c = b.c AND a.v = b.v
+                   AND a.doc_id < b.doc_id
             )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            SELECT p.id_a, p.id_b,
                    CAST(sum(CASE WHEN a.m <> b.m THEN 1 ELSE 0 END) AS INTEGER)
                      AS hamming
-            FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
+            FROM cand p
+            JOIN bits a ON a.doc_id = p.id_a
+            JOIN bits b ON b.doc_id = p.id_b AND a.i = b.i
+            GROUP BY p.id_a, p.id_b
             HAVING sum(CASE WHEN a.m <> b.m THEN 1 ELSE 0 END) <= 3
         """,
         # Winnowing 0-mod-8 sampling: keep window-grams whose little-endian

@@ -63,10 +63,31 @@ def test_minhash_cluster_assignment(docs):
 
 
 def test_simhash_candidates(docs):
-    out = {(r.id_a, r.id_b): r.hamming for r in simhash_candidates(docs, "doc_id", "text", max_hamming=10).collect()}
+    pairs, oversized = simhash_candidates(docs, "doc_id", "text", max_hamming=10)
+    out = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
     assert (0, 1) in out and out[(0, 1)] == 0
     assert (0, 2) in out
     assert (3, 4) not in out
+    assert oversized.count() == 0  # tiny fixture: no hot buckets
+
+
+def test_simhash_hot_bucket_capped(spark):
+    """A degenerate corpus (thousands of identical docs -> one hot chunk
+    bucket) must not go quadratic: buckets over max_block_size are excluded
+    from pairing and REPORTED in the oversized side table (no silent
+    caps). Distinct docs in non-hot buckets still pair normally."""
+    n_hot = 3000
+    rows = [(i, "identical degenerate text repeated everywhere") for i in range(n_hot)]
+    rows += [(10_000, "alpha unrelated words"), (10_001, "alpha unrelated words")]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    pairs, oversized = simhash_candidates(
+        docs, "doc_id", "text", max_hamming=3, max_block_size=64
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (10_000, 10_001) in got
+    assert not any(a < n_hot and b < n_hot for a, b in got)  # hot block dropped
+    over = oversized.collect()
+    assert over and all(r.block_size == n_hot for r in over)
 
 
 def test_world_dup_pages_recovered(spark, sworld):
@@ -96,6 +117,28 @@ def test_embedding_near_duplicates(spark):
     rows.append((100, [float(x) for x in b]))
     rows.append((101, [float(x) for x in (b + 0.01 * rng.normal(size=64))]))
     df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
-    out = {(r.id_a, r.id_b) for r in embedding_near_duplicates(df, "vec_id", "embedding", threshold=0.98, bits=8).collect()}
+    matches, oversized = embedding_near_duplicates(
+        df, "vec_id", "embedding", threshold=0.98, bits=8
+    )
+    out = {(r.id_a, r.id_b) for r in matches.collect()}
     assert (100, 101) in out
     assert all(a >= 100 for a, _ in out)  # random pairs don't pass 0.98
+    assert oversized.count() == 0
+
+
+def test_embedding_hot_bucket_capped(spark):
+    """Thousands of identical embeddings land in one hyperplane bucket;
+    the bucket join must cap it and report it, not go quadratic."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    v = rng.normal(size=64)
+    v = [float(x) for x in v / np.linalg.norm(v)]
+    rows = [(i, v) for i in range(2000)]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    matches, oversized = embedding_near_duplicates(
+        df, "vec_id", "embedding", threshold=0.9, bits=8, max_block_size=64
+    )
+    assert matches.count() == 0  # the only bucket is oversized
+    over = oversized.collect()
+    assert over and over[0].block_size == 2000

@@ -14,11 +14,11 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from word_sense_disambiguation_spark.functions.hashing import simhash64
 from word_sense_disambiguation_spark.operators.blocking import minhash_lsh_pairs
 from word_sense_disambiguation_spark.operators.clustering import connected_components
 
@@ -113,33 +113,61 @@ def minhash_near_duplicate_clusters(
 
 
 def simhash_candidates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
-) -> DataFrame:
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_block_size: int = 1024,
+) -> tuple[DataFrame, DataFrame]:
     """SimHash near-dup candidates via the pigeonhole block trick:
     split the 64-bit fingerprint into ``max_hamming + 1`` chunks — any two
     fingerprints within the Hamming radius agree on >= 1 whole chunk, so a
     per-chunk equi-join finds all of them. Verified by exact Hamming
     distance (``bit_count(a ^ b)``, JVM-side).
+
+    Returns ``(pairs, oversized_chunks)``. The chunk self-join is
+    skew-capped through the same ``_pairs_within_blocks`` helper as
+    MinHash: a degenerate corpus (thousands of empty/near-identical docs
+    -> one hot (chunk_id, chunk_val) bucket) would otherwise make the join
+    quadratic; buckets over ``max_block_size`` are excluded from pairing
+    and reported in the oversized side table — no silent caps. A pair
+    survives iff it collides in >= 1 *non-oversized* chunk bucket (the
+    DuckDB oracle mirrors exactly this rule).
     """
+    from word_sense_disambiguation_spark.functions.hashing import simhash64_batch
+    from word_sense_disambiguation_spark.operators.blocking import (
+        _pairs_within_blocks,
+    )
+
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sh = [
-                simhash64((t or "").lower().split()) - (1 << 63)
-                for t in pdf[text_col]
-            ]
-            yield pd.DataFrame({"sid": pdf[id_col], "simhash": sh})
+            # whole-batch kernel: explode+factorize+bit-plane bincount, no
+            # per-document python loop (see functions.hashing)
+            sh = simhash64_batch(pdf[text_col].fillna("").str.lower().str.split())
+            yield pd.DataFrame(
+                {
+                    "sid": pdf[id_col],
+                    # uint64 -> signed two's complement (x - 2^63), the
+                    # Spark LongType encoding the chunk math expects
+                    "simhash": (sh ^ np.uint64(1 << 63)).view(np.int64),
+                }
+            )
 
     id_type = dict(df.dtypes)[id_col]
-    hashed = df.select(id_col, text_col).mapInPandas(
-        run, schema=f"sid {id_type}, simhash long"
+    # checkpoint once: the signature table feeds the chunk explosion AND
+    # both hamming-verify sides — uncheckpointed, Catalyst re-runs the
+    # kernel per consumer (same rule as minhash_lsh_pairs)
+    hashed = (
+        df.select(id_col, text_col)
+        .mapInPandas(run, schema=f"sid {id_type}, simhash long")
+        .localCheckpoint(eager=True)
     )
     # explode into (chunk_id, chunk_value) block keys
     chunks = hashed.select(
         "sid",
-        "simhash",
         F.explode(
             F.array(*[
                 F.struct(
@@ -151,26 +179,24 @@ def simhash_candidates(
                 for c in range(n_chunks)
             ])
         ).alias("ch"),
-    ).select("sid", "simhash", "ch.chunk_id", "ch.chunk_val")
-    a = chunks.select(
-        F.col("sid").alias("id_a"), F.col("simhash").alias("sim_a"),
-        "chunk_id", "chunk_val",
+    ).select("sid", "ch.chunk_id", "ch.chunk_val")
+    raw, oversized = _pairs_within_blocks(
+        chunks, "sid", ["chunk_id", "chunk_val"], max_block_size
     )
-    b = chunks.select(
-        F.col("sid").alias("id_b"), F.col("simhash").alias("sim_b"),
-        "chunk_id", "chunk_val",
+    cand = raw.select("id_a", "id_b").distinct()
+    a = hashed.select(F.col("sid").alias("id_a"), F.col("simhash").alias("sim_a"))
+    b = hashed.select(F.col("sid").alias("id_b"), F.col("simhash").alias("sim_b"))
+    pairs = (
+        cand.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
     )
-    cand = (
-        a.join(b, on=["chunk_id", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .distinct()
-    )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
+    return pairs, oversized
 
 
 def embedding_near_duplicates(
@@ -180,26 +206,35 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     bits: int = 12,
     seed: int = 42,
-) -> DataFrame:
+    max_block_size: int = 1024,
+) -> tuple[DataFrame, DataFrame]:
     """Embedding cosine near-dup: random-hyperplane LSH buckets -> exact
-    cosine verify. Reuses the ANN machinery from similarity_search."""
+    cosine verify. Reuses the ANN machinery from similarity_search.
+
+    Returns ``(matches, oversized_buckets)``: the bucket self-join is
+    skew-capped through ``_pairs_within_blocks`` (a hot bucket — e.g. a
+    corpus dominated by one embedding cluster, or the all-zeros bucket of
+    degenerate vectors — would otherwise go quadratic); dropped buckets
+    are reported, never silently lost.
+    """
+    from word_sense_disambiguation_spark.operators.blocking import (
+        _pairs_within_blocks,
+    )
     from word_sense_disambiguation_spark.operators.similarity_search import (
         hyperplane_buckets,
     )
 
+    # checkpoint once: sigs feeds bucket counting, the anti-join, and both
+    # verify sides — uncheckpointed, the signature scan re-runs per subtree
     sigs = hyperplane_buckets(df, id_col, vec_col, bits=bits, seed=seed)
-    a = sigs.select(
-        F.col("vid").alias("id_a"), F.col("bucket"), F.col("vec").alias("vec_a")
+    sigs = sigs.localCheckpoint(eager=True)
+    raw, oversized = _pairs_within_blocks(
+        sigs.select("vid", "bucket"), "vid", ["bucket"], max_block_size
     )
-    b = sigs.select(
-        F.col("vid").alias("id_b"), F.col("bucket"), F.col("vec").alias("vec_b")
-    )
-    cand = (
-        a.join(b, on="bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .drop("bucket")
-        .distinct()
-    )
+    cand = raw.select("id_a", "id_b").distinct()
+    a = sigs.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = sigs.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
+    joined = cand.join(a, on="id_a").join(b, on="id_b")
     dot = F.aggregate(
         F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
         F.lit(0.0),
@@ -209,6 +244,7 @@ def embedding_near_duplicates(
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
     cos = dot / F.greatest(norm(F.col("vec_a")) * norm(F.col("vec_b")), F.lit(1e-12))
-    return cand.select("id_a", "id_b", cos.alias("cosine")).filter(
+    matches = joined.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+    return matches, oversized
