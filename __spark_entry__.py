@@ -764,9 +764,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_histogram": _q_payload_histogram,
         "fingerprint_counts": _q_fingerprints,
         "entity_span_candidates": _q_entity_span_candidates,
-        # rows-only: minhash needs crc32 (not in DuckDB); the other three
-        # run on the in-process synthetic gold world, which DuckDB's parquet
-        # views cannot reproduce (their correctness gates live in tests/).
+        # minhash_dedup_clusters IS oracle-checked end-to-end: the DuckDB
+        # side verifies the whole LSH -> jaccard -> CC composite against an
+        # exact all-pairs construction (see oracle_sql). The remaining
+        # rows-only queries run on the in-process synthetic gold world,
+        # which DuckDB's parquet views cannot reproduce (their correctness
+        # gates live in tests/).
         "minhash_dedup_clusters": _q_minhash_clusters,
         "er_clusters_synthetic": _q_er_clusters_synthetic,
         "entity_linking": _q_entity_linking,
@@ -1229,6 +1232,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.end_token AS INT) AS end_token, s.span_key,
                    CAST(i.entity_id AS BIGINT) AS entity_id
             FROM spans s JOIN inv i USING (span_key)
+        """,
+        # End-to-end oracle for the flagship dedup operator: the Spark side
+        # is MinHash-LSH candidates -> exact token-3-gram Jaccard verify
+        # (>= 0.7) -> iterative large-star/small-star CC. The oracle skips
+        # the LSH approximation entirely — at gate scale DuckDB can afford
+        # ALL pairs — so it also certifies the banding recall: any true
+        # >=0.7 pair the LSH missed (or a capped band bucket dropped) would
+        # split a cluster and hash-mismatch. Same gram construction
+        # (split on \s+ of lower(trim(text)); <3 tokens -> one whole-text
+        # gram), same jaccard = inter / greatest(union, 1), same
+        # min-member cluster ids via recursive transitive closure.
+        "minhash_dedup_clusters": r"""
+            WITH RECURSIVE g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(0, len(toks) - 2),
+                                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
+                          ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                    FROM documents)
+            ),
+            e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+                    / greatest(CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 1.0)
+                    >= 0.7
+            ),
+            sym AS (SELECT src, dst FROM e
+                    UNION SELECT dst AS src, src AS dst FROM e),
+            nodes AS (SELECT doc_id AS n FROM documents),
+            reach(a, b) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+            )
+            SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY a
         """,
         # pages_from_documents wraps text in a fixed html template
         # (prefix 41B + escaped title + 30B + escaped body + 24B); the fake
