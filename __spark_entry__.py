@@ -27,9 +27,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from word_sense_disambiguation_spark.functions.letters import build_letters
 from word_sense_disambiguation_spark.functions.text import FUNCTION_WORDS
 
 _FUNC_WORDS_SQL = ", ".join(f"'{w}'" for w in sorted(FUNCTION_WORDS))
+# The 128-slot answer-letter dimension as a DuckDB list literal (pure
+# Python, no tokenizer: default codepoint probe). None of the symbols is a
+# single quote, so plain quoting is safe.
+_LETTERS_SQL = "[" + ", ".join("'" + c + "'" for c in build_letters().letters) + "]"
 _BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 _WORD_RE = r"[A-Za-z0-9]+"
 _EN = r"\b(the|and|of|to|is)\b"
@@ -691,17 +696,99 @@ def _q_prompt_path_assignments(spark, sf_dir):
     return sense_assignments_prompted(sw["pages"], sw["senses"])
 
 
+def _derived_sense_inventory(spark, sf_dir) -> DataFrame:
+    """Deterministic sense inventory derived from the ``documents`` parquet
+    with PURE JVM expressions, so DuckDB can rebuild it cell-for-cell:
+    lemmas = alphabetic tokens longer than 3 chars appearing >= 5 times;
+    each lemma owns 1 + md5%3 senses; glosses and example sentences are
+    deterministic string builds. This feeds the REAL prompt operators
+    (training_examples / eval_examples_from_corpus) — the point is to put
+    the whole prompt construction path (gloss coin, candidate ranking,
+    letter table, offset hashing, boundary marking, MC template) under the
+    driver's hash gate, which the random.Random-based synthetic world
+    cannot (its generator is not SQL-expressible)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("lemma")
+    )
+    lemmas = (
+        tok.filter(F.col("lemma").rlike("^[a-z]+$") & (F.length("lemma") > 3))
+        .groupBy("lemma")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 5)
+    )
+    n_senses = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ns:"), F.col("lemma"))), 1, 8), 16, 10
+        ).cast("long")
+        % 3
+        + 1
+    ).cast("int")
+    k_str = F.col("k").cast("string")
+    return (
+        lemmas.withColumn("n_senses", n_senses)
+        .select(
+            "lemma",
+            F.explode(F.sequence(F.lit(0), F.col("n_senses") - 1)).alias("k"),
+        )
+        .select(
+            F.concat(F.col("lemma"), F.lit("-s"), k_str).alias("sense_id"),
+            "lemma",
+            F.lit("n").alias("pos"),
+            F.concat(
+                F.col("lemma"), F.lit(" as sense "), k_str, F.lit(" about "),
+                F.substring(
+                    F.md5(F.concat(F.lit("t:"), F.col("lemma"), k_str)), 1, 6
+                ),
+            ).alias("source_definition"),
+            F.concat(
+                F.lit("any "), F.col("lemma"), F.lit(" involving "),
+                F.substring(
+                    F.md5(F.concat(F.lit("a:"), F.col("lemma"), k_str)), 1, 6
+                ),
+            ).alias("alternative_definition"),
+            F.array(
+                F.concat(
+                    F.lit("the "), F.col("lemma"),
+                    F.lit(" stood near the door on day "), k_str,
+                ),
+                F.concat(
+                    F.lit("every visitor saw that "), F.col("lemma"),
+                    F.lit(" by evening "), k_str,
+                ),
+            ).alias("examples"),
+            F.col("k").alias("sense_rank"),
+        )
+    )
+
+
 def _q_eval_examples(spark, sf_dir):
     """Labeled corpus -> MC eval prompts (build_eval_examples_from_wn
     parity): rank-ordered candidates via the inference-time broadcast
-    join, gold letter at the gold index, skips as a side table."""
-    from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
+    join, gold letter at the gold index, skips as a side table. Runs the
+    REAL operator over the SQL-derived inventory so the full prompt build
+    is hash-checked; the synthetic-world variant stays golden-tested in
+    tests/test_prompts.py."""
     from word_sense_disambiguation_spark.operators.evaluation import (
         eval_examples_from_corpus,
     )
+    from word_sense_disambiguation_spark.operators.prompts import mark_word_jvm
 
-    sw = world_to_spark(spark, build_world(n_pages=150, seed=42))
-    kept, _skipped = eval_examples_from_corpus(sw["gold_pairs"], sw["senses"])
+    senses = _derived_sense_inventory(spark, sf_dir)
+    corpus = senses.select(
+        "lemma",
+        "pos",
+        F.col("sense_id").alias("gold_sense_id"),
+        F.explode("examples").alias("sentence"),
+    ).select(
+        "lemma",
+        "pos",
+        "gold_sense_id",
+        "sentence",
+        F.col("lemma").alias("word_form"),
+        mark_word_jvm(F.col("sentence"), F.col("lemma")).alias("marked_text"),
+    )
+    kept, _skipped = eval_examples_from_corpus(corpus, senses)
     return kept.select(
         "word", "marked_sentence", "correct_sense_id",
         "correct_letter_index", "correct_letter", "n_defs", "prompt",
@@ -709,11 +796,13 @@ def _q_eval_examples(spark, sf_dir):
 
 
 def _q_training_prompts(spark, sf_dir):
-    from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
+    """T18 under the hash gate: the REAL training_examples operator (gloss
+    coin, rank-ordered candidates, seeded letter offset, word-boundary
+    marking, 128-slot MC prompt) over the SQL-derived inventory."""
     from word_sense_disambiguation_spark.operators.prompts import training_examples
 
-    sw = world_to_spark(spark, build_world(n_pages=1, seed=42))
-    return training_examples(sw["senses"], seed=42).select(
+    senses = _derived_sense_inventory(spark, sf_dir)
+    return training_examples(senses, seed=42).select(
         "lemma", "pos", "correct_sense_id", "start_offset",
         "correct_letter_index", "prompt",
     )
@@ -764,12 +853,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_histogram": _q_payload_histogram,
         "fingerprint_counts": _q_fingerprints,
         "entity_span_candidates": _q_entity_span_candidates,
-        # minhash_dedup_clusters IS oracle-checked end-to-end: the DuckDB
-        # side verifies the whole LSH -> jaccard -> CC composite against an
-        # exact all-pairs construction (see oracle_sql). The remaining
-        # rows-only queries run on the in-process synthetic gold world,
-        # which DuckDB's parquet views cannot reproduce (their correctness
-        # gates live in tests/).
+        # minhash_dedup_clusters, training_prompts and eval_examples ARE
+        # oracle-checked end-to-end (see oracle_sql: exact all-pairs + CC
+        # for the first; full SQL prompt reconstruction for the other two).
+        # The remaining rows-only queries run on the in-process synthetic
+        # gold world, which DuckDB's parquet views cannot reproduce (their
+        # correctness gates live in tests/ as exact-golden assertions).
         "minhash_dedup_clusters": _q_minhash_clusters,
         "er_clusters_synthetic": _q_er_clusters_synthetic,
         "entity_linking": _q_entity_linking,
@@ -1233,6 +1322,135 @@ def oracle_sql() -> dict[str, str]:
                    CAST(i.entity_id AS BIGINT) AS entity_id
             FROM spans s JOIN inv i USING (span_key)
         """,
+        # Prompt-family oracles: rebuild the ENTIRE construction in SQL —
+        # derived inventory (same md5 sense counts / glosses / examples),
+        # seeded gloss coin, rank-ordered candidate lists, portable-md5
+        # letter offsets, first-word-boundary marking, the 128-slot letter
+        # table as a literal, and the MC template with the fixed NOTA slot.
+        "training_prompts": r"""
+            WITH letters AS (SELECT {LETTERS} AS l),
+            lemmas AS (
+              SELECT lemma FROM (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS lemma
+                FROM documents)
+              WHERE regexp_matches(lemma, '^[a-z]+$') AND length(lemma) > 3
+              GROUP BY lemma HAVING count(*) >= 5
+            ),
+            sdef AS (
+              SELECT lemma, k,
+                     lemma || '-s' || CAST(k AS VARCHAR) AS sense_id,
+                     lemma || ' as sense ' || CAST(k AS VARCHAR) || ' about '
+                       || substr(md5('t:' || lemma || CAST(k AS VARCHAR)), 1, 6) AS src,
+                     'any ' || lemma || ' involving '
+                       || substr(md5('a:' || lemma || CAST(k AS VARCHAR)), 1, 6) AS alt
+              FROM (
+                SELECT lemma,
+                       unnest(range(CAST(CAST(('0x' || substr(md5('ns:' || lemma), 1, 8)) AS BIGINT) % 3 + 1 AS INTEGER))) AS k
+                FROM lemmas)
+            ),
+            chosen AS (
+              SELECT lemma, k, sense_id,
+                     CASE WHEN CAST(('0x' || substr(md5('42:gloss:' || sense_id), 1, 8)) AS BIGINT) % 2 = 0
+                          THEN src ELSE alt END AS definition
+              FROM sdef
+            ),
+            grp AS (
+              SELECT lemma,
+                     list(definition ORDER BY k) AS defs,
+                     list(sense_id ORDER BY k) AS sense_ids,
+                     CAST(count(*) AS INTEGER) AS n
+              FROM chosen GROUP BY lemma
+            ),
+            ex AS (
+              SELECT lemma, sense_id,
+                     unnest(['the ' || lemma || ' stood near the door on day ' || CAST(k AS VARCHAR),
+                             'every visitor saw that ' || lemma || ' by evening ' || CAST(k AS VARCHAR)]) AS sentence
+              FROM sdef
+            ),
+            meta AS (
+              SELECT e.lemma, e.sense_id AS correct_sense_id,
+                     regexp_replace(e.sentence, '\b' || e.lemma || '\b',
+                                    '*' || e.lemma || '*') AS marked,
+                     g.defs, g.sense_ids, g.n,
+                     CAST(CAST(('0x' || substr(md5('42:off:' || e.sense_id || ':' || e.sentence), 1, 8)) AS BIGINT)
+                          % greatest(127 - g.n, 1) AS INTEGER) AS start_offset,
+                     CAST(list_position(g.sense_ids, e.sense_id) AS INTEGER) AS cpos
+              FROM ex e JOIN grp g ON e.lemma = g.lemma
+            )
+            SELECT m.lemma, 'n' AS pos, m.correct_sense_id, m.start_offset,
+                   CAST(m.start_offset + m.cpos - 1 AS INTEGER) AS correct_letter_index,
+                   'What is the meaning of *' || m.lemma || '* in this sentence?'
+                   || chr(10) || chr(10) || 'Sentence: ' || m.marked
+                   || chr(10) || chr(10)
+                   || array_to_string(
+                        list_append(
+                          list_transform(range(1, m.n + 1),
+                            i -> lt.l[m.start_offset + i] || '. ' || m.defs[i]),
+                          lt.l[128] || '. none of the above'),
+                        chr(10))
+                   || chr(10) || chr(10) || 'Answer: [unused0] [MASK]' AS prompt
+            FROM meta m CROSS JOIN letters lt
+        """.replace("{LETTERS}", _LETTERS_SQL),
+        "eval_examples": r"""
+            WITH letters AS (SELECT {LETTERS} AS l),
+            lemmas AS (
+              SELECT lemma FROM (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS lemma
+                FROM documents)
+              WHERE regexp_matches(lemma, '^[a-z]+$') AND length(lemma) > 3
+              GROUP BY lemma HAVING count(*) >= 5
+            ),
+            sdef AS (
+              SELECT lemma, k,
+                     lemma || '-s' || CAST(k AS VARCHAR) AS sense_id,
+                     lemma || ' as sense ' || CAST(k AS VARCHAR) || ' about '
+                       || substr(md5('t:' || lemma || CAST(k AS VARCHAR)), 1, 6)
+                     || ' — ' ||
+                     'any ' || lemma || ' involving '
+                       || substr(md5('a:' || lemma || CAST(k AS VARCHAR)), 1, 6)
+                       AS sense_definition
+              FROM (
+                SELECT lemma,
+                       unnest(range(CAST(CAST(('0x' || substr(md5('ns:' || lemma), 1, 8)) AS BIGINT) % 3 + 1 AS INTEGER))) AS k
+                FROM lemmas)
+            ),
+            grp AS (
+              SELECT lemma,
+                     list(sense_definition ORDER BY k) AS defs,
+                     list(sense_id ORDER BY k) AS sense_ids,
+                     CAST(count(*) AS INTEGER) AS n
+              FROM sdef GROUP BY lemma
+            ),
+            ex AS (
+              SELECT lemma, sense_id,
+                     unnest(['the ' || lemma || ' stood near the door on day ' || CAST(k AS VARCHAR),
+                             'every visitor saw that ' || lemma || ' by evening ' || CAST(k AS VARCHAR)]) AS sentence
+              FROM sdef
+            ),
+            meta AS (
+              SELECT e.lemma, e.sense_id, g.defs, g.n,
+                     regexp_replace(e.sentence, '\b' || e.lemma || '\b',
+                                    '*' || e.lemma || '*') AS marked,
+                     CAST(list_position(g.sense_ids, e.sense_id) AS INTEGER) AS cpos
+              FROM ex e JOIN grp g ON e.lemma = g.lemma
+            )
+            SELECT m.lemma AS word, m.marked AS marked_sentence,
+                   m.sense_id AS correct_sense_id,
+                   CAST(m.cpos - 1 AS INTEGER) AS correct_letter_index,
+                   lt.l[m.cpos] AS correct_letter,
+                   m.n AS n_defs,
+                   'What is the meaning of *' || m.lemma || '* in this sentence?'
+                   || chr(10) || chr(10) || 'Sentence: ' || m.marked
+                   || chr(10) || chr(10)
+                   || array_to_string(
+                        list_append(
+                          list_transform(range(1, m.n + 1),
+                            i -> lt.l[i] || '. ' || m.defs[i]),
+                          lt.l[128] || '. none of the above'),
+                        chr(10))
+                   || chr(10) || chr(10) || 'Answer: [unused0] [MASK]' AS prompt
+            FROM meta m CROSS JOIN letters lt
+        """.replace("{LETTERS}", _LETTERS_SQL),
         # End-to-end oracle for the flagship dedup operator: the Spark side
         # is MinHash-LSH candidates -> exact token-3-gram Jaccard verify
         # (>= 0.7) -> iterative large-star/small-star CC. The oracle skips
