@@ -9,6 +9,7 @@ Queries (each timed end-to-end, action = count on the final stage):
   over the synthetic mention graph
 * ``dedup_minhash``  — MinHash-LSH near-dup clustering of documents
 * ``ann_topk``       — brute-force cosine top-10, 8 queries over embeddings
+* ``ann_ivf``        — IVF ANN probe over a prebuilt (amortized) index
 * ``text_profile``   — one-pass lang-id/quality/token-count profile
 
 ``docs_per_sec`` is pages through the flagship pipeline per second — the
@@ -46,6 +47,8 @@ def main() -> None:
     from word_sense_disambiguation_spark.operators.pairs import score_mention_pairs
     from word_sense_disambiguation_spark.operators.similarity_search import (
         brute_force_topk,
+        ivf_index,
+        ivf_topk,
     )
     from word_sense_disambiguation_spark.operators.textstats import text_profile
     from word_sense_disambiguation_spark.operators.tokenize import (
@@ -70,7 +73,15 @@ def main() -> None:
     par = cpus * 4
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(par).persist()
     docs.count()
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).repartition(par).persist()
+    # embeddings partition count tracks DATA SIZE, not cores: this table is
+    # a few thousand rows at bench sf, and slicing it into cpus*4 slivers
+    # pays one python-worker/Arrow round-trip per sliver in the GEMM scan —
+    # measured 1.62s at 128 partitions vs 0.56s at 4-8 (the r2 ann_topk
+    # "+87% regression" was exactly this staging, not the operator). A real
+    # 100 TB embedding table arrives with size-proportional splits anyway.
+    emb_raw = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb_par = max(cpus // 4, emb_raw.count() // 2000)
+    emb = emb_raw.repartition(emb_par).persist()
     emb.count()
     n_pages = pages_for_scale(sf)
     world = world_to_spark(spark, build_world(n_pages=n_pages, seed=42))
@@ -150,6 +161,17 @@ def main() -> None:
     q_rows = emb.orderBy("vec_id").limit(8).collect()
     queries_vec = [(int(r.vec_id), list(r.embedding)) for r in q_rows]
     timed("ann_topk", lambda: brute_force_topk(emb, queries_vec, k=10).count())
+    # the production ANN path: quantizer built ONCE (untimed — it is
+    # amortized over every query batch, which is the point of an index),
+    # probes timed. n_probe=8/32 lists; recall vs brute force is
+    # pytest-gated in tests/test_similarity_textstats.py.
+    ivf = ivf_index(emb, n_lists=32, lloyd_iters=1)
+    timed(
+        "ann_ivf",
+        lambda: ivf_topk(
+            emb, queries_vec, k=10, n_lists=32, n_probe=8, index=ivf
+        ).count(),
+    )
     timed("text_profile", lambda: text_profile(docs, "doc_id", "text").count())
 
     total = round(sum(timings.values()), 3)

@@ -167,3 +167,17 @@ def test_ivf_probe_recall_and_determinism(embeddings, queries):
     # every vector is assigned to exactly one list
     n = embeddings.count()
     assert idx[1].count() == n and idx[1].select("vid").distinct().count() == n
+
+
+def test_ivf_index_is_materialized(embeddings):
+    """Plan shape: the index a caller amortizes must be a materialized
+    table, not a lazy DAG — each Lloyd pass localCheckpoints its
+    assignment scan, so the final `assigned` plan contains NO MapInPandas
+    (it reads the checkpointed RDD) and probe joins cannot silently
+    re-run the assignment kernel per query batch."""
+    from word_sense_disambiguation_spark.operators.similarity_search import ivf_index
+
+    _C, assigned = ivf_index(embeddings, n_lists=8, lloyd_iters=2)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan or "Scan" in plan

@@ -129,6 +129,13 @@ def ivf_index(
     cosine inside one Arrow scan (the centroid matrix ships in the closure
     — it IS the broadcast dim). Deterministic end to end: same data ->
     same centroids -> same lists.
+
+    Each assignment pass is ``localCheckpoint``-ed: the per-iteration
+    stats aggregate and every later probe join read the materialized
+    lists instead of lazily re-running the assignment scan per consumer
+    (the engine's fan-out rule, cf. blocking.minhash_lsh_pairs) — exactly
+    one MapInPandas job per Lloyd iteration, and the index a caller
+    amortizes over query batches is a real materialized table.
     """
     h = F.conv(
         F.substring(
@@ -167,7 +174,9 @@ def ivf_index(
 
         return run
 
-    assigned = base.mapInPandas(assigner(C), schema=schema)
+    assigned = base.mapInPandas(assigner(C), schema=schema).localCheckpoint(
+        eager=True
+    )
     dim = C.shape[1]
     for _ in range(lloyd_iters):
         stats = (
@@ -185,7 +194,9 @@ def ivf_index(
             if n > 0:
                 C_new[lid] = (v / n).astype(np.float32)
         C = C_new
-        assigned = base.mapInPandas(assigner(C), schema=schema)
+        assigned = base.mapInPandas(assigner(C), schema=schema).localCheckpoint(
+            eager=True
+        )
     return C, assigned
 
 
