@@ -685,6 +685,43 @@ def _q_media_metadata(spark, sf_dir):
     return media_metadata(pages_from_documents(docs), "url", "html", "image")
 
 
+def _q_image_header_dims(spark, sf_dir):
+    """REAL image decode under the hash gate: synthesize VALID PNG/JPEG
+    byte layouts per doc (dims are deterministic doc_id formulas), then
+    let media_metadata's pure-Python header parser read the dimensions
+    back out of the actual bytes. The oracle computes the same fields from
+    the planting formulas — a parser that misreads any byte mismatches."""
+    import pandas as pd
+
+    from word_sense_disambiguation_spark.datagen import synth_jpeg, synth_png
+    from word_sense_disambiguation_spark.operators.multimodal import media_metadata
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 16 + (d * 7) % 1000
+                h = 16 + (d * 13) % 1000
+                payloads.append(
+                    synth_png(w, h, filler=d % 7)
+                    if d % 2 == 0
+                    else synth_jpeg(w, h, filler=d % 7)
+                )
+            yield pd.DataFrame(
+                {"url": pdf["doc_id"].astype("int64").astype(str), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, schema="url string, payload binary")
+    meta = media_metadata(media, "url", "payload", media_type="image")
+    return meta.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "media_type", "n_bytes", "width", "height", "n_frames",
+    )
+
+
 def _q_prompt_path_assignments(spark, sf_dir):
     """Full prompt path: build MC prompts, batched 128-way scorer, decode."""
     from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
@@ -848,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": _q_simhash_candidates,
         "connected_components": _q_connected_components,
         "media_metadata": _q_media_metadata,
+        "image_header_dims": _q_image_header_dims,
         "frame_sample": _q_frame_sample,
         "resize_metadata": _q_resize_metadata,
         "payload_histogram": _q_payload_histogram,
@@ -1490,6 +1528,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
             FROM reach GROUP BY a
+        """,
+        # The parser reads dimensions out of REAL synthesized PNG/JPEG
+        # bytes; the oracle recomputes every field from the planting
+        # formulas (png: 33 + filler bytes; jpeg: 41 + filler; dims are
+        # doc_id affine maps). A parser that misreads any header byte
+        # hash-mismatches.
+        "image_header_dims": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END
+                     AS media_type,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 41 END
+                        + doc_id % 7 AS BIGINT) AS n_bytes,
+                   CAST(16 + (doc_id * 7) % 1000 AS INT) AS width,
+                   CAST(16 + (doc_id * 13) % 1000 AS INT) AS height,
+                   1 AS n_frames
+            FROM documents
         """,
         # pages_from_documents wraps text in a fixed html template
         # (prefix 41B + escaped title + 30B + escaped body + 24B); the fake

@@ -131,6 +131,28 @@ def test_real_decode_is_stubbed():
         real_decode(b"\x00" * 16)
 
 
+def test_parse_image_dims_roundtrip():
+    """The header parser must read back the exact dimensions written into
+    valid PNG/JPEG byte layouts, and refuse everything else."""
+    from word_sense_disambiguation_spark.datagen import synth_jpeg, synth_png
+    from word_sense_disambiguation_spark.operators.multimodal import (
+        parse_image_dims,
+    )
+
+    for w, h in [(1, 1), (16, 9000), (65535, 2), (640, 480)]:
+        assert parse_image_dims(synth_png(w, h, filler=3)) == ("png", w, h)
+        if w <= 65535 and h <= 65535:
+            assert parse_image_dims(synth_jpeg(w, h)) == ("jpeg", w, h)
+    # non-images fall through to the fake decoder
+    assert parse_image_dims(b"<html><body>nope</body></html>") is None
+    assert parse_image_dims(b"") is None
+    assert parse_image_dims(b"\xff\xd8\xff\xd9") is None  # JPEG with no SOF
+    assert parse_image_dims(synth_png(3, 4)[:20]) is None  # truncated PNG
+    # a SOF behind a skippable segment is still found (the segment walk)
+    jp = synth_jpeg(123, 77)
+    assert parse_image_dims(jp) == ("jpeg", 123, 77)
+
+
 def test_ivf_exhaustive_probe_equals_exact(embeddings, queries):
     """Probing every list degrades IVF to the exact search: same top-k set
     as brute force (tie-tolerant on set membership, not order)."""

@@ -1,11 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the *decode kernels* are
-deterministic fakes / clearly-marked stubs — but the Spark-side contract is
-real and tested: schema, Arrow batch shape, partition-preserving
-``mapInPandas``, and the metadata struct a downstream trainer would join on.
-Swap ``_fake_decode`` for a PIL/ffmpeg call on a real cluster; nothing else
-changes.
+Decode layers, honestly separated:
+
+* :func:`parse_image_dims` — REAL header parsing for the two formats a web
+  crawl actually contains: PNG (IHDR chunk) and JPEG (SOFn segment scan).
+  Pure-Python byte math, no codec library needed; hash-checked by the
+  ``image_header_dims`` driver oracle over synthesized valid headers.
+* :func:`_fake_decode` — deterministic stand-in for payloads that are
+  neither (video and friends): the container has no ffmpeg.
+* :func:`real_decode` — the full pixel-decode hook, STUB by design.
+
+The Spark-side contract is real and tested either way: schema, Arrow batch
+shape, partition-preserving ``mapInPandas``, and the metadata struct a
+downstream trainer would join on.
 """
 
 from __future__ import annotations
@@ -22,9 +29,59 @@ MEDIA_META_SCHEMA = (
     "n_frames int, sample_hash long"
 )
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# every JPEG frame-header marker that carries dimensions (SOF0-15 minus
+# DHT/JPG/DAC which share the 0xCx range but are not frame headers)
+_JPEG_SOF_MARKERS = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+
+def parse_image_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """Header-only dimension parse: ``(media_type, width, height)`` for PNG
+    and JPEG payloads, ``None`` for anything else.
+
+    PNG: the IHDR chunk is mandated to be first, so width/height are the
+    two big-endian u32 at bytes 16..24. JPEG: walk the segment chain from
+    SOI, skipping non-frame segments by their big-endian length, until a
+    SOFn marker; height/width are the two big-endian u16 after the
+    precision byte. Truncated/malformed payloads return None (caller falls
+    back to the fake decoder) — never raise on crawl garbage.
+    """
+    if (
+        len(payload) >= 24
+        and payload[:8] == _PNG_MAGIC
+        and payload[12:16] == b"IHDR"
+    ):
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return ("png", w, h)
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                return None  # not a marker where one must be: malformed
+            marker = payload[i + 1]
+            if marker == 0xD9:  # EOI before any SOF
+                return None
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if marker in _JPEG_SOF_MARKERS:
+                if i + 9 > len(payload):
+                    return None
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+    return None
+
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for an image/video decoder: derives fake
+    """Deterministic stand-in for a video/audio decoder: derives fake
     (width, height, n_frames) from the payload's leading bytes. Replace
     with a real codec on a cluster with media libraries installed."""
     if len(payload) < 8:
@@ -34,10 +91,11 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 
 
 def real_decode(payload: bytes):  # pragma: no cover - stub by design
-    """The real decode hook. STUB: media codecs are not available in this
-    environment; the Spark plumbing around it is fully implemented."""
+    """The full pixel-decode hook. STUB: media codecs are not available in
+    this environment; header-level metadata IS real (parse_image_dims) and
+    the Spark plumbing around both is fully implemented."""
     raise NotImplementedError(
-        "media decoding requires PIL/ffmpeg; not available in this container"
+        "pixel decoding requires PIL/ffmpeg; not available in this container"
     )
 
 
@@ -56,11 +114,17 @@ def media_metadata(
             rows = []
             for url, payload in zip(pdf[url_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
-                w, h, nf = _fake_decode(b)
+                parsed = parse_image_dims(b)
+                if parsed is not None:
+                    mt, w, h = parsed
+                    nf = 1  # a still image is one frame
+                else:
+                    w, h, nf = _fake_decode(b)
+                    mt = media_type
                 rows.append(
                     {
                         "url": url,
-                        "media_type": media_type,
+                        "media_type": mt,
                         "n_bytes": len(b),
                         "width": w,
                         "height": h,
