@@ -666,15 +666,49 @@ def _q_entity_span_candidates(spark, sf_dir):
 
 
 def _q_entity_linking(spark, sf_dir):
-    """Full T14 composite on the synthetic world: multi-token spans ->
-    broadcast KB alias join -> filter_spans overlap resolution. Exact-golden
-    gate lives in tests/test_entities.py (the generator records every
-    planted span)."""
-    from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
-    from word_sense_disambiguation_spark.operators.entities import linked_entities
+    """Full T14 composite under the hash gate: multi-token candidate spans
+    -> broadcast KB alias join -> filter_spans greedy overlap resolution,
+    all via the REAL linked_entities operator. The KB is derived from the
+    documents table (top bigrams as entity names, their first token as a
+    colliding unigram alias — so the longest-first overlap rule is
+    genuinely exercised), and the DuckDB oracle replays the exact greedy
+    with a recursive CTE carrying the kept-span list. The synthetic-world
+    variant (planted Wikidata-style KB) stays exact-golden-tested in
+    tests/test_entities.py."""
+    from pyspark.sql import Window
 
-    sw = world_to_spark(spark, build_world(n_pages=150, seed=42))
-    return linked_entities(sw["pages"], sw["entities"])
+    from word_sense_disambiguation_spark.operators.entities import (
+        candidate_spans,
+        linked_entities,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bigrams = (
+        candidate_spans(docs, "doc_id", "text", max_span=2)
+        .filter(F.col("n_tokens") == 2)
+        .groupBy("span_key")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 16)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("span_key"))
+    inventory = bigrams.select(
+        F.row_number().over(w).cast("long").alias("entity_id"),
+        F.col("span_key").alias("name"),
+        F.concat(F.lit("entity for "), F.col("span_key")).alias("description"),
+    ).select(
+        "entity_id",
+        "name",
+        "description",
+        F.concat(F.lit("https://kb.example/Q"), F.col("entity_id").cast("string")).alias("url"),
+        F.array(F.split(F.col("name"), " ").getItem(0)).alias("aliases"),
+    )
+    out = linked_entities(
+        docs, inventory, id_col="doc_id", text_col="text", max_span=2
+    )
+    return out.select(
+        "doc_id", "entity_id", "start_token", "end_token",
+        "text", "span_text", "description", "entity_url",
+    )
 
 
 def _q_media_metadata(spark, sf_dir):
@@ -1359,6 +1393,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.end_token AS INT) AS end_token, s.span_key,
                    CAST(i.entity_id AS BIGINT) AS entity_id
             FROM spans s JOIN inv i USING (span_key)
+        """,
+        # T14 composite: same tokenizer/span/sentence rules as
+        # entity_span_candidates, a derived KB (top bigrams >= 16, first
+        # token as a colliding unigram alias), and the spaCy filter_spans
+        # greedy replayed EXACTLY by a recursive CTE that walks spans per
+        # doc in (longest, earliest, smallest-entity) rank order, carrying
+        # the kept-span list and keeping a span iff it overlaps none of it.
+        "entity_linking": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     regexp_extract_all(text,
+                       '[A-Za-z0-9]+(?:''[A-Za-z0-9]+)?|[^ \t\n\r\f\x0BA-Za-z0-9]') AS tok,
+                     list_transform(regexp_extract_all(text,
+                       '[A-Za-z0-9]+(?:''[A-Za-z0-9]+)?|[^ \t\n\r\f\x0BA-Za-z0-9]'),
+                       x -> lower(x)) AS lem
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, tok, lem, unnest(range(len(lem))) AS i FROM t
+            ),
+            spans AS (
+              SELECT p.doc_id, p.i AS start_token, p.i + L.L - 1 AS end_token,
+                     L.L AS n_tokens,
+                     CASE WHEN L.L = 1 THEN p.lem[p.i + 1]
+                          ELSE p.lem[p.i + 1] || ' ' || p.lem[p.i + 2] END AS span_key,
+                     CASE WHEN L.L = 1 THEN p.tok[p.i + 1]
+                          ELSE p.tok[p.i + 1] || ' ' || p.tok[p.i + 2] END AS span_text
+              FROM pos p CROSS JOIN (SELECT unnest([1, 2]) AS L) L
+              WHERE p.i + L.L - 1 < len(p.lem)
+                AND (L.L = 1 OR p.lem[p.i + 1] <> '.')
+            ),
+            kb AS (
+              SELECT entity_id, name,
+                     'entity for ' || name AS description,
+                     'https://kb.example/Q' || CAST(entity_id AS VARCHAR) AS entity_url
+              FROM (
+                SELECT span_key AS name,
+                       row_number() OVER (ORDER BY c DESC, span_key ASC) AS entity_id
+                FROM (SELECT span_key, count(*) AS c FROM spans
+                      WHERE n_tokens = 2 GROUP BY span_key HAVING count(*) >= 16))
+            ),
+            alias_rows AS (
+              SELECT DISTINCT key, entity_id, entity_name, description, entity_url
+              FROM (
+                SELECT name AS key, entity_id, name AS entity_name,
+                       description, entity_url FROM kb
+                UNION ALL
+                SELECT string_split(name, ' ')[1] AS key, entity_id,
+                       name AS entity_name, description, entity_url FROM kb
+              )
+            ),
+            ranked AS (
+              SELECT s.doc_id, s.start_token, s.end_token, s.n_tokens,
+                     s.span_text, a.entity_id, a.entity_name, a.description,
+                     a.entity_url,
+                     row_number() OVER (PARTITION BY s.doc_id
+                       ORDER BY s.n_tokens DESC, s.start_token ASC,
+                                a.entity_id ASC) AS r
+              FROM spans s JOIN alias_rows a ON s.span_key = a.key
+            ),
+            sel(doc_id, r, kept, keep_flag) AS (
+              SELECT doc_id, r, [{'s': start_token, 'e': end_token}], TRUE
+              FROM ranked WHERE r = 1
+              UNION ALL
+              SELECT n.doc_id, n.r,
+                     CASE WHEN len(list_filter(s.kept,
+                            k -> NOT (n.end_token < k.s OR n.start_token > k.e))) = 0
+                          THEN list_append(s.kept,
+                                 {'s': n.start_token, 'e': n.end_token})
+                          ELSE s.kept END,
+                     len(list_filter(s.kept,
+                       k -> NOT (n.end_token < k.s OR n.start_token > k.e))) = 0
+              FROM sel s JOIN ranked n
+                ON n.doc_id = s.doc_id AND n.r = s.r + 1
+            )
+            SELECT rk.doc_id, CAST(rk.entity_id AS BIGINT) AS entity_id,
+                   CAST(rk.start_token AS INT) AS start_token,
+                   CAST(rk.end_token AS INT) AS end_token,
+                   rk.entity_name AS text, rk.span_text, rk.description,
+                   rk.entity_url
+            FROM sel k JOIN ranked rk ON rk.doc_id = k.doc_id AND rk.r = k.r
+            WHERE k.keep_flag
         """,
         # Prompt-family oracles: rebuild the ENTIRE construction in SQL —
         # derived inventory (same md5 sense counts / glosses / examples),

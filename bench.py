@@ -131,16 +131,21 @@ def main() -> None:
             "mention_id", "lemma", "pos", "norm_surface", "surface",
             "context_words", "pred_sense_id", "decision",
         )
-        # no silent caps, even here: assigned mentions in oversized blocks
-        # are covered by the canopy stars below, but two NOTA mentions with
-        # identical surface AND identical context words (exactly what
-        # near-dup pages produce) score 0.2*1.0 + 0.4*1.0 = 0.60 — which IS
-        # a match (is_match uses >=) — so dropped blocks could lose real
-        # edges. Route oversized-block members through the linear star
-        # recovery, same as run_er_pipeline; distinct() removes the canopy
-        # overlap.
+        # no silent caps, even here: two NOTA mentions with identical
+        # surface AND identical context words (exactly what near-dup pages
+        # produce) score 0.2*1.0 + 0.4*1.0 = 0.60 — which IS a match
+        # (is_match uses >=) — so dropped oversized blocks could lose real
+        # edges. Recovery scope is deliberately minimal: ASSIGNED members
+        # of oversized blocks are already covered by the canopy stars
+        # below (sense_block_star_pairs runs over ALL assigned mentions),
+        # and a cross-decision pair can never reach the threshold —
+        # identical (surface, context) implies identical deterministic
+        # decisions, so jw=1 AND cos=1 cannot straddle assigned/nota.
+        # Only the non-assigned members need the linear block-key star.
         small, oversized = surface_key_pairs(a, max_block_size=64)
-        recovered = oversized_star_pairs(a, oversized, a)
+        recovered = oversized_star_pairs(
+            a.filter(F.col("decision") != "assigned"), oversized
+        )
         pairs = (
             sense_block_star_pairs(a)
             .unionByName(small.select("id_a", "id_b"))

