@@ -691,16 +691,32 @@ def _q_entity_linking(spark, sf_dir):
         .filter(F.col("c") >= 16)
     )
     w = Window.orderBy(F.desc("c"), F.asc("span_key"))
-    inventory = bigrams.select(
-        F.row_number().over(w).cast("long").alias("entity_id"),
-        F.col("span_key").alias("name"),
-        F.concat(F.lit("entity for "), F.col("span_key")).alias("description"),
-    ).select(
-        "entity_id",
-        "name",
-        "description",
-        F.concat(F.lit("https://kb.example/Q"), F.col("entity_id").cast("string")).alias("url"),
-        F.array(F.split(F.col("name"), " ").getItem(0)).alias("aliases"),
+    # KB bounded to the top 40 bigrams, unigram aliases only for the top 5:
+    # unbounded unigram aliases of stop-wordy first tokens explode the
+    # match table (835k rows, 3k overlap-resolution steps in one doc at
+    # sf0.01) without exercising anything new; this sizing keeps ~6k
+    # matches and a ~34-deep greedy — still plenty of real overlaps.
+    inventory = (
+        bigrams.select(
+            F.row_number().over(w).cast("long").alias("entity_id"),
+            F.col("span_key").alias("name"),
+            F.concat(F.lit("entity for "), F.col("span_key")).alias("description"),
+        )
+        .filter(F.col("entity_id") <= 40)
+        .select(
+            "entity_id",
+            "name",
+            "description",
+            F.concat(
+                F.lit("https://kb.example/Q"), F.col("entity_id").cast("string")
+            ).alias("url"),
+            F.when(
+                F.col("entity_id") <= 5,
+                F.array(F.split(F.col("name"), " ").getItem(0)),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("aliases"),
+        )
     )
     out = linked_entities(
         docs, inventory, id_col="doc_id", text_col="text", max_span=2
@@ -925,12 +941,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_histogram": _q_payload_histogram,
         "fingerprint_counts": _q_fingerprints,
         "entity_span_candidates": _q_entity_span_candidates,
-        # minhash_dedup_clusters, training_prompts and eval_examples ARE
-        # oracle-checked end-to-end (see oracle_sql: exact all-pairs + CC
-        # for the first; full SQL prompt reconstruction for the other two).
-        # The remaining rows-only queries run on the in-process synthetic
-        # gold world, which DuckDB's parquet views cannot reproduce (their
-        # correctness gates live in tests/ as exact-golden assertions).
+        # minhash_dedup_clusters, training_prompts, eval_examples and
+        # entity_linking ARE oracle-checked end-to-end (see oracle_sql).
+        # Only er_clusters_synthetic and prompt_path_assignments remain
+        # rows-only: both run Arrow float32 scoring kernels (hashed-
+        # embedding cosine / batched MLM scores) whose bit patterns no
+        # float64 SQL engine can reproduce, and both run on the in-process
+        # synthetic gold world; their correctness gates are the exact-
+        # golden F1/accuracy assertions in tests/.
         "minhash_dedup_clusters": _q_minhash_clusters,
         "er_clusters_synthetic": _q_er_clusters_synthetic,
         "entity_linking": _q_entity_linking,
@@ -1433,6 +1451,7 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (ORDER BY c DESC, span_key ASC) AS entity_id
                 FROM (SELECT span_key, count(*) AS c FROM spans
                       WHERE n_tokens = 2 GROUP BY span_key HAVING count(*) >= 16))
+              WHERE entity_id <= 40
             ),
             alias_rows AS (
               SELECT DISTINCT key, entity_id, entity_name, description, entity_url
@@ -1442,9 +1461,10 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT string_split(name, ' ')[1] AS key, entity_id,
                        name AS entity_name, description, entity_url FROM kb
+                WHERE entity_id <= 5
               )
             ),
-            ranked AS (
+            ranked AS MATERIALIZED (
               SELECT s.doc_id, s.start_token, s.end_token, s.n_tokens,
                      s.span_text, a.entity_id, a.entity_name, a.description,
                      a.entity_url,
