@@ -89,6 +89,27 @@ def test_simhash_hamming_bounds(tokens):
     assert hamming64(h, ~h & ((1 << 64) - 1)) == 64
 
 
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(), st.just([]), st.lists(_ascii_word, min_size=1, max_size=40)
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_simhash_batch_identity(bags):
+    """The vectorized bit-plane batch kernel is bit-identical to the
+    per-row reference, including None/empty bags and slab splits."""
+    from word_sense_disambiguation_spark.functions.hashing import simhash64_batch
+
+    ref = [simhash64(b or []) for b in bags]
+    assert [int(x) for x in simhash64_batch(bags)] == ref
+    # a tiny slab bound forces documents to straddle slabs
+    assert [int(x) for x in simhash64_batch(bags, max_occ=3)] == ref
+
+
 @settings(max_examples=50, deadline=None)
 @given(st.text(min_size=0, max_size=150), st.text(min_size=0, max_size=150))
 def test_minhash_union_is_elementwise_min(a, b):
