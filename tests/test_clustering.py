@@ -94,3 +94,29 @@ def test_cc_iterative_and_local_paths_identical(spark):
     }
     assert slocal == siter
     assert slocal == {f"m{k:03d}": f"m{v:03d}" for k, v in local.items()}
+
+
+def test_cc_contraction_solve_path_identical(spark):
+    """Third physical strategy: big-graph entry -> parallel contraction
+    pass -> (contracted fits) single-task solve. Forced by a threshold
+    between the contracted size and the raw edge count; must agree with
+    the default path and the union-find oracle, self-loops included."""
+    rng = random.Random(11)
+    # clustered graph (contracts strongly) + an isolated self-loop
+    edges = []
+    for c in range(12):
+        members = [c * 100 + i for i in range(15)]
+        edges += [
+            (rng.choice(members), rng.choice(members)) for _ in range(40)
+        ]
+    edges.append((9999, 9999))
+    df = spark.createDataFrame(edges, schema="src long, dst long")
+    default = {r.node: r.component for r in connected_components(df).collect()}
+    # raw edge count > threshold > contracted star count (~#nodes)
+    forced = {
+        r.node: r.component
+        for r in connected_components(
+            df, small_graph_threshold=len(edges) - 1
+        ).collect()
+    }
+    assert forced == default == _uf_oracle(edges)

@@ -25,7 +25,13 @@ materialized edge count picks the physical plan: below
 ``small_graph_threshold`` the whole graph runs as ONE single-task job —
 vectorized NumPy min-label propagation with pointer jumping inside
 ``mapInPandas`` — and the iterative path is reserved for graphs that
-genuinely exceed one executor's memory. Both paths produce identical
+genuinely exceed one executor's memory. Big graphs first get ONE
+executor-parallel contraction pass (:func:`_contract_once`: hash-
+partition by node, solve each partition's subgraph with the same NumPy
+kernel, emit local star edges) — on clustered data this collapses the
+edge set near O(nodes), so the adaptive solve usually runs single-task
+after all and the O(log^2 n) global star rounds only fire for graphs
+that stay huge even contracted. All paths produce identical
 (node, min-member) output (tested against each other and a union-find
 oracle).
 
@@ -80,41 +86,70 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _local_cc(e0: DataFrame) -> DataFrame:
-    """Single-task CC for small graphs: min-label propagation with pointer
-    jumping over NumPy arrays (no python-speed loop over edges), one job,
-    zero iterative driver rounds. ``component = min member`` falls out of
-    sorted factorization (label order == value order)."""
+def _cc_kernel_run(batches):
+    """NumPy min-label CC over whatever edge batches this task receives:
+    sorted factorization + min-propagation with pointer jumping. Emits one
+    (node, component=min reachable member) row per distinct id seen."""
     import numpy as np
     import pandas as pd
 
+    srcs, dsts = [], []
+    for pdf in batches:
+        if len(pdf):
+            srcs.append(pdf["src"])
+            dsts.append(pdf["dst"])
+    if not srcs:
+        return
+    s = pd.concat(srcs, ignore_index=True)
+    d = pd.concat(dsts, ignore_index=True)
+    codes, uniques = pd.factorize(pd.concat([s, d], ignore_index=True), sort=True)
+    n = len(s)
+    a, b = codes[:n], codes[n:]
+    lab = np.arange(len(uniques), dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, a, lab[b])
+        np.minimum.at(lab, b, lab[a])
+        np.minimum(lab, lab[lab], out=lab)  # pointer jumping
+        if np.array_equal(lab, old):
+            break
+    yield pd.DataFrame({"node": uniques, "component": uniques[lab]})
+
+
+def _local_cc(e0: DataFrame) -> DataFrame:
+    """Single-task CC for small graphs: the NumPy kernel over ALL edges in
+    one job — zero iterative driver rounds. ``component = min member``
+    falls out of sorted factorization (label order == value order)."""
     node_t = e0.schema["src"].dataType.simpleString()
-
-    def run(batches):
-        srcs, dsts = [], []
-        for pdf in batches:
-            if len(pdf):
-                srcs.append(pdf["src"])
-                dsts.append(pdf["dst"])
-        if not srcs:
-            return
-        s = pd.concat(srcs, ignore_index=True)
-        d = pd.concat(dsts, ignore_index=True)
-        codes, uniques = pd.factorize(pd.concat([s, d], ignore_index=True), sort=True)
-        n = len(s)
-        a, b = codes[:n], codes[n:]
-        lab = np.arange(len(uniques), dtype=np.int64)
-        while True:
-            old = lab.copy()
-            np.minimum.at(lab, a, lab[b])
-            np.minimum.at(lab, b, lab[a])
-            np.minimum(lab, lab[lab], out=lab)  # pointer jumping
-            if np.array_equal(lab, old):
-                break
-        yield pd.DataFrame({"node": uniques, "component": uniques[lab]})
-
     return e0.coalesce(1).mapInPandas(
-        run, schema=f"node {node_t}, component {node_t}"
+        _cc_kernel_run, schema=f"node {node_t}, component {node_t}"
+    )
+
+
+def _contract_once(e: DataFrame) -> DataFrame:
+    """One PARALLEL contraction pass for big graphs: symmetrize, hash-
+    partition by src (co-locating every node's full edge list), run the
+    same NumPy CC kernel independently inside each partition, and emit the
+    per-partition (node -> local min label) star edges.
+
+    Connectivity-preserving by construction — each task's output stars
+    span exactly the components of its own edge subset, and the union of
+    subsets is the input — so downstream solving on the contracted edge
+    set yields the same components over the same node set. On clustered
+    data (the ER/dedup case) a single pass collapses most intra-cluster
+    edges to O(nodes) stars, shrinking what the adaptive solve must
+    handle; worst case (every cluster splits across all partitions) it is
+    bounded by one star row per edge endpoint. This is the executor-
+    parallel shrink that keeps the driver-serial round count low at
+    10^12-row scale: contraction scales with executors, while star rounds
+    cost O(log^2 n) global shuffles no matter how many executors exist."""
+    node_t = e.schema["src"].dataType.simpleString()
+    sym = _symmetrize(e)
+    stars = sym.repartition(F.col("src")).mapInPandas(
+        _cc_kernel_run, schema=f"node {node_t}, component {node_t}"
+    )
+    return stars.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("src"), F.col("component").alias("dst")
     )
 
 
@@ -153,8 +188,21 @@ def connected_components(
             F.col("src").alias("node"), F.col("src").alias("component")
         )
 
+    # parallel shrink BEFORE any global star round: one per-partition
+    # NumPy contraction pass (executor-parallel, one shuffle) typically
+    # collapses clustered edge sets near O(nodes); if the contracted graph
+    # now fits the single-task solve, the driver-serial iterative rounds
+    # are skipped entirely — otherwise the rounds run on the smaller graph.
+    contracted = _contract_once(e).localCheckpoint(eager=True)
+    if contracted.count() <= small_graph_threshold:
+        sol = _local_cc(contracted)
+        iso = isolated.join(
+            sol.select("node"), isolated["src"] == F.col("node"), "left_anti"
+        ).select(F.col("src").alias("node"), F.col("src").alias("component"))
+        return sol.union(iso)
+
     prev = None
-    cur = e
+    cur = contracted
     for _ in range(max_iter):
         # non-eager checkpoint: the checksum action below materializes it,
         # so each round costs ONE driver job (materialize + converge test
