@@ -89,6 +89,25 @@ def test_simhash_hamming_bounds(tokens):
     assert hamming64(h, ~h & ((1 << 64) - 1)) == 64
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_parse_image_dims_never_raises_on_garbage(payload):
+    """Crawl payloads are adversarial by default: the header parser must
+    return a tuple or None on ANY byte string, never raise — malformed
+    input falls through to the fake decoder. Also fuzzes prefixes that
+    start like real formats (PNG signature / JPEG SOI) but truncate."""
+    from word_sense_disambiguation_spark.operators.multimodal import (
+        parse_image_dims,
+    )
+
+    for p in (payload, b"\x89PNG\r\n\x1a\n" + payload, b"\xff\xd8" + payload):
+        out = parse_image_dims(p)
+        assert out is None or (
+            len(out) == 3 and out[0] in ("png", "jpeg")
+            and out[1] >= 0 and out[2] >= 0
+        )
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     st.lists(

@@ -149,3 +149,37 @@ def test_entity_linking_plan_shape(spark, sworld, tmp_path):
     ]
     joined = "\n".join(scan_lines) or plan
     assert "html" not in joined, joined
+
+
+def test_capped_candidate_join_plan_shapes(spark):
+    """The skew-cap contract in physical plans, for BOTH capped dedup
+    joins: the oversized-block exclusion is a broadcast anti-join (never a
+    shuffled one — the oversized table is tiny by construction), and the
+    signature kernel runs ZERO times in the pair plan (it was
+    checkpointed once; an uncheckpointed plan would show one MapInPandas
+    per consumer subtree)."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        embedding_near_duplicates,
+        simhash_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i % 7} delta") for i in range(60)],
+        schema="doc_id long, text string",
+    )
+    pairs, _ = simhash_candidates(docs, "doc_id", "text", max_hamming=3)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vecs = [
+        (i, [float(x) for x in rng.normal(size=16)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(vecs, schema="vec_id long, embedding array<float>")
+    matches, _ = embedding_near_duplicates(emb, "vec_id", "embedding", bits=6)
+    eplan = matches._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in eplan, eplan[:1500]
+    assert "BroadcastHashJoin" in eplan and "LeftAnti" in eplan, eplan[:1500]
