@@ -772,6 +772,31 @@ def _q_image_header_dims(spark, sf_dir):
     )
 
 
+def _q_site_quota_sample(spark, sf_dir):
+    """Per-site quota sampling (CCNet-style corpus curation): keep the 7
+    deterministically-hash-smallest pages per site via the salted
+    two-level top-K (never a per-site window — hot-site safe). Oracle is
+    the definitionally-equivalent global row_number form."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        site_quota_sample,
+    )
+    from word_sense_disambiguation_spark.sources.pages import pages_from_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return site_quota_sample(pages_from_documents(docs), "url", quota=7, seed=42)
+
+
+def _q_quality_rule_flags(spark, sf_dir):
+    """Gopher-style per-document quality gates, pure codegen: length,
+    mean word length, symbol ratio, duplicate-sentence fraction."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        quality_rule_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_rule_flags(docs)
+
+
 def _q_prompt_path_assignments(spark, sf_dir):
     """Full prompt path: build MC prompts, batched 128-way scorer, decode."""
     from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
@@ -941,6 +966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_histogram": _q_payload_histogram,
         "fingerprint_counts": _q_fingerprints,
         "entity_span_candidates": _q_entity_span_candidates,
+        "site_quota_sample": _q_site_quota_sample,
+        "quality_rule_flags": _q_quality_rule_flags,
         # minhash_dedup_clusters, training_prompts, eval_examples and
         # entity_linking ARE oracle-checked end-to-end (see oracle_sql).
         # Only er_clusters_synthetic and prompt_path_assignments remain
@@ -1411,6 +1438,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.end_token AS INT) AS end_token, s.span_key,
                    CAST(i.entity_id AS BIGINT) AS entity_id
             FROM spans s JOIN inv i USING (span_key)
+        """,
+        # Corpus-curation filters. site_quota_sample: the salted two-level
+        # top-K equals a global per-site top-K (the K smallest of a set
+        # are among the K smallest of each part), so the oracle is the
+        # plain row_number form over the same portable hash order.
+        "site_quota_sample": """
+            WITH p AS (
+              SELECT source AS site,
+                     'https://crawl.example/' || source || '/doc-'
+                       || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url
+              FROM documents
+            ),
+            h AS (
+              SELECT site, url,
+                     CAST(('0x' || substr(md5('42:q:' || url), 1, 8)) AS BIGINT)
+                       AS order_hash
+              FROM p
+            ),
+            r AS (
+              SELECT site, url, order_hash,
+                     row_number() OVER (PARTITION BY site
+                                        ORDER BY order_hash, url) AS rn
+              FROM h
+            )
+            SELECT site, url, order_hash FROM r WHERE rn <= 7
+        """,
+        # Every ratio is a single IEEE division of exact integer counts,
+        # so float64 agrees bit-for-bit across engines.
+        "quality_rule_flags": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+                     length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
+                     length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_sym,
+                     length(text) AS n_chars,
+                     list_filter(list_transform(string_split_regex(text, '\.'),
+                                                s -> trim(s)),
+                                 s -> s <> '') AS sents
+              FROM documents
+            ),
+            d AS (
+              SELECT doc_id, n_words,
+                     CAST(n_alnum AS DOUBLE) / greatest(n_words, 1) AS mean_word_len,
+                     CAST(n_sym AS DOUBLE) / greatest(n_chars, 1) AS symbol_ratio,
+                     CAST(len(sents) - len(list_distinct(sents)) AS DOUBLE)
+                       / greatest(len(sents), 1) AS dup_sentence_frac
+              FROM m
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   dup_sentence_frac,
+                   n_words >= 10 AND n_words <= 100000 AS r_len,
+                   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_word_len,
+                   symbol_ratio <= 0.25 AS r_symbol,
+                   dup_sentence_frac <= 0.30 AS r_dup_sent,
+                   (n_words >= 10 AND n_words <= 100000)
+                   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                   AND symbol_ratio <= 0.25
+                   AND dup_sentence_frac <= 0.30 AS keep
+            FROM d
         """,
         # T14 composite: same tokenizer/span/sentence rules as
         # entity_span_candidates, a derived KB (top bigrams >= 16, first

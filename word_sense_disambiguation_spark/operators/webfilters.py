@@ -1,0 +1,145 @@
+"""Web-corpus curation filters: per-site quotas and quality-rule gates.
+
+The operations a Common-Crawl-scale training-data pipeline applies before
+tokenizing anything (the CCNet / Gopher preprocessing family — rule shapes
+after Rae et al. 2021 §A1.1 and Wenzek et al. 2020; thresholds here are
+engine defaults, not paper-exact):
+
+* :func:`site_quota_sample` — keep at most ``quota`` pages per site,
+  chosen by a portable deterministic hash order (no ``rand()``: same
+  sample at local[1] and on 1000 executors, and re-runs are identical).
+  Implemented as a SALTED two-level top-K, never a per-site window: a hot
+  site (the crawl reality: one domain with 10^8 pages) would funnel a
+  window through one task, while two bounded map-side top-Ks keep every
+  task's state at O(salts * quota).
+* :func:`quality_rule_flags` — per-document boolean rule columns + the
+  conjunction keep flag, entirely in whole-stage codegen (one scan, no
+  shuffle, no Python): length bounds, mean-word-length bounds, symbol
+  ratio, and a duplicate-sentence fraction over the in-document sentence
+  multiset.
+
+Both are exact-SQL-expressible by construction and hash-checked by the
+driver oracles (``site_quota_sample``, ``quality_rule_flags``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SITE_RE = r"^[a-z]+://[^/]+/([^/]+)/"
+
+
+def site_of(url_col: Column) -> Column:
+    """First path segment as the site/partition key (the crawl's layout
+    puts the source collection there; swap the regex for parse_url(HOST)
+    on corpora where the host varies)."""
+    return F.regexp_extract(url_col, SITE_RE, 1)
+
+
+def _order_hash(url_col: Column, seed: int) -> Column:
+    """Portable per-url order key: first 8 md5 hex chars as a long (same
+    value in DuckDB via ('0x' || substr(md5(...), 1, 8))::BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:q:"), url_col)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def site_quota_sample(
+    pages: DataFrame,
+    url_col: str = "url",
+    quota: int = 10,
+    seed: int = 42,
+    salts: int = 16,
+) -> DataFrame:
+    """(pages) -> at most ``quota`` rows per site: the globally smallest
+    ``quota`` (order_hash, url) pairs per site, deterministic.
+
+    Two-level top-K: per (site, salt) each aggregate holds at most
+    ``quota`` candidates (array_sort + slice inside the agg), then the
+    per-site merge re-slices the at-most ``salts * quota`` survivors.
+    Equivalent to a global per-site top-K because the K smallest elements
+    of a set are among the K smallest of each part — but no task ever
+    materializes a hot site's full membership.
+    """
+    u = F.col(url_col)
+    h = _order_hash(u, seed)
+    salt = (h % salts).cast("int")
+    keyed = pages.select(
+        site_of(u).alias("site"),
+        salt.alias("_salt"),
+        F.struct(h.alias("h"), u.alias("url")).alias("_cand"),
+    )
+    part = (
+        keyed.groupBy("site", "_salt")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("_cand")), 1, quota).alias("_top")
+        )
+    )
+    merged = (
+        part.groupBy("site")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("_top"))), 1, quota
+            ).alias("_top")
+        )
+        .select("site", F.explode("_top").alias("_c"))
+    )
+    return merged.select(
+        "site", F.col("_c.url").alias(url_col), F.col("_c.h").alias("order_hash")
+    )
+
+
+def quality_rule_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.25,
+    max_dup_sentence_frac: float = 0.30,
+) -> DataFrame:
+    """Per-document rule booleans + keep flag, pure codegen.
+
+    * ``r_len``: whitespace word count within [min_words, max_words];
+    * ``r_word_len``: mean word length (alnum chars / words, one IEEE
+      division) within bounds;
+    * ``r_symbol``: non-alnum-non-space character fraction <= threshold;
+    * ``r_dup_sent``: fraction of '.'-delimited sentences that are
+      duplicates of an earlier one (1 - distinct/total) <= threshold —
+      the in-document repetition signal that catches boilerplate;
+    * ``keep`` = conjunction.
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.size(words)
+    n_alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", ""))
+    n_sym = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    n_chars = F.length(t)
+    mean_wl = n_alnum.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    sym_ratio = n_sym.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    sents = F.filter(
+        F.transform(F.split(t, r"\."), lambda s: F.trim(s)), lambda s: s != ""
+    )
+    dup_frac = (
+        (F.size(sents) - F.size(F.array_distinct(sents))).cast("double")
+        / F.greatest(F.size(sents), F.lit(1)).cast("double")
+    )
+    r_len = (n_words >= min_words) & (n_words <= max_words)
+    r_word_len = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    r_symbol = sym_ratio <= max_symbol_ratio
+    r_dup = dup_frac <= max_dup_sentence_frac
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        dup_frac.alias("dup_sentence_frac"),
+        r_len.alias("r_len"),
+        r_word_len.alias("r_word_len"),
+        r_symbol.alias("r_symbol"),
+        r_dup.alias("r_dup_sent"),
+        (r_len & r_word_len & r_symbol & r_dup).alias("keep"),
+    )
