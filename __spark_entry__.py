@@ -797,6 +797,35 @@ def _q_quality_rule_flags(spark, sf_dir):
     return quality_rule_flags(docs)
 
 
+def _q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization over deterministically-messed-up variants of
+    the crawl urls (scheme case, www, default port, tracking params,
+    param order, trailing slash, fragment). The oracle computes the
+    EXPECTED canonical directly from the planting formulas — an
+    independent ground truth, not a mirrored implementation."""
+    from word_sense_disambiguation_spark.operators.webfilters import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    pp = F.concat(
+        F.lit("/"), F.col("source"), F.lit("/doc-"),
+        F.lpad(F.col("doc_id").cast("string"), 9, "0"),
+    )
+    base = F.concat(F.lit("https://crawl.example"), pp)
+    m = F.col("doc_id") % 5
+    variant = (
+        F.when(m == 0, base)
+        .when(m == 1, F.concat(F.lit("HTTPS://WWW.Crawl.Example:443"), pp))
+        .when(m == 2, F.concat(base, F.lit("?z=9&utm_campaign=x&a=1&utm_source=s")))
+        .when(m == 3, F.concat(base, F.lit("/")))
+        .otherwise(F.concat(base, F.lit("#frag")))
+    )
+    return docs.select(
+        "doc_id",
+        variant.alias("url_variant"),
+        canonical_url(variant).alias("canonical_url"),
+    )
+
+
 def _q_prompt_path_assignments(spark, sf_dir):
     """Full prompt path: build MC prompts, batched 128-way scorer, decode."""
     from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
@@ -968,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_span_candidates": _q_entity_span_candidates,
         "site_quota_sample": _q_site_quota_sample,
         "quality_rule_flags": _q_quality_rule_flags,
+        "url_canonicalize": _q_url_canonicalize,
         # minhash_dedup_clusters, training_prompts, eval_examples and
         # entity_linking ARE oracle-checked end-to-end (see oracle_sql).
         # Only er_clusters_synthetic and prompt_path_assignments remain
@@ -1463,6 +1493,32 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             )
             SELECT site, url, order_hash FROM r WHERE rn <= 7
+        """,
+        # The expected canonical comes straight from the planting
+        # formulas (every variant of a doc canonicalizes to the same
+        # clean url; doc_id%5==2 additionally keeps '?a=1&z=9' after
+        # tracking-param removal and sorting) — ground truth independent
+        # of the canonicalizer's own regex chain.
+        "url_canonicalize": """
+            WITH p AS (
+              SELECT doc_id,
+                     '/' || source || '/doc-'
+                       || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS pp
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE CAST(doc_id % 5 AS INTEGER)
+                     WHEN 0 THEN 'https://crawl.example' || pp
+                     WHEN 1 THEN 'HTTPS://WWW.Crawl.Example:443' || pp
+                     WHEN 2 THEN 'https://crawl.example' || pp
+                       || '?z=9&utm_campaign=x&a=1&utm_source=s'
+                     WHEN 3 THEN 'https://crawl.example' || pp || '/'
+                     ELSE 'https://crawl.example' || pp || '#frag'
+                   END AS url_variant,
+                   'https://crawl.example' || pp
+                     || CASE WHEN CAST(doc_id % 5 AS INTEGER) = 2
+                             THEN '?a=1&z=9' ELSE '' END AS canonical_url
+            FROM p
         """,
         # Every ratio is a single IEEE division of exact integer counts,
         # so float64 agrees bit-for-bit across engines.

@@ -79,6 +79,33 @@ def test_site_quota_hot_site_bounded(spark):
     assert len(by_site["cold"]) == 3
 
 
+def test_canonical_url_cases(spark):
+    from word_sense_disambiguation_spark.operators.webfilters import canonical_url
+
+    cases = [
+        ("https://example.com/a/b", "https://example.com/a/b"),
+        ("HTTPS://WWW.Example.COM:443/a/b/", "https://example.com/a/b"),
+        ("http://example.com:80/", "http://example.com/"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),  # non-default port kept
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com//", "https://example.com/"),
+        ("https://e.com/p?b=2&a=1", "https://e.com/p?a=1&b=2"),
+        (
+            "https://e.com/p?utm_source=x&z=1&fbclid=abc&gclid=1&utm_campaign=c",
+            "https://e.com/p?z=1",
+        ),
+        ("https://e.com/p?utm_source=x", "https://e.com/p"),
+        ("https://e.com/p#frag", "https://e.com/p"),
+        ("https://e.com/p?a=1#frag", "https://e.com/p?a=1"),
+        # 'utmx=1' is NOT a tracking param (the rule anchors on utm_)
+        ("https://e.com/p?utmx=1", "https://e.com/p?utmx=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], schema="url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)
+
+
 def test_quality_rule_flags(spark):
     good = " ".join(f"word{i} fine tokens here" for i in range(10)) + "."
     rows = [

@@ -90,6 +90,51 @@ def site_quota_sample(
     )
 
 
+def canonical_url(url_col: Column) -> Column:
+    """Crawl-grade URL canonicalization, pure codegen: lowercase scheme +
+    host, strip a leading ``www.``, strip the scheme-default port, drop
+    the fragment, collapse an empty path to ``/`` and trailing slashes
+    otherwise, drop tracking query params (``utm_*``/``fbclid``/``gclid``)
+    and SORT the survivors so param order never splits a dedup group.
+
+    Built from anchored regexps (not a URL library) so the DuckDB oracle
+    can mirror it expression-for-expression; dot-segment resolution
+    (``/a/../b``) is deliberately out of scope — a resolver belongs in
+    the fetcher, not the dedup key.
+    """
+    u = F.trim(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    # strip ALL trailing slashes, then restore the bare root: handles
+    # '', '/', '/a/b/', and the degenerate '//' with one rule
+    path = F.regexp_replace(
+        F.regexp_extract(u, r"^[^:]+://[^/?#]+([^?#]*)", 1), "/+$", ""
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "")
+            & ~p.rlike(r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)="),
+        )
+    )
+    qs = F.concat_ws("&", params)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
 def quality_rule_flags(
     docs: DataFrame,
     id_col: str = "doc_id",
