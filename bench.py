@@ -146,11 +146,18 @@ def main() -> None:
         recovered = oversized_star_pairs(
             a.filter(F.col("decision") != "assigned"), oversized
         )
+        # NO distinct() on the union: duplicate pairs are HARMLESS here —
+        # the scorer is row-wise-deterministic and CC is duplicate-edge-
+        # tolerant — and on this workload the sources barely overlap at
+        # all (measured raw == distinct at sf0.1: same-sense canopies live
+        # in oversized surface blocks, which the all-pairs source skips).
+        # The dedup shuffle was a pure extra stage (~0.8s at local[32]);
+        # a corpus where canopies sit inside small blocks would merely
+        # re-score its few overlap pairs.
         pairs = (
             sense_block_star_pairs(a)
             .unionByName(small.select("id_a", "id_b"))
             .unionByName(recovered)
-            .distinct()
         )
         edges = score_mention_pairs(pairs, a)
         return cluster_mentions(edges).count()

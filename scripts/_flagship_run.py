@@ -83,11 +83,12 @@ def main() -> None:
         recovered = oversized_star_pairs(
             a.filter(F.col("decision") != "assigned"), oversized
         )
+        # no distinct(): sources are disjoint on this path and downstream
+        # tolerates duplicate pairs — see bench.py's rationale
         prs = (
             sense_block_star_pairs(a)
             .unionByName(small.select("id_a", "id_b"))
             .unionByName(recovered)
-            .distinct()
         )
         edges = score_mention_pairs(prs, a)
         _materialize(cluster_mentions(edges))
