@@ -797,6 +797,18 @@ def _q_quality_rule_flags(spark, sf_dir):
     return quality_rule_flags(docs)
 
 
+def _q_boilerplate_dedup(spark, sf_dir):
+    """Cross-corpus boilerplate sentence removal (CCNet line-dedup
+    analogue): sentences appearing in > 3 distinct documents drop from
+    every document; survivors reassemble in original order."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        drop_boilerplate_sentences,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return drop_boilerplate_sentences(docs, "doc_id", "text", max_docs=3)
+
+
 def _q_url_canonicalize(spark, sf_dir):
     """URL canonicalization over deterministically-messed-up variants of
     the crawl urls (scheme case, www, default port, tracking params,
@@ -998,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_quota_sample": _q_site_quota_sample,
         "quality_rule_flags": _q_quality_rule_flags,
         "url_canonicalize": _q_url_canonicalize,
+        "boilerplate_dedup": _q_boilerplate_dedup,
         # minhash_dedup_clusters, training_prompts, eval_examples and
         # entity_linking ARE oracle-checked end-to-end (see oracle_sql).
         # Only er_clusters_synthetic and prompt_path_assignments remain
@@ -1493,6 +1506,42 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             )
             SELECT site, url, order_hash FROM r WHERE rn <= 7
+        """,
+        # Same sentence split/trim/normalize rules, same > max_docs
+        # document-frequency cutoff, same ordered reassembly contract
+        # ('. '-joined + terminal '.'; '' when nothing survives).
+        "boilerplate_dedup": r"""
+            WITH s AS (
+              SELECT doc_id, sents,
+                     len(sents) AS n_total
+              FROM (
+                SELECT doc_id,
+                       list_filter(list_transform(string_split_regex(text, '\.'),
+                                                  x -> trim(x)),
+                                   x -> x <> '') AS sents
+                FROM documents)
+            ),
+            ex AS (
+              SELECT doc_id, i AS pos, sents[i + 1] AS sent,
+                     lower(sents[i + 1]) AS norm
+              FROM (SELECT doc_id, sents, unnest(range(len(sents))) AS i FROM s)
+            ),
+            hot AS (
+              SELECT norm FROM ex GROUP BY norm
+              HAVING count(DISTINCT doc_id) > 3
+            ),
+            kept AS (
+              SELECT doc_id, list(sent ORDER BY pos) AS ks
+              FROM ex WHERE norm NOT IN (SELECT norm FROM hot)
+              GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   CASE WHEN COALESCE(len(k.ks), 0) > 0
+                        THEN array_to_string(k.ks, '. ') || '.'
+                        ELSE '' END AS clean_text,
+                   CAST(COALESCE(len(k.ks), 0) AS INT) AS n_kept,
+                   CAST(s.n_total - COALESCE(len(k.ks), 0) AS INT) AS n_dropped
+            FROM s LEFT JOIN kept k ON s.doc_id = k.doc_id
         """,
         # The expected canonical comes straight from the planting
         # formulas (every variant of a doc canonicalizes to the same

@@ -106,6 +106,38 @@ def test_canonical_url_cases(spark):
         assert g == want, (u, g, want)
 
 
+def test_drop_boilerplate_sentences(spark):
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        drop_boilerplate_sentences,
+    )
+
+    banner = "accept our cookies to continue"
+    rows = [
+        (i, f"{banner}. unique content number {i} here. more text {i}.")
+        for i in range(6)
+    ]
+    rows.append((100, f"{banner}."))  # nothing survives
+    rows.append((101, "entirely original document text."))
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in drop_boilerplate_sentences(docs, max_docs=3).collect()
+    }
+    for i in range(6):
+        assert out[i].clean_text == f"unique content number {i} here. more text {i}."
+        assert out[i].n_dropped == 1 and out[i].n_kept == 2
+    assert out[100].clean_text == "" and out[100].n_kept == 0
+    assert out[100].n_dropped == 1
+    assert out[101].clean_text == "entirely original document text."
+    assert out[101].n_dropped == 0
+    # below the document-frequency cutoff nothing is touched
+    out_loose = {
+        r.doc_id: r
+        for r in drop_boilerplate_sentences(docs, max_docs=50).collect()
+    }
+    assert all(r.n_dropped == 0 for r in out_loose.values())
+
+
 def test_quality_rule_flags(spark):
     good = " ".join(f"word{i} fine tokens here" for i in range(10)) + "."
     rows = [

@@ -90,6 +90,71 @@ def site_quota_sample(
     )
 
 
+def drop_boilerplate_sentences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 10,
+) -> DataFrame:
+    """CCNet-style cross-corpus boilerplate removal: a sentence whose
+    normalized form appears in MORE than ``max_docs`` distinct documents
+    is boilerplate (cookie banners, navigation, legal footers); drop it
+    from every document and reassemble the survivors in original order.
+
+    Output: ``(id, clean_text, n_kept, n_dropped)`` — the dropped count
+    rides along per document (no silent removal). Reassembly contract:
+    kept sentences joined with ``'. '`` and terminated with ``'.'``
+    (empty string when nothing survives) — a normalization, not
+    byte-preservation; byte-level provenance stays in the source table.
+
+    Plan shape at scale: explode -> one groupBy on the normalized
+    sentence (count distinct docs, map-side partially aggregated) ->
+    join back -> one groupBy on the doc id to reassemble. Two shuffles
+    total, both on keys with bounded skew (a hot boilerplate sentence is
+    exactly what the count step detects, and it aggregates to ONE row
+    before the join back).
+    """
+    t = F.col(text_col)
+    sents = F.filter(
+        F.transform(F.split(t, r"\."), lambda s: F.trim(s)), lambda s: s != ""
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("_id"), F.posexplode(sents).alias("pos", "sent")
+    ).withColumn("_norm", F.lower(F.col("sent")))
+    hot = (
+        exploded.groupBy("_norm")
+        .agg(F.countDistinct("_id").alias("_df"))
+        .filter(F.col("_df") > max_docs)
+        .select("_norm")
+    )
+    tagged = exploded.join(hot, on="_norm", how="left_anti")
+    kept = tagged.groupBy("_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "sent"))).alias("_k")
+    )
+    n_sents_by_doc = docs.select(
+        F.col(id_col).alias("_id"), F.size(sents).alias("_n_total")
+    )
+    # coalesce before size-compare: a doc whose every sentence dropped (or
+    # that had none) arrives from the left join with _k = NULL
+    clean = F.when(
+        F.coalesce(F.size("_k"), F.lit(0)) > 0,
+        F.concat(
+            F.concat_ws(". ", F.transform("_k", lambda k: k["sent"])), F.lit(".")
+        ),
+    ).otherwise(F.lit(""))
+    return (
+        n_sents_by_doc.join(kept, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            clean.alias("clean_text"),
+            F.coalesce(F.size("_k"), F.lit(0)).alias("n_kept"),
+            (F.col("_n_total") - F.coalesce(F.size("_k"), F.lit(0))).alias(
+                "n_dropped"
+            ),
+        )
+    )
+
+
 def canonical_url(url_col: Column) -> Column:
     """Crawl-grade URL canonicalization, pure codegen: lowercase scheme +
     host, strip a leading ``www.``, strip the scheme-default port, drop
