@@ -105,10 +105,18 @@ def minhash_near_duplicate_clusters(
     edges = scored.filter(F.col("is_match")).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    loops = df.select(F.col(id_col).alias("src")).withColumn("dst", F.col("src"))
-    comp = connected_components(edges.union(loops))
-    return comp.select(
-        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    # singletons never enter CC (the overwhelming majority of a real
+    # corpus): solve components over actual match edges only, then one
+    # left join hands every unmatched row its own id — same rule as
+    # clustering.cluster_mentions.
+    comp = connected_components(edges)
+    return (
+        df.select(F.col(id_col).alias("node"))
+        .join(comp, on="node", how="left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("component"), F.col("node")).alias("cluster_id"),
+        )
     )
 
 
