@@ -35,7 +35,11 @@ _FUNC_WORDS_SQL = ", ".join(f"'{w}'" for w in sorted(FUNCTION_WORDS))
 # Python, no tokenizer: default codepoint probe). None of the symbols is a
 # single quote, so plain quoting is safe.
 _LETTERS_SQL = "[" + ", ".join("'" + c + "'" for c in build_letters().letters) + "]"
-_BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+_BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]"
+# Explicit ASCII whitespace class for every Spark expression mirrored into
+# a DuckDB oracle: Java \s includes U+000B, RE2 \s does not — spelled out
+# on BOTH sides (functions.text.WS_CLASS invariant).
+_WS = r"[ \t\n\r\f\x0B]"
 _WORD_RE = r"[A-Za-z0-9]+"
 _EN = r"\b(the|and|of|to|is)\b"
 _FR = r"\b(le|la|les|et|est)\b"
@@ -72,7 +76,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _q_token_explode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+        F.explode(F.split(F.lower(F.trim("text")), _WS + "+")).alias("token")
     )
     return (
         tok.groupBy("token")
@@ -84,7 +88,7 @@ def _q_token_explode(spark, sf_dir):
 def _q_content_filter(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), _WS + "+")).alias("token")
     )
     return (
         tok.filter(
@@ -99,7 +103,7 @@ def _q_content_filter(spark, sf_dir):
 def _q_pos_normalize(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tok = (
-        docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"))
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), _WS + "+")).alias("token"))
         .filter(
             (F.length("token") > 2)
             & ~F.col("token").isin(*sorted(FUNCTION_WORDS))
@@ -263,7 +267,7 @@ def _q_text_profile(spark, sf_dir):
 
 def _q_token_histogram(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    n = F.size(F.split(F.trim("text"), r"\s+"))
+    n = F.size(F.split(F.trim("text"), _WS + "+"))
     return (
         docs.select(F.floor(n / 10).alias("bucket"))
         .groupBy("bucket")
@@ -288,7 +292,7 @@ def _q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard within small (lang, source) blocks — the verify
     kernel of near-dup detection, on real blocked pairs."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") < 200)
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    toks = F.split(F.lower(F.trim("text")), _WS + "+")
     idx = F.sequence(F.lit(0), F.size(toks) - 3)
     grams = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
@@ -862,7 +866,7 @@ def _derived_sense_inventory(spark, sf_dir) -> DataFrame:
     cannot (its generator is not SQL-expressible)."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("lemma")
+        F.explode(F.split(F.lower(F.trim("text")), _WS + "+")).alias("lemma")
     )
     lemmas = (
         tok.filter(F.col("lemma").rlike("^[a-z]+$") & (F.length("lemma") > 3))
@@ -1032,14 +1036,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         "token_explode_counts": f"""
             SELECT token, count(*) AS n
-            FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+            FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+')) AS token
                   FROM documents)
             GROUP BY token HAVING count(*) >= 5
         """,
         "content_word_filter": f"""
             SELECT token, count(DISTINCT doc_id) AS n_docs
             FROM (SELECT doc_id,
-                         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+                         unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+')) AS token
                   FROM documents)
             WHERE length(token) > 2 AND token NOT IN ({_FUNC_WORDS_SQL})
             GROUP BY token
@@ -1047,7 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "pos_normalize": f"""
             WITH toks AS (
               SELECT DISTINCT token FROM (
-                SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+')) AS token
                 FROM documents)
               WHERE length(token) > 2 AND token NOT IN ({_FUNC_WORDS_SQL})
                 AND regexp_matches(token, '^[a-z]')
@@ -1136,7 +1140,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_profile": f"""
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+                   len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')) AS ws_tokens,
                    len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_tokens,
                    CASE WHEN en > 0 AND en = g THEN 'en'
                         WHEN fr > 0 AND fr = g THEN 'fr'
@@ -1145,7 +1149,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'und' END AS pred_lang,
                    round(
                      0.3 * least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-                   + 0.3 * greatest(1.0 - CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                   + 0.3 * greatest(1.0 - CAST(len(regexp_extract_all(text, '[^\\w \t\n\r\f\x0B]')) AS DOUBLE)
                                     / CAST(greatest(len(regexp_extract_all(text, '{_WORD_RE}')), 1) AS DOUBLE), 0.0)
                    + 0.2 * least(CAST(en AS DOUBLE) * 5.0
                                  / CAST(greatest(len(regexp_extract_all(text, '{_WORD_RE}')), 1) AS DOUBLE), 1.0)
@@ -1164,7 +1168,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         """,
         "token_histogram": """
-            SELECT CAST(floor(len(regexp_split_to_array(trim(text), '\\s+')) / 10) AS BIGINT) AS bucket,
+            SELECT CAST(floor(len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')) / 10) AS BIGINT) AS bucket,
                    count(*) AS n_docs
             FROM documents GROUP BY 1
         """,
@@ -1181,7 +1185,7 @@ def oracle_sql() -> dict[str, str]:
                        range(0, len(toks) - 2),
                        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS grams
               FROM (SELECT doc_id, lang, source,
-                           regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                           regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS toks
                     FROM documents WHERE n_chars < 200)
               WHERE len(toks) >= 3),
             ok AS (
@@ -1336,7 +1340,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, md5('sim:' || tok) AS hx
               FROM (SELECT doc_id,
                            unnest(string_split(
-                             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                             trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')),
                              ' ')) AS tok
                     FROM documents)
               WHERE tok <> ''
@@ -1380,7 +1384,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_counts": """
             WITH s AS (
               SELECT doc_id,
-                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+                     trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
               FROM documents
             ),
             kept AS (
@@ -1574,9 +1578,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_rule_flags": r"""
             WITH m AS (
               SELECT doc_id,
-                     len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+                     len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')) AS n_words,
                      length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
-                     length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_sym,
+                     length(regexp_replace(text, '[A-Za-z0-9 \t\n\r\f\x0B]', '', 'g')) AS n_sym,
                      length(text) AS n_chars,
                      list_filter(list_transform(string_split_regex(text, '\.'),
                                                 s -> trim(s)),
@@ -1696,7 +1700,7 @@ def oracle_sql() -> dict[str, str]:
             WITH letters AS (SELECT {LETTERS} AS l),
             lemmas AS (
               SELECT lemma FROM (
-                SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS lemma
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+')) AS lemma
                 FROM documents)
               WHERE regexp_matches(lemma, '^[a-z]+$') AND length(lemma) > 3
               GROUP BY lemma HAVING count(*) >= 5
@@ -1760,7 +1764,7 @@ def oracle_sql() -> dict[str, str]:
             WITH letters AS (SELECT {LETTERS} AS l),
             lemmas AS (
               SELECT lemma FROM (
-                SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS lemma
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+')) AS lemma
                 FROM documents)
               WHERE regexp_matches(lemma, '^[a-z]+$') AND length(lemma) > 3
               GROUP BY lemma HAVING count(*) >= 5
@@ -1835,7 +1839,7 @@ def oracle_sql() -> dict[str, str]:
                                  i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
                           ELSE [array_to_string(toks, ' ')] END AS grams
               FROM (SELECT doc_id,
-                           regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                           regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS toks
                     FROM documents)
             ),
             e AS (

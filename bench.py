@@ -80,7 +80,7 @@ def main() -> None:
     # "+87% regression" was exactly this staging, not the operator). A real
     # 100 TB embedding table arrives with size-proportional splits anyway.
     emb_raw = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    emb_par = max(cpus // 4, emb_raw.count() // 2000)
+    emb_par = max(1, cpus // 4, emb_raw.count() // 2000)
     emb = emb_raw.repartition(emb_par).persist()
     emb.count()
     n_pages = pages_for_scale(sf)

@@ -166,3 +166,21 @@ def test_letters_probe_property(banned):
     assert len(ls.letters) == NUM_LETTERS
     assert len(set(ls.token_ids)) == NUM_LETTERS
     assert all(ord(c) not in frozen for c in ls.letters)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(_ascii_word, _ascii_word), min_size=0, max_size=40))
+def test_jaro_winkler_batch_identity(pairs):
+    """The memoized batch kernel (equality fast path + symmetric
+    unique-pair memo) must be value-identical to the scalar kernel —
+    including duplicated pairs, flipped pairs, and empty strings."""
+    from word_sense_disambiguation_spark.functions.similarity import (
+        jaro_winkler_batch,
+    )
+
+    pairs = pairs + [(b, a) for a, b in pairs] + pairs  # dupes + flips
+    s1 = [a for a, _ in pairs]
+    s2 = [b for _, b in pairs]
+    got = jaro_winkler_batch(s1, s2)
+    for (a, b), g in zip(pairs, got):
+        assert abs(g - jaro_winkler(a, b)) < 1e-15, (a, b)

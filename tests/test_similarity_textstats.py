@@ -203,3 +203,25 @@ def test_ivf_index_is_materialized(embeddings):
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan
     assert "ExistingRDD" in plan or "LogicalRDD" in plan or "Scan" in plan
+
+
+def test_parse_image_dims_jpeg_fill_bytes():
+    """0xFF fill bytes before a marker are legal padding (ITU T.81
+    B.1.1.2) and common in real JPEGs; the segment walk must skip them
+    instead of misreading a fill byte as a length-bearing marker and
+    silently falling back to the fake decoder (ADVICE r3)."""
+    from word_sense_disambiguation_spark.datagen import synth_jpeg
+    from word_sense_disambiguation_spark.operators.multimodal import (
+        parse_image_dims,
+    )
+
+    plain = synth_jpeg(321, 123)
+    assert parse_image_dims(plain) == ("jpeg", 321, 123)
+    # fill run between APP0 and SOF0 (SOI 2 + APP0 18 = offset 20)
+    padded = plain[:20] + b"\xff" * 5 + plain[20:]
+    assert parse_image_dims(padded) == ("jpeg", 321, 123)
+    # fill run immediately after SOI
+    padded2 = plain[:2] + b"\xff" * 3 + plain[2:]
+    assert parse_image_dims(padded2) == ("jpeg", 321, 123)
+    # a payload that is nothing but SOI + fills stays a clean None
+    assert parse_image_dims(b"\xff\xd8" + b"\xff" * 16) is None

@@ -155,3 +155,104 @@ def test_quality_rule_flags(spark):
     assert not out[3].r_dup_sent and not out[3].keep
     assert out[3].dup_sentence_frac > 0.8
     assert not out[4].r_word_len and not out[4].keep
+
+
+def test_canonical_url_bare_tracking_and_malformed(spark):
+    """ADVICE r3: bare valueless tracking params must drop, and inputs
+    without a scheme://host shape canonicalize to NULL instead of the
+    degenerate '://' prefix (which would merge every malformed url into
+    one giant dedup group)."""
+    from word_sense_disambiguation_spark.operators.webfilters import canonical_url
+
+    cases = [
+        ("https://e.com/p?fbclid", "https://e.com/p"),
+        ("https://e.com/p?utm_source", "https://e.com/p"),
+        ("https://e.com/p?fbclid&a=1", "https://e.com/p?a=1"),
+        # a *different* param that merely shares the prefix is kept
+        ("https://e.com/p?fbclid2=zz", "https://e.com/p?fbclid2=zz"),
+        ("not a url at all", None),
+        ("/relative/path?x=1", None),
+        ("example.com/no-scheme", None),
+        ("://", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], schema="url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)
+
+
+def test_site_quota_plan_is_window_not_collect_list(spark):
+    """OOM-safety regression (ADVICE r3): the per-site top-K must run
+    through spillable Window groups — a collect_list aggregation buffers
+    a hot site's full (site, salt) membership in memory before any slice
+    applies, which is exactly the 10^8-page-site OOM."""
+    df = _pages(spark, [("https://x/a/p1",), ("https://x/a/p2",)])
+    plan = (
+        site_quota_sample(df, "url", quota=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+    assert "collect_list" not in plan
+
+
+def test_site_quota_hot_site_exact_set(spark):
+    """On a heavily skewed input the salted two-level window form must
+    still return exactly the global hash-smallest quota rows."""
+    from pyspark.sql import Window
+
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        _order_hash,
+        site_of,
+    )
+
+    rows = [(f"https://x/hot/p{i:06d}",) for i in range(5000)]
+    rows += [(f"https://x/cold/p{i}",) for i in range(3)]
+    df = _pages(spark, rows)
+    got = {(r.site, r.url) for r in site_quota_sample(df, "url", quota=10).collect()}
+    w = Window.partitionBy("site").orderBy("h", "url")
+    want = {
+        (r.site, r.url)
+        for r in df.select(
+            site_of(F.col("url")).alias("site"),
+            _order_hash(F.col("url"), 42).alias("h"),
+            "url",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .collect()
+    }
+    assert got == want
+    assert sum(1 for s, _ in got if s == "hot") == 10
+    assert sum(1 for s, _ in got if s == "cold") == 3
+
+
+def test_quality_rule_flags_vertical_tab_engine_parity(spark):
+    """ADVICE r3: Java \\s includes U+000B while DuckDB's RE2 \\s does
+    not — the explicit whitespace class must keep the Spark operator and
+    the driver oracle SQL identical on vertical-tab corpora."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+
+    txt = (
+        "alpha\x0bbeta gamma delta epsilon zeta eta theta iota kappa lambda mu."
+    )
+    docs = spark.createDataFrame([(0, txt)], schema="doc_id long, text string")
+    srow = quality_rule_flags(docs).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (0, ?)", [txt])
+    orow = con.execute(entrymod.oracle_sql()["quality_rule_flags"]).fetchone()
+    # columns: doc_id, n_words, mean_word_len, symbol_ratio,
+    #          dup_sentence_frac, r_len, r_word_len, r_symbol, r_dup, keep
+    assert srow.n_words == orow[1] == 12  # the VT splits alpha/beta
+    assert srow.mean_word_len == orow[2]
+    assert srow.symbol_ratio == orow[3]
+    assert srow.keep == orow[9]

@@ -13,6 +13,7 @@ UDFs on the executors, never per-row Python at the Spark layer.
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
 import zlib
 
@@ -121,9 +122,18 @@ def embed_tokens(tokens: list[str], dim: int = EMBED_DIM) -> np.ndarray:
     return v.astype(np.float32)
 
 
+_NON_WS_RE = re.compile(r"[^ \t\n\r\f\x0B]+")
+
+
 def char_shingles(text: str, k: int = 5) -> list[str]:
-    """Character k-shingles of normalized text (for MinHash/near-dup)."""
-    s = " ".join(text.lower().split())
+    """Character k-shingles of normalized text (for MinHash/near-dup).
+
+    Whitespace normalization uses the explicit ASCII class (functions.text
+    invariant), not ``str.split()``: Python's split is Unicode-aware
+    (U+00A0/U+2028/...) while the JVM/DuckDB mirrors are not — the engine
+    stays self-consistent across all three tokenization sites.
+    """
+    s = " ".join(_NON_WS_RE.findall(text.lower()))
     if len(s) < k:
         return [s] if s else []
     return [s[i : i + k] for i in range(len(s) - k + 1)]

@@ -68,6 +68,14 @@ def text_sha256(text: str) -> str:
 TOKEN_PATTERN = r"[A-Za-z0-9]+(?:'[A-Za-z0-9]+)?|[^ \t\n\r\f\x0BA-Za-z0-9]"
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 
+# Explicit ASCII whitespace for ANY expression mirrored into a DuckDB
+# oracle — never \s there: Java \s is [ \t\n\x0B\f\r] while DuckDB's RE2
+# \s omits U+000B, so a mirrored \s silently diverges on vertical tabs
+# (the same engine-divergence class as \v above). WS composes into larger
+# classes ("[^A-Za-z0-9" + WS + "]"); WS_CLASS is the class itself.
+WS = r" \t\n\r\f\x0B"
+WS_CLASS = r"[ \t\n\r\f\x0B]"
+
 
 def tokenize(text: str) -> list[tuple[str, int, int, int]]:
     """Deterministic tokenizer: ``(word, position, start_char, end_char)``.
@@ -183,5 +191,6 @@ def mark_word_in_sentence(sentence: str, word: str) -> str:
 
 
 def norm_surface(surface: str) -> str:
-    """Normalized surface form used as a blocking key."""
-    return re.sub(r"\s+", " ", surface.strip().lower())
+    """Normalized surface form used as a blocking key (explicit ASCII
+    whitespace — see the WS invariant above)."""
+    return re.sub(WS_CLASS + "+", " ", surface.lower()).strip(" ")

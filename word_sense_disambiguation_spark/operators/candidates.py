@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from word_sense_disambiguation_spark.functions.text import FUNCTION_WORDS
+from word_sense_disambiguation_spark.functions.text import FUNCTION_WORDS, WS_CLASS
 
 def prepare_senses(senses: DataFrame) -> DataFrame:
     """Derive join key + gloss profile tokens on the inventory dimension.
@@ -31,7 +31,7 @@ def prepare_senses(senses: DataFrame) -> DataFrame:
     """
     words = F.split(
         F.lower(F.concat_ws(" ", "source_definition", "alternative_definition")),
-        r"\s+",
+        WS_CLASS + "+",
     )
     func_words = F.split(F.lit(" ".join(sorted(FUNCTION_WORDS))), " ")
     profile = F.array_except(F.array_distinct(words), func_words)

@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from word_sense_disambiguation_spark.functions.text import WS_CLASS
 from word_sense_disambiguation_spark.operators.blocking import minhash_lsh_pairs
 from word_sense_disambiguation_spark.operators.clustering import connected_components
 
@@ -47,7 +48,7 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _token_ngrams(col, n: int):
     """Token n-gram array, pure Spark: slice a split-token array with a
     generated index sequence (stays in whole-stage codegen)."""
-    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    toks = F.split(F.lower(F.trim(col)), WS_CLASS + "+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.when(F.size(toks) >= n, F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
@@ -154,7 +155,15 @@ def simhash_candidates(
         for pdf in batches:
             # whole-batch kernel: explode+factorize+bit-plane bincount, no
             # per-document python loop (see functions.hashing)
-            sh = simhash64_batch(pdf[text_col].fillna("").str.lower().str.split())
+            # explicit ASCII whitespace (functions.text invariant): pandas
+            # .str.split() is Unicode-aware and would diverge from the RE2
+            # oracle on U+000B / U+00A0-class codepoints
+            sh = simhash64_batch(
+                pdf[text_col]
+                .fillna("")
+                .str.lower()
+                .str.findall(r"[^ \t\n\r\f\x0B]+")
+            )
             yield pd.DataFrame(
                 {
                     "sid": pdf[id_col],

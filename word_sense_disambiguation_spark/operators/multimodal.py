@@ -61,6 +61,13 @@ def parse_image_dims(payload: bytes) -> tuple[str, int, int] | None:
         while i + 4 <= len(payload):
             if payload[i] != 0xFF:
                 return None  # not a marker where one must be: malformed
+            # 0xFF fill bytes before a marker are legal padding (ITU T.81
+            # B.1.1.2) and common in real files: skip the run so a fill
+            # byte is never misread as a length-bearing segment marker.
+            while i + 4 <= len(payload) and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > len(payload):
+                return None
             marker = payload[i + 1]
             if marker == 0xD9:  # EOI before any SOF
                 return None

@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 from word_sense_disambiguation_spark.functions.hashing import embed_token_bags
 from word_sense_disambiguation_spark.functions.similarity import (
     cosine_batch,
-    jaro_winkler,
+    jaro_winkler_batch,
 )
 
 MATCH_THRESHOLD = 0.60
@@ -38,9 +38,11 @@ W_SENSE = 0.4
 
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-    return pd.Series(
-        [jaro_winkler(a or "", b or "") for a, b in zip(s1, s2)], dtype="float64"
-    )
+    # equality fast path + symmetric unique-pair memo per Arrow batch —
+    # the O(|s1||s2|) kernel runs once per DISTINCT unequal pair, not per
+    # row (blocked pairs repeat few distinct surfaces); see
+    # functions.similarity.jaro_winkler_batch for the measured numbers.
+    return pd.Series(jaro_winkler_batch(s1, s2), dtype="float64")
 
 
 @F.pandas_udf(T.DoubleType())

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from word_sense_disambiguation_spark.functions.text import WS_CLASS
 from word_sense_disambiguation_spark.functions.letters import (
     NOTA_LETTER_INDEX,
     build_letters,
@@ -99,7 +100,7 @@ def filter_prompts_by_length(
     Token proxy = whitespace pieces (the reference counts tokenizer tokens;
     the bound is a budget, not an exact length).
     """
-    n_tok = F.size(F.split(F.coalesce(F.col(prompt_col), F.lit("")), r"\s+"))
+    n_tok = F.size(F.split(F.coalesce(F.col(prompt_col), F.lit("")), WS_CLASS + "+"))
     kept = prompts.filter(F.col(prompt_col).isNotNull() & (n_tok <= max_tokens))
     dropped = prompts.filter(F.col(prompt_col).isNull() | (n_tok > max_tokens))
     return kept, dropped

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from word_sense_disambiguation_spark.functions.hashing import rolling_fingerprint
+from word_sense_disambiguation_spark.functions.text import WS, WS_CLASS
 
 # tiny per-language marker lexicons for the n-gram/stopword heuristic —
 # deterministic, good enough for corpus routing (real lang-id plugs into the
@@ -28,11 +29,11 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 WORD_RE = r"[A-Za-z0-9]+"
-BPE_ISH_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+BPE_ISH_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9" + WS + "]"
 
 
 def whitespace_token_count(col: Column) -> Column:
-    return F.size(F.split(F.trim(col), r"\s+"))
+    return F.size(F.split(F.trim(col), WS_CLASS + "+"))
 
 
 def bpe_ish_token_count(col: Column) -> Column:
@@ -65,7 +66,7 @@ def quality_score(col: Column) -> Column:
     """
     n_chars = F.length(col)
     n_words = F.regexp_count(col, F.lit(WORD_RE))
-    n_punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    n_punct = F.regexp_count(col, F.lit(r"[^\w" + WS + "]"))
     n_stop = _marker_hits(col, LANG_MARKERS["en"])
     wordlen = n_chars.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
     len_term = F.least(n_chars.cast("double") / F.lit(200.0), F.lit(1.0))

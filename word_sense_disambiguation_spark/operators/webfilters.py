@@ -8,10 +8,11 @@ engine defaults, not paper-exact):
 * :func:`site_quota_sample` — keep at most ``quota`` pages per site,
   chosen by a portable deterministic hash order (no ``rand()``: same
   sample at local[1] and on 1000 executors, and re-runs are identical).
-  Implemented as a SALTED two-level top-K, never a per-site window: a hot
-  site (the crawl reality: one domain with 10^8 pages) would funnel a
-  window through one task, while two bounded map-side top-Ks keep every
-  task's state at O(salts * quota).
+  Implemented as a SALTED two-level top-K over row_number windows, never
+  a per-site window and never a collect_list aggregate: a hot site (the
+  crawl reality: one domain with 10^8 pages) splits across ``salts``
+  spill-safe level-1 window groups, and the level-2 merge group is
+  hard-bounded at ``salts * quota`` rows.
 * :func:`quality_rule_flags` — per-document boolean rule columns + the
   conjunction keep flag, entirely in whole-stage codegen (one scan, no
   shuffle, no Python): length bounds, mean-word-length bounds, symbol
@@ -24,8 +25,10 @@ driver oracles (``site_quota_sample``, ``quality_rule_flags``).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from word_sense_disambiguation_spark.functions.text import WS, WS_CLASS
 
 SITE_RE = r"^[a-z]+://[^/]+/([^/]+)/"
 
@@ -50,43 +53,49 @@ def site_quota_sample(
     url_col: str = "url",
     quota: int = 10,
     seed: int = 42,
-    salts: int = 16,
+    salts: int = 64,
 ) -> DataFrame:
     """(pages) -> at most ``quota`` rows per site: the globally smallest
     ``quota`` (order_hash, url) pairs per site, deterministic.
 
-    Two-level top-K: per (site, salt) each aggregate holds at most
-    ``quota`` candidates (array_sort + slice inside the agg), then the
-    per-site merge re-slices the at-most ``salts * quota`` survivors.
+    Two-level SALTED top-K via ``row_number`` windows, never a per-SITE
+    window and never a ``collect_list`` aggregate:
+
+    * level 1 ranks within ``(site, order_hash % salts)`` — a hot site's
+      10^8 pages split across ``salts`` independent window groups, and
+      WindowExec streams each group through a SPILLABLE buffer
+      (ExternalAppendOnlyUnsafeRowBuffer), so a still-large group costs
+      disk, not an OOM. A ``collect_list``-based top-K cannot make that
+      guarantee: its per-group list buffer must fit in memory at the
+      reduce-side merge *before* any slice applies (Catalyst does not push
+      a slice into the aggregate), which is exactly the hot-site OOM.
+    * level 2 re-ranks the survivors within ``site`` — hard-bounded at
+      ``salts * quota`` input rows per group by construction.
+
     Equivalent to a global per-site top-K because the K smallest elements
-    of a set are among the K smallest of each part — but no task ever
-    materializes a hot site's full membership.
+    of a set are among the K smallest of each part. ``salts`` trades
+    level-1 parallelism on hot sites against level-2 group size
+    (``salts * quota``); raise it when one site may hold >> ``salts * 10^6``
+    pages.
     """
     u = F.col(url_col)
     h = _order_hash(u, seed)
-    salt = (h % salts).cast("int")
     keyed = pages.select(
         site_of(u).alias("site"),
-        salt.alias("_salt"),
-        F.struct(h.alias("h"), u.alias("url")).alias("_cand"),
+        (h % salts).cast("int").alias("_salt"),
+        u.alias(url_col),
+        h.alias("order_hash"),
     )
-    part = (
-        keyed.groupBy("site", "_salt")
-        .agg(
-            F.slice(F.array_sort(F.collect_list("_cand")), 1, quota).alias("_top")
-        )
+    w1 = Window.partitionBy("site", "_salt").orderBy("order_hash", url_col)
+    survivors = (
+        keyed.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= quota)
     )
-    merged = (
-        part.groupBy("site")
-        .agg(
-            F.slice(
-                F.array_sort(F.flatten(F.collect_list("_top"))), 1, quota
-            ).alias("_top")
-        )
-        .select("site", F.explode("_top").alias("_c"))
-    )
-    return merged.select(
-        "site", F.col("_c.url").alias(url_col), F.col("_c.h").alias("order_hash")
+    w2 = Window.partitionBy("site").orderBy("order_hash", url_col)
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= quota)
+        .select("site", url_col, "order_hash")
     )
 
 
@@ -166,8 +175,15 @@ def canonical_url(url_col: Column) -> Column:
     can mirror it expression-for-expression; dot-segment resolution
     (``/a/../b``) is deliberately out of scope — a resolver belongs in
     the fetcher, not the dedup key.
+
+    Inputs that do not match the ``scheme://host`` shape canonicalize to
+    NULL (never the degenerate ``'://'`` prefix): a malformed crawl url
+    must not collide into one giant dedup group. Tracking params are
+    dropped whether or not they carry a value (``?fbclid`` and
+    ``?fbclid=x`` both go).
     """
     u = F.trim(url_col)
+    well_formed = u.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     host = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]+)", 1))
     host = F.regexp_replace(host, r"^www\.", "")
@@ -187,16 +203,19 @@ def canonical_url(url_col: Column) -> Column:
         F.filter(
             F.split(q, "&"),
             lambda p: (p != "")
-            & ~p.rlike(r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)="),
+            & ~p.rlike(r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)(=|$)"),
         )
     )
     qs = F.concat_ws("&", params)
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    return F.when(
+        well_formed,
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        ),
     )
 
 
@@ -223,10 +242,10 @@ def quality_rule_flags(
     * ``keep`` = conjunction.
     """
     t = F.col(text_col)
-    words = F.split(F.trim(t), r"\s+")
+    words = F.split(F.trim(t), WS_CLASS + "+")
     n_words = F.size(words)
     n_alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", ""))
-    n_sym = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    n_sym = F.length(F.regexp_replace(t, r"[A-Za-z0-9" + WS + "]", ""))
     n_chars = F.length(t)
     mean_wl = n_alnum.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
     sym_ratio = n_sym.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
