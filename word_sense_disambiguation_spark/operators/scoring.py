@@ -121,11 +121,16 @@ def context_gloss_cosine(
     return pd.Series(cosine_batch(A, B))
 
 
-def score_candidates(candidates: DataFrame) -> DataFrame:
+def score_candidates(candidates: DataFrame, use_cosine: bool = True) -> DataFrame:
     """Attach ``score`` to each candidate row (null for empty-candidate rows).
 
     score = overlap/(overlap+1) + COSINE_WEIGHT * max(cosine, 0): gloss
     overlap dominates, the embedding breaks near-ties.
+
+    ``use_cosine=False`` is the Lesk-only config: the cosine UDF never
+    enters the plan (no python worker anywhere) and the score is a single
+    IEEE division of integer counts — exact enough for a SQL hash oracle
+    to replay the whole assignment stage (``er_clusters_derived``).
 
     The empty-candidate short-circuit (reference: no model call,
     ``...py:250-257``) is *logical* here: inventory-miss rows get a null
@@ -140,6 +145,10 @@ def score_candidates(candidates: DataFrame) -> DataFrame:
     """
     overlap = F.size(F.array_intersect("context_words", "profile_words"))
     lesk = overlap.cast("double") / (overlap + F.lit(1)).cast("double")
+    if not use_cosine:
+        return candidates.withColumn(
+            "score", F.when(F.col("sense_id").isNotNull(), lesk)
+        )
     # Arrow-batched cosine: one md5 per *unique* token (executor-lifetime
     # memo) + one NumPy GEMM-style batch — measured 30x faster than the
     # all-JVM higher-order-function form (see _emb_pairs_sql warning).
