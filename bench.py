@@ -49,6 +49,8 @@ def main() -> None:
         brute_force_topk,
         ivf_index,
         ivf_topk,
+        lsh_index,
+        lsh_topk,
     )
     from word_sense_disambiguation_spark.operators.textstats import text_profile
     from word_sense_disambiguation_spark.operators.tokenize import (
@@ -183,6 +185,15 @@ def main() -> None:
         lambda: ivf_topk(
             emb, queries_vec, k=10, n_lists=32, n_probe=8, index=ivf
         ).count(),
+    )
+    # third ANN shape: multi-table hyperplane LSH with the signature table
+    # prebuilt+persisted (untimed, amortized like the IVF quantizer);
+    # the timed probe is broadcast-join + windowed re-rank only.
+    lsh = lsh_index(emb).persist()
+    lsh.count()
+    timed(
+        "ann_lsh",
+        lambda: lsh_topk(emb, queries_vec, k=10, index=lsh).count(),
     )
     timed("text_profile", lambda: text_profile(docs, "doc_id", "text").count())
 

@@ -225,3 +225,21 @@ def test_parse_image_dims_jpeg_fill_bytes():
     assert parse_image_dims(padded2) == ("jpeg", 321, 123)
     # a payload that is nothing but SOI + fills stays a clean None
     assert parse_image_dims(b"\xff\xd8" + b"\xff" * 16) is None
+
+
+def test_lsh_prebuilt_index_identity(spark, embeddings, queries):
+    """lsh_topk with a prebuilt (persisted) signature table must equal the
+    build-inline form — the amortized-index contract the bench times."""
+    from word_sense_disambiguation_spark.operators.similarity_search import (
+        lsh_index,
+        lsh_topk,
+    )
+
+    idx = lsh_index(embeddings).persist()
+    idx.count()
+    try:
+        a = sorted(map(tuple, lsh_topk(embeddings, queries, index=idx).collect()))
+        b = sorted(map(tuple, lsh_topk(embeddings, queries).collect()))
+        assert a == b and len(a) > 0
+    finally:
+        idx.unpersist()

@@ -16,6 +16,33 @@ route oversized blocks to a salted/sampled path. The reference's analogue
 of this discipline is its length-bucketed batching
 (``wsd/masked_language_model.py:113-126``) — bounding worst-case work per
 unit, never dropping silently (it warns, ``training/train.py:374-396``).
+
+Why the bench/scaling pair union carries no distinct() (the construction
+``sense_block_star_pairs ∪ small-block all-pairs ∪ non-assigned oversized
+stars``, see bench.py):
+
+1. *Correctness does not need dedup.* The pair scorer is row-wise
+   deterministic (same pair -> same score every time) and connected
+   components is duplicate-edge-tolerant, so a pair appearing twice can
+   only cost a re-score, never change a cluster.
+2. *Coverage equals the canonical construction.* Every edge the canonical
+   form (small all-pairs + full ``oversized_star_pairs`` with
+   assignments) produces is present: small blocks are enumerated
+   exhaustively by both; oversized-block assigned members are covered
+   because ``sense_block_star_pairs`` stars over ALL assigned mentions
+   (a superset of the oversized members' canopy stars); oversized
+   non-assigned members keep their block-key star via the explicit
+   ``oversized_star_pairs`` fallback. Extra edges beyond the canonical
+   set are only in-small-block canopy stars — redundant candidates the
+   scorer vets like any other.
+3. *The dedup shuffle was a pure extra stage* (~0.8s at local[32],
+   measured r3): on this workload the three sources barely overlap —
+   same-sense canopies live in oversized surface blocks, which the
+   all-pairs source skips.
+
+``tests/test_blocking_pairs.py::test_bench_er_construction_equals_canonical``
+pins the cluster-level identity of the two constructions; future rounds
+change the bench construction only if that test moves with it.
 """
 
 from __future__ import annotations

@@ -244,23 +244,21 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def lsh_topk(
+def lsh_index(
     data: DataFrame,
-    queries: list[tuple],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 10,
     bits: int = 8,
     tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Multi-table bucketed ANN: exact cosine re-rank within candidates.
+    """The materializable half of :func:`lsh_topk`: the multi-table
+    hyperplane signature table ``(vid, vec, table_id, bucket)``.
 
-    ``tables`` independent hyperplane tables of ``bits`` each; a vector is a
-    candidate if it shares a bucket with the query in *any* table (union
-    amplification — per-neighbor recall 1-(1-p^bits)^tables). One scan
-    emits all table signatures; the join key is (table_id, bucket).
-    Tests report recall against :func:`brute_force_topk`.
+    Build (and persist) ONCE, probe many query batches — the same
+    amortized-index pattern as :func:`ivf_index`; at 100 TB the signature
+    table is written as a bucketed parquet table and every probe is a
+    broadcast join against it, never a rescan of the corpus.
     """
 
     def run(batches):
@@ -292,8 +290,34 @@ def lsh_topk(
 
     id_type = dict(data.dtypes)[id_col]
     vec_type = dict(data.dtypes)[vec_col]
-    banded = data.select(id_col, vec_col).mapInPandas(
+    return data.select(id_col, vec_col).mapInPandas(
         run, schema=f"vid {id_type}, vec {vec_type}, table_id int, bucket long"
+    )
+
+
+def lsh_topk(
+    data: DataFrame,
+    queries: list[tuple],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Multi-table bucketed ANN: exact cosine re-rank within candidates.
+
+    ``tables`` independent hyperplane tables of ``bits`` each; a vector is a
+    candidate if it shares a bucket with the query in *any* table (union
+    amplification — per-neighbor recall 1-(1-p^bits)^tables). One scan
+    emits all table signatures; the join key is (table_id, bucket).
+    Pass ``index`` (from :func:`lsh_index`, same bits/tables/seed) to
+    amortize the signature build over many query batches.
+    Tests report recall against :func:`brute_force_topk`.
+    """
+    banded = index if index is not None else lsh_index(
+        data, id_col, vec_col, bits=bits, tables=tables, seed=seed
     )
     dim = len(queries[0][1])
     qrows = []

@@ -232,6 +232,14 @@ def run_er_pipeline(
     Stages: mentions -> assignments -> pairs -> edges -> clusters.
     Each is individually committed/resumable; re-running after a crash
     re-executes only uncommitted stages.
+
+    This is the CANONICAL pair construction (small-block all-pairs +
+    assignment-aware oversized-star recovery). bench.py/scaling use a
+    dedup-free reordering of the same edges (canopy stars over all
+    assigned mentions + non-assigned oversized stars, no distinct) that
+    produces identical clusters — the equivalence argument lives in
+    ``operators/blocking.py``'s module docstring and is pinned by
+    ``tests/test_blocking_pairs.py::test_bench_er_construction_equals_canonical``.
     """
     from word_sense_disambiguation_spark.operators.blocking import (
         oversized_star_pairs,
