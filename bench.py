@@ -10,7 +10,13 @@ Queries (each timed end-to-end, action = count on the final stage):
 * ``dedup_minhash``  — MinHash-LSH near-dup clustering of documents
 * ``ann_topk``       — brute-force cosine top-10, 8 queries over embeddings
 * ``ann_ivf``        — IVF ANN probe over a prebuilt (amortized) index
+* ``ann_lsh``        — hyperplane-LSH ANN probe over a prebuilt signature table
 * ``text_profile``   — one-pass lang-id/quality/token-count profile
+
+The whole suite runs TWICE (two in-process measurement windows) and the
+reported number per query is the min across windows — single-window
+numbers on this shared host swing 20-40% with neighbor steal time; the
+JSON carries ``windows`` and the raw ``per_window`` figures.
 
 ``docs_per_sec`` is pages through the flagship pipeline per second — the
 throughput number BASELINE.md tracks; scripts/scaling.py reruns this at two
@@ -93,19 +99,13 @@ def main() -> None:
     senses = world["senses"].persist()
     senses.count()
 
-    timings: dict[str, float] = {}
-
-    def timed(name, fn, reps: int = 2):
-        # min-of-k: the sandbox host has heavy neighbor steal time; a single
-        # sample can be 3x off steady state
-        best = float("inf")
-        n = None
-        for _ in range(reps):
-            t0 = time.monotonic()
-            n = fn()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
-        return n
+    # ANN indexes built ONCE (untimed — they are amortized over every query
+    # batch, which is the point of an index); probes are timed per window.
+    q_rows = emb.orderBy("vec_id").limit(8).collect()
+    queries_vec = [(int(r.vec_id), list(r.embedding)) for r in q_rows]
+    ivf = ivf_index(emb, n_lists=32, lloyd_iters=1)
+    lsh = lsh_index(emb).persist()
+    lsh.count()
 
     def materialize(df):
         # noop sink: full column materialization — count() would let
@@ -113,89 +113,112 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return 1
 
-    # warm-up (codegen/JIT + python worker spawn) so the measured number is
-    # steady-state throughput, not first-run compilation. No persist inside
-    # the timed path — Spark's CacheManager substitutes logically-identical
-    # plans, which would turn rep 2 into a cache read.
-    materialize(sense_assignments(pages, senses))
-    timed("sense_assign", lambda: materialize(sense_assignments(pages, senses)))
-    # cache the assignments only AFTER measurement, for the ER stage
-    assignments = sense_assignments(pages, senses).persist()
-    assignments.count()
+    def suite_pass() -> dict[str, float]:
+        """One full pass over the headline queries (min-of-2 reps each).
+        Run twice (two in-process measurement windows minutes apart) and
+        min-merged: single-window numbers on this shared host swing
+        20-40% with neighbor steal time (r3's sense_assign '+55%
+        regression' was exactly such a window)."""
+        timings: dict[str, float] = {}
 
-    def run_er():
-        # scale path: prune unlinkable mentions (guaranteed singletons),
-        # then linear star pairs within sense canopies + exhaustive pairs
-        # only inside small surface blocks
-        import pyspark.sql.functions as F
+        def timed(name, fn, reps: int = 2):
+            best = float("inf")
+            n = None
+            for _ in range(reps):
+                t0 = time.monotonic()
+                n = fn()
+                best = min(best, time.monotonic() - t0)
+            timings[name] = round(best, 3)
+            return n
 
-        a = assignments.filter(F.col("decision") != "no_definitions").select(
-            "mention_id", "lemma", "pos", "norm_surface", "surface",
-            "context_words", "pred_sense_id", "decision",
+        # warm-up (codegen/JIT + python worker spawn) so the measured
+        # number is steady-state throughput, not first-run compilation.
+        # No persist inside the timed path — Spark's CacheManager
+        # substitutes logically-identical plans, which would turn rep 2
+        # into a cache read (and the pass-2 assignments cache below is
+        # unpersisted between passes for the same reason).
+        materialize(sense_assignments(pages, senses))
+        timed(
+            "sense_assign", lambda: materialize(sense_assignments(pages, senses))
         )
-        # no silent caps, even here: two NOTA mentions with identical
-        # surface AND identical context words (exactly what near-dup pages
-        # produce) score 0.2*1.0 + 0.4*1.0 = 0.60 — which IS a match
-        # (is_match uses >=) — so dropped oversized blocks could lose real
-        # edges. Recovery scope is deliberately minimal: ASSIGNED members
-        # of oversized blocks are already covered by the canopy stars
-        # below (sense_block_star_pairs runs over ALL assigned mentions),
-        # and a cross-decision pair can never reach the threshold —
-        # identical (surface, context) implies identical deterministic
-        # decisions, so jw=1 AND cos=1 cannot straddle assigned/nota.
-        # Only the non-assigned members need the linear block-key star.
-        small, oversized = surface_key_pairs(a, max_block_size=64)
-        recovered = oversized_star_pairs(
-            a.filter(F.col("decision") != "assigned"), oversized
-        )
-        # NO distinct() on the union: duplicate pairs are HARMLESS here —
-        # the scorer is row-wise-deterministic and CC is duplicate-edge-
-        # tolerant — and on this workload the sources barely overlap at
-        # all (measured raw == distinct at sf0.1: same-sense canopies live
-        # in oversized surface blocks, which the all-pairs source skips).
-        # The dedup shuffle was a pure extra stage (~0.8s at local[32]);
-        # a corpus where canopies sit inside small blocks would merely
-        # re-score its few overlap pairs.
-        pairs = (
-            sense_block_star_pairs(a)
-            .unionByName(small.select("id_a", "id_b"))
-            .unionByName(recovered)
-        )
-        edges = score_mention_pairs(pairs, a)
-        return cluster_mentions(edges).count()
+        # cache the assignments only AFTER measurement, for the ER stage
+        assignments = sense_assignments(pages, senses).persist()
+        assignments.count()
 
-    timed("er_cluster", run_er)
-    timed(
-        "dedup_minhash",
-        lambda: minhash_near_duplicate_clusters(
-            docs, "doc_id", "text", threshold=0.7
-        ).count(),
-    )
+        def run_er():
+            # scale path: prune unlinkable mentions (guaranteed
+            # singletons), then linear star pairs within sense canopies +
+            # exhaustive pairs only inside small surface blocks
+            import pyspark.sql.functions as F
 
-    q_rows = emb.orderBy("vec_id").limit(8).collect()
-    queries_vec = [(int(r.vec_id), list(r.embedding)) for r in q_rows]
-    timed("ann_topk", lambda: brute_force_topk(emb, queries_vec, k=10).count())
-    # the production ANN path: quantizer built ONCE (untimed — it is
-    # amortized over every query batch, which is the point of an index),
-    # probes timed. n_probe=8/32 lists; recall vs brute force is
-    # pytest-gated in tests/test_similarity_textstats.py.
-    ivf = ivf_index(emb, n_lists=32, lloyd_iters=1)
-    timed(
-        "ann_ivf",
-        lambda: ivf_topk(
-            emb, queries_vec, k=10, n_lists=32, n_probe=8, index=ivf
-        ).count(),
-    )
-    # third ANN shape: multi-table hyperplane LSH with the signature table
-    # prebuilt+persisted (untimed, amortized like the IVF quantizer);
-    # the timed probe is broadcast-join + windowed re-rank only.
-    lsh = lsh_index(emb).persist()
-    lsh.count()
-    timed(
-        "ann_lsh",
-        lambda: lsh_topk(emb, queries_vec, k=10, index=lsh).count(),
-    )
-    timed("text_profile", lambda: text_profile(docs, "doc_id", "text").count())
+            a = assignments.filter(
+                F.col("decision") != "no_definitions"
+            ).select(
+                "mention_id", "lemma", "pos", "norm_surface", "surface",
+                "context_words", "pred_sense_id", "decision",
+            )
+            # no silent caps, even here: two NOTA mentions with identical
+            # surface AND identical context words (exactly what near-dup
+            # pages produce) score 0.2*1.0 + 0.4*1.0 = 0.60 — which IS a
+            # match (is_match uses >=) — so dropped oversized blocks could
+            # lose real edges. Recovery scope is deliberately minimal:
+            # ASSIGNED members of oversized blocks are already covered by
+            # the canopy stars below (sense_block_star_pairs runs over ALL
+            # assigned mentions), and a cross-decision pair can never
+            # reach the threshold — identical (surface, context) implies
+            # identical deterministic decisions, so jw=1 AND cos=1 cannot
+            # straddle assigned/nota. Only the non-assigned members need
+            # the linear block-key star.
+            small, oversized = surface_key_pairs(a, max_block_size=64)
+            recovered = oversized_star_pairs(
+                a.filter(F.col("decision") != "assigned"), oversized
+            )
+            # NO distinct() on the union — the equivalence argument lives
+            # in operators/blocking.py's module docstring and is pinned by
+            # tests/test_blocking_pairs.py (construction == canonical).
+            pairs = (
+                sense_block_star_pairs(a)
+                .unionByName(small.select("id_a", "id_b"))
+                .unionByName(recovered)
+            )
+            edges = score_mention_pairs(pairs, a)
+            return cluster_mentions(edges).count()
+
+        timed("er_cluster", run_er)
+        timed(
+            "dedup_minhash",
+            lambda: minhash_near_duplicate_clusters(
+                docs, "doc_id", "text", threshold=0.7
+            ).count(),
+        )
+        timed(
+            "ann_topk", lambda: brute_force_topk(emb, queries_vec, k=10).count()
+        )
+        # n_probe=8/32 lists; recall vs brute force is pytest-gated in
+        # tests/test_similarity_textstats.py.
+        timed(
+            "ann_ivf",
+            lambda: ivf_topk(
+                emb, queries_vec, k=10, n_lists=32, n_probe=8, index=ivf
+            ).count(),
+        )
+        # third ANN shape: multi-table hyperplane LSH probe against the
+        # prebuilt persisted signature table (broadcast join + windowed
+        # re-rank only).
+        timed(
+            "ann_lsh",
+            lambda: lsh_topk(emb, queries_vec, k=10, index=lsh).count(),
+        )
+        timed(
+            "text_profile", lambda: text_profile(docs, "doc_id", "text").count()
+        )
+        assignments.unpersist()
+        return timings
+
+    windows = [suite_pass() for _ in range(2)]
+    timings = {
+        q: min(w[q] for w in windows) for q in windows[0]
+    }
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(total_pages / timings["sense_assign"], 1)
@@ -206,6 +229,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "windows": len(windows),
+                "per_window": windows,
                 "sf": sf,
                 "cpus": cpus,
                 "pages": total_pages,

@@ -115,9 +115,12 @@ scoring computation and would overstate throughput):
 **Scaling efficiency N=2 -> 4N=8: stage 1-2 {eff_2_8:.3f}, full 3-stage
 {geff_2_8:.3f}, full 3-stage at 2x input {g2eff_2_8:.3f}** (target >= 0.8).
 The full-3-stage gap vs stage 1-2 is the composite's extra serial
-surface: ~15 additional driver job submissions (stage commits, pair
-distinct, CC strategy count) whose scheduling latency is parallelism-
-independent, python-worker spawn for the pair scorer, and the CC finish.
+surface: the residual driver job submissions (assignment checkpoint, the
+fused edge materialize+count, the final sink — r4 fused the CC strategy
+count into the edge materialization and dropped the redundant inner
+checkpoint, removing 2 serial rounds per run) whose scheduling latency
+is parallelism-independent, python-worker spawn for the pair scorer, and
+the CC finish.
 On a real cluster each driver round schedules thousands of tasks instead
 of 8, so ROUND COUNT — which the engine minimizes (adaptive CC, fused
 checksums, broadcast dims, one-shuffle stages) — is what matters, not

@@ -105,12 +105,16 @@ def minhash_near_duplicate_clusters(
     scored = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
     edges = scored.filter(F.col("is_match")).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    ).persist()
     # singletons never enter CC (the overwhelming majority of a real
     # corpus): solve components over actual match edges only, then one
     # left join hands every unmatched row its own id — same rule as
-    # clustering.cluster_mentions.
-    comp = connected_components(edges)
+    # clustering.cluster_mentions. The count below materializes the cache
+    # AND feeds the CC strategy pick in one action (fused driver round).
+    n_edges = edges.count()
+    comp = connected_components(
+        edges, edge_count=n_edges, input_materialized=True
+    )
     return (
         df.select(F.col(id_col).alias("node"))
         .join(comp, on="node", how="left")
