@@ -934,6 +934,55 @@ def _q_url_canonicalize(spark, sf_dir):
     )
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-family within-document repetition signals: top-2-gram and
+    duplicate-5-gram character fractions, linear explode+groupBy shape
+    (never a per-doc O(G^2) lambda scan)."""
+    from word_sense_disambiguation_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
+def _q_pii_redaction(spark, sf_dir):
+    """Rule-based PII scrub over deterministically planted addresses:
+    every doc gets an email, an IPv4 and an international phone (every
+    3rd also a dashed NANP number) appended by formula, so replacement
+    AND the per-rule counts are exercised on every row; the oracle
+    replants and replays the same ordered regexp chain (Java and RE2
+    agree on these explicit-class, lookaround-free patterns)."""
+    from word_sense_disambiguation_spark.operators.webfilters import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(".7 call +4930"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" and 555-867-5309")).otherwise(
+            F.lit("")
+        ),
+    )
+    return redact_pii(docs.select("doc_id", planted.alias("text")))
+
+
+def _q_doc_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing layout (GPT-style training-data
+    prep): deterministic shard + order, one running-sum window per shard,
+    capacity-256 chunk spans per document (straddles included)."""
+    from word_sense_disambiguation_spark.operators.webfilters import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_documents(docs, capacity=256, shards=8)
+
+
 def _q_prompt_path_assignments(spark, sf_dir):
     """Full prompt path: build MC prompts, batched 128-way scorer, decode."""
     from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
@@ -1146,6 +1195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rule_flags": _q_quality_rule_flags,
         "url_canonicalize": _q_url_canonicalize,
         "boilerplate_dedup": _q_boilerplate_dedup,
+        "pii_redaction": _q_pii_redaction,
+        "doc_packing": _q_doc_packing,
+        "repetition_stats": _q_repetition_stats,
         # minhash_dedup_clusters, er_clusters_derived, training_prompts,
         # eval_examples, decode_probabilities and entity_linking ARE
         # oracle-checked end-to-end (see oracle_sql). Only
@@ -1995,6 +2047,119 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
             FROM reach GROUP BY a
+        """,
+        # Same gram construction (concat_ws of token slices), same
+        # (count desc, gram asc) argmax, same overlap-naive char-coverage
+        # formulas, single IEEE division each.
+        "repetition_stats": r"""
+            WITH base AS (
+              SELECT doc_id, length(text) AS chars,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')
+                     END AS toks
+              FROM documents
+            ),
+            g2 AS (
+              SELECT doc_id, gram, count(*) AS cnt,
+                     count(*) * length(gram) AS covered
+              FROM (
+                SELECT doc_id,
+                       array_to_string(list_slice(toks, i + 1, i + 2), ' ') AS gram
+                FROM (SELECT doc_id, toks,
+                             unnest(range(len(toks) - 1)) AS i
+                      FROM base WHERE len(toks) >= 2))
+              GROUP BY doc_id, gram
+            ),
+            top2 AS (
+              SELECT doc_id, covered AS top_covered FROM (
+                SELECT doc_id, covered,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, gram ASC) AS rn
+                FROM g2)
+              WHERE rn = 1
+            ),
+            g5 AS (
+              SELECT doc_id, gram, count(*) AS cnt,
+                     count(*) * length(gram) AS covered
+              FROM (
+                SELECT doc_id,
+                       array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS gram
+                FROM (SELECT doc_id, toks,
+                             unnest(range(len(toks) - 4)) AS i
+                      FROM base WHERE len(toks) >= 5))
+              GROUP BY doc_id, gram
+            ),
+            dup5 AS (
+              SELECT doc_id, SUM(covered) AS dup_covered
+              FROM g5 WHERE cnt > 1 GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(COALESCE(t.top_covered, 0) AS DOUBLE)
+                     / greatest(b.chars, 1) AS top_ngram_char_frac,
+                   CAST(COALESCE(d.dup_covered, 0) AS DOUBLE)
+                     / greatest(b.chars, 1) AS dup_ngram_char_frac
+            FROM base b
+            LEFT JOIN top2 t ON b.doc_id = t.doc_id
+            LEFT JOIN dup5 d ON b.doc_id = d.doc_id
+        """,
+        # Ordered replace-and-count replay over the same planted PII; the
+        # patterns use explicit ASCII classes and no lookaround, the
+        # regimes where Java regex and RE2 agree exactly (counts are over
+        # the ORIGINAL text, replacements in email -> ip -> phone order).
+        "pii_redaction": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                       || '@example.com from 10.'
+                       || CAST(doc_id % 256 AS VARCHAR) || '.'
+                       || CAST(doc_id % 100 AS VARCHAR) || '.7 call +4930'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' and 555-867-5309' ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                     '\+[0-9]{7,15}|[0-9]{3}-[0-9]{3,4}-[0-9]{4}',
+                     '<PHONE>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                     AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT) AS n_ips,
+                   CAST(len(regexp_extract_all(text,
+                     '\+[0-9]{7,15}|[0-9]{3}-[0-9]{3,4}-[0-9]{4}'))
+                     AS INT) AS n_phones
+            FROM planted
+        """,
+        # Same portable shard hash, same (h, id) order, same per-shard
+        # running sum and capacity-256 chunk arithmetic (floor of an
+        # exact double division of integers < 2^53).
+        "doc_packing": r"""
+            WITH k AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('42:pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+'))
+                     END AS INT) AS n_tokens
+              FROM documents
+            ),
+            o AS (
+              SELECT doc_id, CAST(h % 8 AS INT) AS shard, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS end_off
+              FROM k
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(end_off - n_tokens AS BIGINT) AS start_offset,
+                   CAST(floor((end_off - n_tokens) / 256) AS BIGINT)
+                     AS chunk_first,
+                   CAST(floor(greatest(end_off - 1, end_off - n_tokens) / 256)
+                     AS BIGINT) AS chunk_last
+            FROM o
         """,
         # T12 decision layer: choices at [offset, offset+n), NOTA at the
         # fixed last slot (128, 1-based), strict > so a choice wins exact

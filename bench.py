@@ -215,7 +215,21 @@ def main() -> None:
         assignments.unpersist()
         return timings
 
-    windows = [suite_pass() for _ in range(2)]
+    def _drop_rep_blocks():
+        # free per-window intermediate cache blocks (cluster_mentions'
+        # edge cache etc.) between windows — ContextCleaner only acts on
+        # its 30-min periodic GC otherwise, and lingering blocks pressure
+        # the block manager at the larger scale factors
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
+
+    windows = []
+    for _ in range(2):
+        windows.append(suite_pass())
+        _drop_rep_blocks()
     timings = {
         q: min(w[q] for w in windows) for q in windows[0]
     }

@@ -120,3 +120,64 @@ def test_cc_contraction_solve_path_identical(spark):
         ).collect()
     }
     assert forced == default == _uf_oracle(edges)
+
+
+def test_cc_known_count_and_materialized_identity(spark):
+    """The r4 driver-round fusion params must not change results: passing
+    edge_count (skip strategy-count job) and input_materialized (skip the
+    defensive checkpoint) yields identical components on every path."""
+    rng = random.Random(5)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(120)]
+    df = spark.createDataFrame(edges, schema="src long, dst long").persist()
+    n = df.count()
+    default = {r.node: r.component for r in connected_components(df).collect()}
+    fused = {
+        r.node: r.component
+        for r in connected_components(
+            df, edge_count=n, input_materialized=True
+        ).collect()
+    }
+    # force the big-graph path with the fused params too
+    forced = {
+        r.node: r.component
+        for r in connected_components(
+            df, edge_count=n, input_materialized=True, small_graph_threshold=0
+        ).collect()
+    }
+    assert default == fused == forced == _uf_oracle(edges)
+    df.unpersist()
+
+
+def test_cc_fusion_saves_two_driver_rounds(spark):
+    """Scaling regression (r4): with edge_count + input_materialized the
+    CC entry must submit exactly the downstream jobs — the defensive
+    checkpoint job and the strategy-count job are skipped. Measured
+    DIFFERENTIALLY (absolute job counts include AQE per-stage jobs,
+    which are not the serial tail this guards)."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], schema="src string, dst string"
+    ).persist()
+    n = edges.count()
+    sc = spark.sparkContext
+
+    def jobs_for(group, fn):
+        sc.setLocalProperty("spark.jobGroup.id", group)
+        try:
+            fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    fused = jobs_for(
+        "cc_fused",
+        lambda: connected_components(
+            edges, edge_count=n, input_materialized=True
+        ).count(),
+    )
+    legacy = jobs_for("cc_legacy", lambda: connected_components(edges).count())
+    assert legacy - fused >= 2, (fused, legacy)
+    edges.unpersist()

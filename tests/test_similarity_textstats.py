@@ -243,3 +243,32 @@ def test_lsh_prebuilt_index_identity(spark, embeddings, queries):
         assert a == b and len(a) > 0
     finally:
         idx.unpersist()
+
+
+def test_repetition_stats(spark):
+    from word_sense_disambiguation_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    rows = [
+        # "a b" occurs 3x (covered 3*3=9), no 5-gram repeats
+        (0, "a b a b a b x"),
+        # every token distinct: top 2-gram count 1, dup5 = 0
+        (1, "one two three four five six"),
+        # a repeated 5-gram: "p q r s t" twice (covered 2*9=18)
+        (2, "p q r s t p q r s t"),
+        (3, "tiny"),   # < 2 tokens: both fractions 0 over len 4... top needs >=2
+        (4, ""),       # empty: 0.0 / 0.0
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+    assert len(out) == 5
+    assert abs(out[0].top_ngram_char_frac - 9 / 13) < 1e-12
+    assert out[0].dup_ngram_char_frac == 0.0
+    # doc 1: all 2-grams unique -> top covered = 1 * len(smallest-by-order
+    # tie-break gram with cnt 1) ... deterministic: (cnt desc, gram asc)
+    assert out[1].top_ngram_char_frac > 0.0
+    assert out[1].dup_ngram_char_frac == 0.0
+    assert abs(out[2].dup_ngram_char_frac - 18 / 19) < 1e-12
+    assert out[3].top_ngram_char_frac == 0.0 and out[3].dup_ngram_char_frac == 0.0
+    assert out[4].top_ngram_char_frac == 0.0 and out[4].dup_ngram_char_frac == 0.0

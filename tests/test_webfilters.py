@@ -256,3 +256,56 @@ def test_quality_rule_flags_vertical_tab_engine_parity(spark):
     assert srow.mean_word_len == orow[2]
     assert srow.symbol_ratio == orow[3]
     assert srow.keep == orow[9]
+
+
+def test_redact_pii(spark):
+    from word_sense_disambiguation_spark.operators.webfilters import redact_pii
+
+    rows = [
+        (0, "write to a.b+c@mail.example.org or admin@x.io today"),
+        (1, "server at 192.168.0.1 and 10.0.0.254 up"),
+        (2, "call +4915112345678 or 030-555-1234 now"),
+        (3, "clean text with no pii at all"),
+        (4, "mixed bob@corp.example 127.0.0.1 +12125551234"),
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[0].clean_text == "write to <EMAIL> or <EMAIL> today"
+    assert out[0].n_emails == 2 and out[0].n_ips == 0 and out[0].n_phones == 0
+    assert out[1].clean_text == "server at <IP> and <IP> up"
+    assert out[1].n_ips == 2
+    assert out[2].clean_text == "call <PHONE> or <PHONE> now"
+    assert out[2].n_phones == 2
+    assert out[3].clean_text == rows[3][1]
+    assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 0)
+    assert out[4].clean_text == "mixed <EMAIL> <IP> <PHONE>"
+
+
+def test_pack_documents_layout(spark):
+    """Offsets are a contiguous per-shard concatenation, chunk spans use
+    capacity windows (straddles allowed), and the layout is invariant to
+    input partitioning."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        pack_documents,
+    )
+
+    rows = [(i, " ".join(f"t{j}" for j in range(5 + (i * 7) % 23))) for i in range(60)]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = pack_documents(docs, capacity=16, shards=4).collect()
+    assert len(out) == 60
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.start_offset)
+        off = 0
+        for r in rs:
+            assert r.start_offset == off  # contiguous, no gaps
+            assert r.chunk_first == r.start_offset // 16
+            assert r.chunk_last == max(r.start_offset + r.n_tokens - 1, r.start_offset) // 16
+            off += r.n_tokens
+    # at least one straddler with capacity 16 and docs of 5..27 tokens
+    assert any(r.chunk_last > r.chunk_first for r in out)
+    out2 = pack_documents(docs.repartition(13), capacity=16, shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

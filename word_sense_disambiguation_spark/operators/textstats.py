@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from word_sense_disambiguation_spark.functions.hashing import rolling_fingerprint
@@ -117,4 +117,92 @@ def fingerprints(
     id_type = dict(df.dtypes)[id_col]
     return df.select(id_col, text_col).mapInPandas(
         run, schema=f"id {id_type}, fp long"
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher-shaped within-document repetition signals (Rae et al. 2021
+    §A1.1 'repetition removal' family; the exact char-occupancy formulas
+    here are engine-defined and SQL-mirrored, not paper-exact):
+
+    * ``top_ngram_char_frac`` — characters covered by the most frequent
+      token ``top_n``-gram, ``count * length(gram) / length(text)``
+      (tie-break: higher count, then lexicographically smallest gram);
+    * ``dup_ngram_char_frac`` — characters covered by ALL token
+      ``dup_n``-grams occurring more than once,
+      ``sum(count * length(gram)) / length(text)`` (overlap-naive by
+      construction — occurrences may share characters; the signal is a
+      monotone repetition score, not an exact coverage measure).
+
+    Plan shape at scale: explode grams -> ONE groupBy (id, gram) with
+    map-side partial aggregation -> one per-id aggregate. Never a
+    per-document O(G^2) higher-order-function scan (the O(T^2)
+    scale-killer class the sentence-id invariant guards against): a
+    100k-token document costs 100k rows through a hash aggregate, not
+    10^10 lambda evaluations. Skew is bounded by document length.
+
+    Documents with fewer than ``n`` tokens contribute no ``n``-grams and
+    get 0.0 fractions (joined back over the full id set — no silent row
+    loss).
+    """
+    t = F.trim(F.col(text_col))
+    toks = F.when(t == "", F.array()).otherwise(F.split(t, WS_CLASS + "+"))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.length(F.col(text_col)).alias("_chars"),
+        toks.alias("_toks"),
+    )
+
+    def gram_rows(n: int, out_name: str):
+        idx = F.sequence(F.lit(0), F.size("_toks") - n)
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n))
+        )
+        return (
+            base.filter(F.size("_toks") >= n)
+            .select("_id", F.explode(grams).alias("gram"))
+            .groupBy("_id", "gram")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("covered", F.col("cnt") * F.length("gram"))
+            .withColumnRenamed("gram", out_name)
+        )
+
+    # per-doc argmax by (cnt desc, gram asc): a max_by ordering struct
+    # cannot tie-break toward the lexicographically SMALLEST string, so
+    # this one is a row_number window — partitioned by document id, whose
+    # group size is bounded by the document's gram count (spill-safe).
+    w = Window.partitionBy("_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        gram_rows(top_n, "gram")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_id", F.col("covered").alias("top_covered"))
+    )
+    dup = (
+        gram_rows(dup_n, "gram")
+        .filter(F.col("cnt") > 1)
+        .groupBy("_id")
+        .agg(F.sum("covered").alias("dup_covered"))
+    )
+    return (
+        base.select("_id", "_chars")
+        .join(top, on="_id", how="left")
+        .join(dup, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            (
+                F.coalesce(F.col("top_covered"), F.lit(0)).cast("double")
+                / F.greatest(F.col("_chars"), F.lit(1)).cast("double")
+            ).alias("top_ngram_char_frac"),
+            (
+                F.coalesce(F.col("dup_covered"), F.lit(0)).cast("double")
+                / F.greatest(F.col("_chars"), F.lit(1)).cast("double")
+            ).alias("dup_ngram_char_frac"),
+        )
     )

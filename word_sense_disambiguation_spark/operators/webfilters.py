@@ -272,3 +272,114 @@ def quality_rule_flags(
         r_dup.alias("r_dup_sent"),
         (r_len & r_word_len & r_symbol & r_dup).alias("keep"),
     )
+
+
+# --- PII scrubbing ----------------------------------------------------------
+
+# Engine-portable PII patterns: explicit ASCII classes and bounded repeats
+# only — no \d/\s shorthands (Java-vs-RE2 divergence class, see
+# functions.text.WS), no lookaround (RE2 has none). Each is deliberately
+# simple enough to mirror character-for-character into the DuckDB oracle;
+# a production deployment swaps in jurisdiction-specific rule packs with
+# the same replace-and-count contract.
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+# international-format phone (+country...) or dashed NANP-style groups
+PHONE_RE = r"\+[0-9]{7,15}|[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Rule-based PII scrub (the CCNet/Dolma preprocessing step): replace
+    emails, IPv4 addresses and phone numbers with typed placeholder
+    tokens and carry per-document match counts — redaction is never
+    silent.
+
+    Output: ``(id, clean_text, n_emails, n_ips, n_phones)``. Pure
+    whole-stage codegen: one scan, zero shuffle, zero Python. Counts are
+    taken BEFORE any replacement and replacements apply in the fixed
+    order email -> ip -> phone (the count of a later rule is over the
+    original text, so overlapping matches are counted identically on any
+    engine replaying the same order). Non-overlapping leftmost match
+    semantics are identical in Java regex and RE2 for these patterns —
+    hash-checked by the ``pii_redaction`` driver oracle over planted
+    addresses.
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, IPV4_RE, "<IP>")
+    clean = F.regexp_replace(clean, PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).alias("n_ips"),
+        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
+    )
+
+
+# --- sequence packing -------------------------------------------------------
+
+
+def pack_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 2048,
+    shards: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style training-data
+    layout: documents are concatenated in a deterministic order and cut
+    into fixed ``capacity``-token context windows; a document knows which
+    chunk range it lands in.
+
+    Output per doc: ``(id, shard, n_tokens, start_offset, chunk_first,
+    chunk_last)`` where offsets are token positions within the shard's
+    concatenation and chunks are ``capacity``-sized windows (a doc may
+    straddle two chunks — the standard concat-then-chunk contract; a
+    no-split greedy bin-packer is sequentially dependent and does not
+    distribute).
+
+    Scale shape: documents hash deterministically into ``shards``
+    independent streams (the parallel unit — size it to the cluster);
+    within a shard, order is the portable (md5, id) pair and the offset
+    is ONE running-sum window per shard (spill-safe WindowExec, never a
+    global sort). Token count = explicit-ASCII whitespace pieces, the
+    same proxy as the prompt length filter.
+    """
+    t = F.trim(F.col(text_col))
+    n_tok = F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, WS_CLASS + "+"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:pack:"), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    keyed = docs.select(
+        F.col(id_col),
+        (h % shards).cast("int").alias("shard"),
+        h.alias("_h"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end_off = F.sum("n_tokens").over(w)
+    start_off = (end_off - F.col("n_tokens")).cast("long")
+    return keyed.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        start_off.alias("start_offset"),
+        F.floor(start_off / capacity).cast("long").alias("chunk_first"),
+        F.floor(
+            F.greatest(end_off - 1, start_off) / capacity
+        ).cast("long").alias("chunk_last"),
+    )
