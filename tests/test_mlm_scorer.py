@@ -119,3 +119,50 @@ def test_prompt_path_matches_gold_and_columnar(spark, sworld):
         & (F.coalesce(F.col("p1"), F.lit("-")) == F.coalesce(F.col("p2"), F.lit("-")))
     ).count()
     assert agree / n >= 0.95, (agree, n)
+
+
+def test_scorer_factory_swap_in(spark):
+    """The model swap-in contract: a different scorer_factory (the
+    ModernBERT slot) changes ONLY the probability content — batching,
+    width, null-prompt short-circuit and decode semantics are untouched."""
+    import pyspark.sql.functions as F
+
+    from word_sense_disambiguation_spark.operators.mlm_scorer import (
+        decode_probabilities,
+        score_prompts,
+    )
+
+    def uniform_choice_scorer():
+        # a structurally-different stand-in model: fixed mass on the
+        # first two letters, nothing on NOTA — the shape a real
+        # ModernBERT loader returns. A CLOSURE on purpose: cloudpickle
+        # ships closures by value, exactly how a user-defined loader
+        # travels to executors.
+        import numpy as np
+
+        from word_sense_disambiguation_spark.functions.letters import (
+            NUM_LETTERS,
+        )
+
+        def score(prompts):
+            m = np.zeros((len(prompts), NUM_LETTERS), dtype=np.float32)
+            m[:, 0] = 0.75
+            m[:, 1] = 0.25
+            return m
+
+        return score
+
+    rows = [(f"m{i}", f"What is the meaning of *w*?\n\nSentence: s {i}") for i in range(7)]
+    rows.append(("mnull", None))
+    df = spark.createDataFrame(rows, schema="mention_id string, prompt string")
+    scored = score_prompts(df, scorer_factory=uniform_choice_scorer).withColumn(
+        "n_defs", F.lit(2)
+    )
+    out = {r.mention_id: r for r in decode_probabilities(scored).collect()}
+    for i in range(7):
+        r = out[f"m{i}"]
+        assert len(r.probabilities) == 128
+        assert r.choice_index == 0 and not r.is_nota_pred
+        assert abs(r.confidence - 0.75) < 1e-6
+    # null prompt short-circuits to the zero vector regardless of model
+    assert sum(out["mnull"].probabilities) == 0.0

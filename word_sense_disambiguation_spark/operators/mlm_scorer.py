@@ -102,7 +102,10 @@ def load_scorer() -> Callable[[list[str]], np.ndarray]:
 
 
 def score_prompts(
-    df: DataFrame, prompt_col: str = "prompt", id_cols: tuple[str, ...] = ("mention_id",)
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    id_cols: tuple[str, ...] = ("mention_id",),
+    scorer_factory: Callable[[], Callable[[list[str]], np.ndarray]] | None = None,
 ) -> DataFrame:
     """prompts -> ``probabilities array<float>`` (width NUM_LETTERS).
 
@@ -112,11 +115,21 @@ def score_prompts(
     identities here, reference ``:93-97`` comment).
     Rows with null prompts short-circuit to a zero vector without touching
     the scorer (the no-definitions path).
+
+    ``scorer_factory`` is THE model swap-in point: any picklable zero-arg
+    callable returning ``score(prompts) -> float32 (n, NUM_LETTERS)`` —
+    e.g. a ModernBERT loader on a GPU cluster — slots in with no other
+    change; it is invoked once per python worker (the reference's
+    ``@cache load_model()`` discipline). The default is the deterministic
+    gloss-overlap stand-in. The contract (executor-local init, batching,
+    vector width, NOTA slot untouched by the scorer) is pinned by
+    ``tests/test_mlm_scorer.py::test_scorer_factory_swap_in``.
     """
     passthrough = [c for c in df.columns if c != prompt_col]
+    factory = scorer_factory if scorer_factory is not None else load_scorer
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        scorer = load_scorer()  # once per python worker
+        scorer = factory()  # once per python worker
         for pdf in batches:
             n = len(pdf)
             if n == 0:
