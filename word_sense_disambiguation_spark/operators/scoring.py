@@ -167,11 +167,17 @@ def score_candidates(candidates: DataFrame, use_cosine: bool = True) -> DataFram
 def assign_senses(scored: DataFrame, tau: float = TAU) -> DataFrame:
     """Per-mention argmax + NOTA + renormalized confidence -> assignments.
 
-    Physical shape: a hash aggregate (``max_by`` over an ordering struct +
-    ``sum``), NOT a sort window — candidate rows of one mention are already
-    co-located (the inventory join was broadcast), so partial aggregation
-    collapses each candidate set map-side and the single shuffle of the
-    pipeline carries one row per mention, no sort anywhere. Tie-break is
+    Physical shape: an AGGREGATE (``max_by`` over an ordering struct +
+    ``sum``), NOT a sort window. Catalyst compiles the struct-payload
+    ``max_by`` to SortAggregate (struct agg buffers are not
+    hash-mutable), but the property that matters at 100 TB holds either
+    way: PARTIAL aggregation collapses each candidate set map-side (the
+    plan shows partial+final aggregates around the single exchange), so
+    the pipeline's one shuffle carries one row per mention — a Window
+    would ship every candidate row through the shuffle and buffer whole
+    groups. The per-partition sort feeding SortAggregate is over rows the
+    broadcast join emits already mention-adjacent — near-sorted input,
+    cheap. Tie-break is
     (score desc, sense_rank asc): sense_rank is the inventory frequency
     order — the reference's earlier-letter prior. ``greatest(score, 0)``
     guards the denominator like the reference's ``total_prob > 0`` check
