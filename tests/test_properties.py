@@ -184,3 +184,64 @@ def test_jaro_winkler_batch_identity(pairs):
     got = jaro_winkler_batch(s1, s2)
     for (a, b), g in zip(pairs, got):
         assert abs(g - jaro_winkler(a, b)) < 1e-15, (a, b)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122), min_size=0, max_size=40),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pack_documents_layout_algebra(texts):
+    """For ANY corpus: per-shard offsets tile [0, sum(n_tokens)) exactly
+    (no gaps, no overlaps) and every chunk span matches the offset
+    arithmetic — the invariant a trainer's reader relies on."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        pack_documents,
+    )
+    from word_sense_disambiguation_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="prop_tests", master="local[2]", shuffle_partitions=4
+    )
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = pack_documents(docs, capacity=7, shards=3).collect()
+    assert len(out) == len(texts)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.start_offset)
+        off = 0
+        for r in rs:
+            assert r.start_offset == off
+            assert r.chunk_first == r.start_offset // 7
+            assert r.chunk_last == max(r.start_offset + r.n_tokens - 1, r.start_offset) // 7
+            off += r.n_tokens
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(min_size=0, max_size=200))
+def test_redact_pii_idempotent_and_lossless_on_clean(text):
+    """Redaction is idempotent (placeholders never re-match) and a text
+    with zero matches passes through byte-identical."""
+    import re as _re
+
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    once = text
+    for pat, tok in ((EMAIL_RE, "<EMAIL>"), (IPV4_RE, "<IP>"), (PHONE_RE, "<PHONE>")):
+        once = _re.sub(pat, tok, once)
+    twice = once
+    for pat, tok in ((EMAIL_RE, "<EMAIL>"), (IPV4_RE, "<IP>"), (PHONE_RE, "<PHONE>")):
+        twice = _re.sub(pat, tok, twice)
+    assert twice == once
+    if not any(_re.search(p, text) for p in (EMAIL_RE, IPV4_RE, PHONE_RE)):
+        assert once == text
