@@ -276,15 +276,16 @@ def _q_token_histogram(spark, sf_dir):
 
 
 def _q_exact_dedup(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    """The REAL exact_duplicates operator (groupBy partial-agg + join back
+    on the content hash — skew-safe, never a full-partition window).
+    content_hash is dropped from the gate projection so the oracle stays
+    hash-function-agnostic (grouping by sha2 == grouping by md5 == grouping
+    by the text bytes, absent collisions)."""
+    from word_sense_disambiguation_spark.operators.dedup import exact_duplicates
 
-    w = Window.partitionBy("h")
-    return (
-        docs.select("doc_id", F.md5("text").alias("h"))
-        .withColumn("canonical_id", F.min("doc_id").over(w))
-        .withColumn("is_duplicate", F.count("*").over(w) > 1)
-        .select("doc_id", "canonical_id", "is_duplicate")
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicates(docs, "doc_id", "text").select(
+        "doc_id", "canonical_id", "is_duplicate"
     )
 
 
@@ -2142,8 +2143,8 @@ def oracle_sql() -> dict[str, str]:
             WITH k AS (
               SELECT doc_id,
                      CAST(('0x' || substr(md5('42:pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
-                     CAST(CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+'))
+                     CAST(CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(COALESCE(text, '')), '[ \t\n\r\f\x0B]+'))
                      END AS INT) AS n_tokens
               FROM documents
             ),

@@ -309,3 +309,31 @@ def test_pack_documents_layout(spark):
     assert any(r.chunk_last > r.chunk_first for r in out)
     out2 = pack_documents(docs.repartition(13), capacity=16, shards=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_pack_documents_null_text_packs_as_zero(spark):
+    """ADVICE r4: a null text row must deterministically pack as 0 tokens
+    (coalesce before trim) on ANY sizeOfNull config — a NULL n_tokens
+    would corrupt the shard's whole running-sum layout downstream."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        pack_documents,
+    )
+
+    rows = [(0, "alpha beta gamma"), (1, None), (2, ""), (3, "delta")]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r.doc_id: r for r in pack_documents(docs, capacity=4, shards=2).collect()}
+    assert len(out) == 4
+    assert out[1].n_tokens == 0 and out[1].start_offset is not None
+    assert out[2].n_tokens == 0
+    # zero-token docs occupy a zero-width span: chunk_first == chunk_last
+    assert out[1].chunk_first == out[1].chunk_last
+    # layout stays contiguous per shard despite the null rows
+    by_shard = {}
+    for r in out.values():
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.start_offset)
+        off = 0
+        for r in rs:
+            assert r.start_offset == off
+            off += r.n_tokens

@@ -16,7 +16,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from word_sense_disambiguation_spark.functions.text import WS_CLASS
@@ -28,20 +28,31 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup by content hash: every row tagged with its canonical id
     (min id among byte-identical texts) and a duplicate flag.
 
-    One shuffle on the 256-bit content hash; fully JVM-side.
+    SKEW-SAFE BY CONSTRUCTION: the min/count per content hash is a
+    ``groupBy().agg()`` — map-side partial combine shrinks every map
+    partition's contribution to ONE row per distinct hash before the
+    shuffle — joined back to the rows on the hash. Identical-byte
+    duplicates are exactly where crawl skew lives (empty pages, parked
+    domains, boilerplate error pages): a 10^8-row hot hash costs one
+    combined row per map partition here, where a
+    ``Window.partitionBy(content_hash)`` (the r1-r4 shape) streamed the
+    entire hot group through a single spilled window task. Same output;
+    a plan test pins HashAggregate-not-Window. The join back is a plain
+    shuffle join on the hash — both sides are hash-partitioned on the
+    same key, and the agg side carries one row per distinct content.
     """
-    w = Window.partitionBy("content_hash")
-    return (
-        df.select(id_col, text_col)
-        .withColumn("content_hash", F.sha2(F.col(text_col), 256))
-        .withColumn("canonical_id", F.min(id_col).over(w))
-        .withColumn("group_size", F.count("*").over(w))
-        .select(
-            F.col(id_col),
-            "content_hash",
-            "canonical_id",
-            (F.col("group_size") > 1).alias("is_duplicate"),
-        )
+    hashed = df.select(id_col, text_col).withColumn(
+        "content_hash", F.sha2(F.col(text_col), 256)
+    )
+    groups = hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count("*").alias("group_size"),
+    )
+    return hashed.join(groups, on="content_hash").select(
+        F.col(id_col),
+        "content_hash",
+        "canonical_id",
+        (F.col("group_size") > 1).alias("is_duplicate"),
     )
 
 

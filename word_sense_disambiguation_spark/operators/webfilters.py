@@ -349,7 +349,12 @@ def pack_documents(
     global sort). Token count = explicit-ASCII whitespace pieces, the
     same proxy as the prompt length filter.
     """
-    t = F.trim(F.col(text_col))
+    # coalesce BEFORE trim (same rule as filter_prompts_by_length): a null
+    # text would otherwise yield size(split(null)) — NULL offsets under
+    # ANSI (Spark 4 default) or -1 under legacy sizeOfNull, either of
+    # which corrupts the shard's entire running-sum layout. Null text
+    # deterministically packs as 0 tokens on any config.
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
     n_tok = F.when(t == "", F.lit(0)).otherwise(
         F.size(F.split(t, WS_CLASS + "+"))
     )
