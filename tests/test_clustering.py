@@ -6,7 +6,10 @@ import random
 
 import pyspark.sql.functions as F
 
-from word_sense_disambiguation_spark.operators.clustering import connected_components
+from word_sense_disambiguation_spark.operators.clustering import (
+    cluster_mentions,
+    connected_components,
+)
 
 
 def _uf_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
@@ -181,3 +184,31 @@ def test_cc_fusion_saves_two_driver_rounds(spark):
     legacy = jobs_for("cc_legacy", lambda: connected_components(edges).count())
     assert legacy - fused >= 2, (fused, legacy)
     edges.unpersist()
+
+
+def test_cluster_mentions_releases_edge_cache(spark):
+    """Cache-ownership contract (r4 ADVICE): cluster_mentions must not
+    leak its internal edge cache — after the call, the ONLY new persistent
+    RDD is the returned (caller-owned, materialized) result, and
+    unpersisting that returns storage to baseline WITHOUT any manual gc."""
+    sc = spark.sparkContext
+
+    def n_persistent():
+        return sc._jsc.getPersistentRDDs().size()
+
+    base = n_persistent()
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", True),
+            ("b", "c", True),
+            ("c", "d", False),
+            ("x", "y", False),
+        ],
+        schema="id_a string, id_b string, is_match boolean",
+    )
+    out = cluster_mentions(edges)
+    got = {r.mention_id: r.entity_id for r in out.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "x": "x", "y": "y"}
+    assert n_persistent() == base + 1, "edge cache must be released"
+    out.unpersist(blocking=True)
+    assert n_persistent() == base

@@ -252,6 +252,19 @@ def cluster_mentions(match_edges: DataFrame) -> DataFrame:
     3-stage job's scaling — with rows whose answer is their own id.
     Instead: CC over real match edges only, then one left join assigns
     ``coalesce(component, own_id)``.
+
+    CACHE OWNERSHIP (r4 ADVICE): the operator persists the scored edge
+    table internally (the fused materialize+count below); that block must
+    not outlive the call — lingering blocks are exactly the block-manager
+    pressure the r4 bench measured (149s wall vs 80s phase-sum until the
+    harness gc'd between windows), and a library must not rely on harness
+    hygiene. So the RESULT is materialized into its own cache (one extra
+    driver round that the first consumer action would have spent computing
+    the join anyway) and the edge cache is released before returning. The
+    returned DataFrame is persisted and fully materialized; the caller
+    owns it and may ``.unpersist()`` it when done — after that the only
+    remaining blocks are connected_components' internal localCheckpoints
+    on the big-graph path (lineage cuts, freed by ContextCleaner).
     """
     # ONE action materializes the (possibly UDF-heavy) edge-scoring DAG
     # into the cache AND returns the match count the CC strategy pick
@@ -270,7 +283,10 @@ def cluster_mentions(match_edges: DataFrame) -> DataFrame:
     comp = connected_components(
         matches, edge_count=n_match, input_materialized=True
     )
-    return all_ids.join(comp, on="node", how="left").select(
+    out = all_ids.join(comp, on="node", how="left").select(
         F.col("node").alias("mention_id"),
         F.coalesce(F.col("component"), F.col("node")).alias("entity_id"),
-    )
+    ).persist()
+    out.count()  # materialize the result, then release the edge cache
+    me.unpersist(blocking=False)
+    return out

@@ -112,6 +112,11 @@ def minhash_near_duplicate_clusters(
 
     Every input row gets a cluster id (singletons cluster with themselves)
     — canonical id = min member, the engine-wide convention.
+
+    Cache ownership (r4 ADVICE, same contract as
+    ``clustering.cluster_mentions``): the internal match-edge cache is
+    released before returning; the RESULT comes back persisted and
+    materialized — the caller owns it and may ``.unpersist()`` it.
     """
     scored = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
     edges = scored.filter(F.col("is_match")).select(
@@ -126,14 +131,17 @@ def minhash_near_duplicate_clusters(
     comp = connected_components(
         edges, edge_count=n_edges, input_materialized=True
     )
-    return (
+    out = (
         df.select(F.col(id_col).alias("node"))
         .join(comp, on="node", how="left")
         .select(
             F.col("node").alias(id_col),
             F.coalesce(F.col("component"), F.col("node")).alias("cluster_id"),
         )
-    )
+    ).persist()
+    out.count()  # materialize the result, then release the edge cache
+    edges.unpersist(blocking=False)
+    return out
 
 
 def simhash_candidates(
