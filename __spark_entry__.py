@@ -920,13 +920,17 @@ def _q_url_canonicalize(spark, sf_dir):
         F.lpad(F.col("doc_id").cast("string"), 9, "0"),
     )
     base = F.concat(F.lit("https://crawl.example"), pp)
-    m = F.col("doc_id") % 5
+    m = F.col("doc_id") % 7
     variant = (
         F.when(m == 0, base)
         .when(m == 1, F.concat(F.lit("HTTPS://WWW.Crawl.Example:443"), pp))
         .when(m == 2, F.concat(base, F.lit("?z=9&utm_campaign=x&a=1&utm_source=s")))
         .when(m == 3, F.concat(base, F.lit("/")))
-        .otherwise(F.concat(base, F.lit("#frag")))
+        .when(m == 4, F.concat(base, F.lit("#frag")))
+        # lower-hex percent encodings normalize to UPPERCASE (RFC 3986)
+        .when(m == 5, F.concat(base, F.lit("/x%7ey?n=%2fv")))
+        # DNS root-label trailing dot on the host
+        .otherwise(F.concat(F.lit("https://crawl.example."), pp))
     )
     return docs.select(
         "doc_id",
@@ -1738,9 +1742,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # The expected canonical comes straight from the planting
         # formulas (every variant of a doc canonicalizes to the same
-        # clean url; doc_id%5==2 additionally keeps '?a=1&z=9' after
-        # tracking-param removal and sorting) — ground truth independent
-        # of the canonicalizer's own regex chain.
+        # clean url; doc_id%7==2 additionally keeps '?a=1&z=9' after
+        # tracking-param removal and sorting; %7==5 keeps its extra path
+        # and query with percent-hex UPPERCASED) — ground truth
+        # independent of the canonicalizer's own regex chain.
         "url_canonicalize": """
             WITH p AS (
               SELECT doc_id,
@@ -1749,21 +1754,28 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id,
-                   CASE CAST(doc_id % 5 AS INTEGER)
+                   CASE CAST(doc_id % 7 AS INTEGER)
                      WHEN 0 THEN 'https://crawl.example' || pp
                      WHEN 1 THEN 'HTTPS://WWW.Crawl.Example:443' || pp
                      WHEN 2 THEN 'https://crawl.example' || pp
                        || '?z=9&utm_campaign=x&a=1&utm_source=s'
                      WHEN 3 THEN 'https://crawl.example' || pp || '/'
-                     ELSE 'https://crawl.example' || pp || '#frag'
+                     WHEN 4 THEN 'https://crawl.example' || pp || '#frag'
+                     WHEN 5 THEN 'https://crawl.example' || pp
+                       || '/x%7ey?n=%2fv'
+                     ELSE 'https://crawl.example.' || pp
                    END AS url_variant,
                    'https://crawl.example' || pp
-                     || CASE WHEN CAST(doc_id % 5 AS INTEGER) = 2
-                             THEN '?a=1&z=9' ELSE '' END AS canonical_url
+                     || CASE CAST(doc_id % 7 AS INTEGER)
+                        WHEN 2 THEN '?a=1&z=9'
+                        WHEN 5 THEN '/x%7Ey?n=%2Fv'
+                        ELSE '' END AS canonical_url
             FROM p
         """,
         # Every ratio is a single IEEE division of exact integer counts,
-        # so float64 agrees bit-for-bit across engines.
+        # so float64 agrees bit-for-bit across engines. Stop words /
+        # bullets / ellipses use list ops + starts_with/ends_with (no
+        # regex shorthand) — same explicit forms as the Spark side.
         "quality_rule_flags": r"""
             WITH m AS (
               SELECT doc_id,
@@ -1773,27 +1785,50 @@ def oracle_sql() -> dict[str, str]:
                      length(text) AS n_chars,
                      list_filter(list_transform(string_split_regex(text, '\.'),
                                                 s -> trim(s)),
-                                 s -> s <> '') AS sents
+                                 s -> s <> '') AS sents,
+                     len(list_intersect(
+                       list_distinct(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+')),
+                       ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+                       AS n_stop_words,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                s -> trim(s)),
+                                 s -> s <> '') AS lines
               FROM documents
             ),
             d AS (
-              SELECT doc_id, n_words,
+              SELECT doc_id, n_words, n_stop_words,
                      CAST(n_alnum AS DOUBLE) / greatest(n_words, 1) AS mean_word_len,
                      CAST(n_sym AS DOUBLE) / greatest(n_chars, 1) AS symbol_ratio,
                      CAST(len(sents) - len(list_distinct(sents)) AS DOUBLE)
-                       / greatest(len(sents), 1) AS dup_sentence_frac
+                       / greatest(len(sents), 1) AS dup_sentence_frac,
+                     CAST(len(list_filter(lines,
+                            s -> starts_with(s, '-') OR starts_with(s, '*')
+                                 OR starts_with(s, '•'))) AS DOUBLE)
+                       / greatest(len(lines), 1) AS bullet_line_ratio,
+                     CAST(len(list_filter(lines,
+                            s -> ends_with(s, '...') OR ends_with(s, '…')))
+                          AS DOUBLE)
+                       / greatest(len(lines), 1) AS ellipsis_line_ratio
               FROM m
             )
             SELECT doc_id, n_words, mean_word_len, symbol_ratio,
                    dup_sentence_frac,
+                   CAST(n_stop_words AS INT) AS n_stop_words,
+                   bullet_line_ratio, ellipsis_line_ratio,
                    n_words >= 10 AND n_words <= 100000 AS r_len,
                    mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_word_len,
                    symbol_ratio <= 0.25 AS r_symbol,
                    dup_sentence_frac <= 0.30 AS r_dup_sent,
+                   n_stop_words >= 2 AS r_stopwords,
+                   bullet_line_ratio <= 0.90 AS r_bullet,
+                   ellipsis_line_ratio <= 0.30 AS r_ellipsis,
                    (n_words >= 10 AND n_words <= 100000)
                    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
                    AND symbol_ratio <= 0.25
-                   AND dup_sentence_frac <= 0.30 AS keep
+                   AND dup_sentence_frac <= 0.30
+                   AND n_stop_words >= 2
+                   AND bullet_line_ratio <= 0.90
+                   AND ellipsis_line_ratio <= 0.30 AS keep
             FROM d
         """,
         # T14 composite: same tokenizer/span/sentence rules as

@@ -139,22 +139,44 @@ def test_drop_boilerplate_sentences(spark):
 
 
 def test_quality_rule_flags(spark):
-    good = " ".join(f"word{i} fine tokens here" for i in range(10)) + "."
+    good = (
+        "the quality "
+        + " ".join(f"word{i} fine tokens here" for i in range(10))
+        + " of prose."
+    )
+    bullets = "\n".join(f"- item number{i} listed" for i in range(20)) + (
+        "\nthe single plain line of text here with several proper words."
+    )
+    teasers = "\n".join(
+        f"the teaser number{i} of stories continues..." for i in range(10)
+    )
     rows = [
         (0, good),
         (1, "short text."),  # fails r_len (< 10 words)
         (2, "@@ ## $$ %% ^^ && ** (( )) !! ~~ ++ == @@ ##"),  # symbols
         (3, ("repeat me. " * 12) + "one different sentence here okay."),
         (4, "a b c d e f g h i j k l m n o p q r s t."),  # mean word len < 3
+        # no Gopher stop words at all (word soup) -> fails r_stopwords
+        (5, " ".join(f"token{i} filler payload words" for i in range(8)) + "."),
+        (6, bullets),   # 20/21 bullet lines -> fails r_bullet
+        (7, teasers),   # 10/10 ellipsis lines -> fails r_ellipsis
     ]
     docs = spark.createDataFrame(rows, schema="doc_id long, text string")
     out = {r.doc_id: r for r in quality_rule_flags(docs).collect()}
-    assert out[0].keep
+    assert out[0].keep and out[0].r_stopwords and out[0].n_stop_words >= 2
     assert not out[1].r_len and not out[1].keep
     assert not out[2].r_symbol and not out[2].keep
     assert not out[3].r_dup_sent and not out[3].keep
     assert out[3].dup_sentence_frac > 0.8
     assert not out[4].r_word_len and not out[4].keep
+    assert not out[5].r_stopwords and not out[5].keep
+    assert out[5].n_stop_words == 0
+    assert not out[6].r_bullet and not out[6].keep
+    assert 0.9 < out[6].bullet_line_ratio < 1.0
+    assert out[6].r_ellipsis  # bullets don't trip the ellipsis rule
+    assert not out[7].r_ellipsis and not out[7].keep
+    assert out[7].ellipsis_line_ratio == 1.0
+    assert out[7].r_bullet
 
 
 def test_canonical_url_bare_tracking_and_malformed(spark):
@@ -170,6 +192,15 @@ def test_canonical_url_bare_tracking_and_malformed(spark):
         ("https://e.com/p?fbclid&a=1", "https://e.com/p?a=1"),
         # a *different* param that merely shares the prefix is kept
         ("https://e.com/p?fbclid2=zz", "https://e.com/p?fbclid2=zz"),
+        # percent-hex normalizes to UPPERCASE (RFC 3986 canonical form);
+        # a '%' not followed by two hex digits is left byte-identical
+        ("https://e.com/a%7eb?x=%2fv", "https://e.com/a%7Eb?x=%2Fv"),
+        ("https://e.com/a%7Eb", "https://e.com/a%7Eb"),
+        ("https://e.com/100%zz", "https://e.com/100%zz"),
+        ("https://e.com/p%", "https://e.com/p%"),
+        # DNS root-label trailing dot strips (after default-port removal)
+        ("https://e.com./p", "https://e.com/p"),
+        ("https://E.COM.:443/p", "https://e.com/p"),
         ("not a url at all", None),
         ("/relative/path?x=1", None),
         ("example.com/no-scheme", None),
@@ -251,11 +282,13 @@ def test_quality_rule_flags_vertical_tab_engine_parity(spark):
     con.execute("INSERT INTO documents VALUES (0, ?)", [txt])
     orow = con.execute(entrymod.oracle_sql()["quality_rule_flags"]).fetchone()
     # columns: doc_id, n_words, mean_word_len, symbol_ratio,
-    #          dup_sentence_frac, r_len, r_word_len, r_symbol, r_dup, keep
+    #          dup_sentence_frac, n_stop_words, bullet_line_ratio,
+    #          ellipsis_line_ratio, r_*..., keep (last)
     assert srow.n_words == orow[1] == 12  # the VT splits alpha/beta
     assert srow.mean_word_len == orow[2]
     assert srow.symbol_ratio == orow[3]
-    assert srow.keep == orow[9]
+    assert srow.n_stop_words == orow[5]
+    assert srow.keep == orow[-1]
 
 
 def test_redact_pii(spark):

@@ -164,23 +164,54 @@ def drop_boilerplate_sentences(
     )
 
 
+def _upper_percent_hex(col: Column) -> Column:
+    """Normalize percent-encodings to the RFC 3986 canonical UPPERCASE hex
+    form (``%7e`` -> ``%7E``), pure codegen: split on ``%``, uppercase the
+    first two chars of each following fragment when they are hex digits
+    (a ``%`` not followed by two hex digits is left byte-identical — it
+    is not an encoding), and reassemble. No regex-callback needed, so the
+    DuckDB oracle can replay it with the same split/transform shape."""
+    parts = F.split(col, "%", -1)
+    fixed_tail = F.transform(
+        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+        lambda p: F.concat(
+            F.lit("%"),
+            F.when(
+                p.rlike("^[0-9A-Fa-f]{2}"), F.upper(F.substring(p, 1, 2))
+            ).otherwise(F.substring(p, 1, 2)),
+            F.substring(p, 3, 1_000_000_000),
+        ),
+    )
+    return F.when(F.size(parts) <= 1, col).otherwise(
+        F.concat(F.element_at(parts, 1), F.concat_ws("", fixed_tail))
+    )
+
+
 def canonical_url(url_col: Column) -> Column:
     """Crawl-grade URL canonicalization, pure codegen: lowercase scheme +
-    host, strip a leading ``www.``, strip the scheme-default port, drop
-    the fragment, collapse an empty path to ``/`` and trailing slashes
-    otherwise, drop tracking query params (``utm_*``/``fbclid``/``gclid``)
-    and SORT the survivors so param order never splits a dedup group.
+    host, strip the host's trailing root-label dot (``example.com.`` ==
+    ``example.com`` per DNS), strip a leading ``www.``, strip the
+    scheme-default port, drop the fragment, collapse an empty path to
+    ``/`` and trailing slashes otherwise, UPPERCASE percent-encoding hex
+    in path and query (``%7e`` -> ``%7E``, RFC 3986 §6.2.2.1), drop
+    tracking query params (``utm_*``/``fbclid``/``gclid``) and SORT the
+    survivors so param order never splits a dedup group.
 
     Built from anchored regexps (not a URL library) so the DuckDB oracle
     can mirror it expression-for-expression; dot-segment resolution
-    (``/a/../b``) is deliberately out of scope — a resolver belongs in
-    the fetcher, not the dedup key.
+    (``/a/../b``) and unreserved-char percent-DEcoding are deliberately
+    out of scope — a resolver belongs in the fetcher, not the dedup key.
 
     Inputs that do not match the ``scheme://host`` shape canonicalize to
-    NULL (never the degenerate ``'://'`` prefix): a malformed crawl url
-    must not collide into one giant dedup group. Tracking params are
-    dropped whether or not they carry a value (``?fbclid`` and
-    ``?fbclid=x`` both go).
+    NULL (never the degenerate ``'://'`` prefix). CONSUMER CONTRACT for
+    that NULL: in a JOIN-keyed dedup NULLs never match each other, but a
+    ``groupBy(canonical)`` treats NULLs as EQUAL — one giant garbage
+    group. groupBy-based consumers must either filter
+    ``canonical IS NOT NULL`` first or group on
+    ``coalesce(canonical, raw_url)`` (per-row fallback) — exactly what
+    the engine's own dedup consumers do. Tracking params are dropped
+    whether or not they carry a value (``?fbclid`` and ``?fbclid=x``
+    both go).
     """
     u = F.trim(url_col)
     well_formed = u.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+")
@@ -192,13 +223,17 @@ def canonical_url(url_col: Column) -> Column:
         .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
         .otherwise(host)
     )
+    # root-label dot AFTER port stripping ('example.com.:443' -> port goes
+    # first); one dot only — 'example.com..' is malformed, not canonical.
+    host = F.regexp_replace(host, r"\.$", "")
     # strip ALL trailing slashes, then restore the bare root: handles
     # '', '/', '/a/b/', and the degenerate '//' with one rule
     path = F.regexp_replace(
         F.regexp_extract(u, r"^[^:]+://[^/?#]+([^?#]*)", 1), "/+$", ""
     )
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    path = _upper_percent_hex(path)
+    q = _upper_percent_hex(F.regexp_extract(u, r"\?([^#]*)", 1))
     params = F.array_sort(
         F.filter(
             F.split(q, "&"),
@@ -219,6 +254,17 @@ def canonical_url(url_col: Column) -> Column:
     )
 
 
+# Rae et al. 2021 §A1.1's stop-word gate list ("must contain >= 2 of ...").
+# A fixed 8-word list, NOT functions.text.FUNCTION_WORDS: the paper's rule
+# is a crude English-ness probe, and a bigger list would water it down.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# Leading characters that mark a bullet line (ASCII dashes/stars + the
+# typographic bullet); explicit list, no regex shorthand (oracle parity).
+BULLET_PREFIXES = ("-", "*", "•")
+ELLIPSIS_SUFFIXES = ("...", "…")
+
+
 def quality_rule_flags(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -229,6 +275,9 @@ def quality_rule_flags(
     max_mean_word_len: float = 10.0,
     max_symbol_ratio: float = 0.25,
     max_dup_sentence_frac: float = 0.30,
+    min_stop_words: int = 2,
+    max_bullet_line_ratio: float = 0.90,
+    max_ellipsis_line_ratio: float = 0.30,
 ) -> DataFrame:
     """Per-document rule booleans + keep flag, pure codegen.
 
@@ -239,7 +288,15 @@ def quality_rule_flags(
     * ``r_dup_sent``: fraction of '.'-delimited sentences that are
       duplicates of an earlier one (1 - distinct/total) <= threshold —
       the in-document repetition signal that catches boilerplate;
-    * ``keep`` = conjunction.
+    * ``r_stopwords``: >= ``min_stop_words`` DISTINCT members of the
+      fixed 8-word Gopher stop list appear as whitespace tokens (Rae et
+      al. 2021 §A1.1's English-ness probe — machine-generated and
+      non-prose pages fail it);
+    * ``r_bullet`` / ``r_ellipsis``: fraction of non-empty lines starting
+      with a bullet mark <= 0.90 / ending with an ellipsis <= 0.30 (the
+      §A1.1 list-page and teaser-page rules);
+    * ``keep`` = conjunction. Thresholds are engine defaults in the
+      paper's shape, not paper-exact.
     """
     t = F.col(text_col)
     words = F.split(F.trim(t), WS_CLASS + "+")
@@ -256,21 +313,67 @@ def quality_rule_flags(
         (F.size(sents) - F.size(F.array_distinct(sents))).cast("double")
         / F.greatest(F.size(sents), F.lit(1)).cast("double")
     )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.split(F.lower(F.trim(t)), WS_CLASS + "+")),
+            F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
+        )
+    )
+    # lines: literal '\n' split (identical to a non-regex split on chr(10)
+    # in the oracle), trimmed, empties dropped
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda s: F.trim(s)), lambda s: s != ""
+    )
+    n_lines = F.size(lines)
+
+    def _any_prefix(s):
+        c = None
+        for p in BULLET_PREFIXES:
+            e = s.startswith(p)
+            c = e if c is None else (c | e)
+        return c
+
+    def _any_suffix(s):
+        c = None
+        for p in ELLIPSIS_SUFFIXES:
+            e = s.endswith(p)
+            c = e if c is None else (c | e)
+        return c
+
+    bullet_ratio = (
+        F.size(F.filter(lines, _any_prefix)).cast("double")
+        / F.greatest(n_lines, F.lit(1)).cast("double")
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, _any_suffix)).cast("double")
+        / F.greatest(n_lines, F.lit(1)).cast("double")
+    )
     r_len = (n_words >= min_words) & (n_words <= max_words)
     r_word_len = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
     r_symbol = sym_ratio <= max_symbol_ratio
     r_dup = dup_frac <= max_dup_sentence_frac
+    r_stop = n_stop >= min_stop_words
+    r_bullet = bullet_ratio <= max_bullet_line_ratio
+    r_ellipsis = ellipsis_ratio <= max_ellipsis_line_ratio
     return docs.select(
         F.col(id_col),
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
         sym_ratio.alias("symbol_ratio"),
         dup_frac.alias("dup_sentence_frac"),
+        n_stop.alias("n_stop_words"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ellipsis_ratio.alias("ellipsis_line_ratio"),
         r_len.alias("r_len"),
         r_word_len.alias("r_word_len"),
         r_symbol.alias("r_symbol"),
         r_dup.alias("r_dup_sent"),
-        (r_len & r_word_len & r_symbol & r_dup).alias("keep"),
+        r_stop.alias("r_stopwords"),
+        r_bullet.alias("r_bullet"),
+        r_ellipsis.alias("r_ellipsis"),
+        (
+            r_len & r_word_len & r_symbol & r_dup & r_stop & r_bullet & r_ellipsis
+        ).alias("keep"),
     )
 
 
