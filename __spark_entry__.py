@@ -373,6 +373,25 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_ann_lsh(spark, sf_dir):
+    """Multi-table hyperplane LSH ANN with a config that DEGRADES TO EXACT
+    (bits=0 -> the single table's sign pattern is empty, every vector and
+    every query lands in bucket 0, the candidate set is the full corpus
+    and the re-rank is the exact cosine top-k) — the same exhaustive-probe
+    trick that put ann_ivf under the hash gate. The REAL operator runs
+    end-to-end (signature kernel, bucket join, dedup, re-rank window);
+    recall of the production config stays pytest-checked against brute
+    force (tests/test_similarity_textstats.py)."""
+    from word_sense_disambiguation_spark.operators.similarity_search import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q_rows = emb.filter(F.col("vec_id") < 3).collect()
+    queries_vec = [(int(r.vec_id), list(r.embedding)) for r in q_rows]
+    return lsh_topk(emb, queries_vec, k=10, bits=0, tables=1).select(
+        "query_id", "vid", "rank"
+    )
+
+
 def _q_embedding_neardup(spark, sf_dir):
     """Exact-cosine verify kernel of the embedding near-dup family, over
     all pairs (the production operator equals this on its LSH candidates —
@@ -999,6 +1018,63 @@ def _q_prompt_path_assignments(spark, sf_dir):
     return sense_assignments_prompted(sw["pages"], sw["senses"])
 
 
+def _q_prompt_path_derived(spark, sf_dir):
+    """The FULL prompt path under the hash gate (r4 verdict #2): REAL
+    eval-prompt construction (rank-ordered candidates via the broadcast
+    dim join, letter table, NOTA slot) -> the REAL batched scorer
+    machinery (sortWithinPartitions length bucketing, Arrow batches,
+    executor-local factory init) with the dyadic-rational
+    ``dyadic_overlap_scorer`` swapped in through the ``scorer_factory``
+    slot -> the REAL ``decode_probabilities``. Every probability is a
+    multiple of 2^-6 (exact in float32 AND float64), so DuckDB replays
+    prompt build + scoring + decode bit-for-bit; only the synthetic-world
+    query (float32 softmax kernel) remains rows-only. Reference anchor:
+    wsd/masked_language_model.py:88-147 +
+    wsd/word_sense_disambiguation.py:194-217."""
+    from word_sense_disambiguation_spark.operators.evaluation import (
+        eval_examples_from_corpus,
+    )
+    from word_sense_disambiguation_spark.operators.mlm_scorer import (
+        decode_probabilities,
+        dyadic_overlap_scorer,
+        score_prompts,
+    )
+    from word_sense_disambiguation_spark.operators.prompts import mark_word_jvm
+
+    senses = _derived_sense_inventory(spark, sf_dir)
+    corpus = senses.select(
+        "lemma",
+        "pos",
+        F.col("sense_id").alias("gold_sense_id"),
+        F.explode("examples").alias("sentence"),
+    ).select(
+        "lemma",
+        "pos",
+        "gold_sense_id",
+        "sentence",
+        F.col("lemma").alias("word_form"),
+        mark_word_jvm(F.col("sentence"), F.col("lemma")).alias("marked_text"),
+    )
+    kept, _skipped = eval_examples_from_corpus(corpus, senses)
+    scored = score_prompts(
+        kept.select(
+            "correct_sense_id", "marked_sentence", "n_defs",
+            "correct_letter_index", "prompt",
+        ),
+        prompt_col="prompt",
+        scorer_factory=dyadic_overlap_scorer,
+    )
+    return decode_probabilities(scored, n_defs_col="n_defs").select(
+        "correct_sense_id",
+        "marked_sentence",
+        "n_defs",
+        "correct_letter_index",
+        "choice_index",
+        "is_nota_pred",
+        "confidence",
+    )
+
+
 def _q_decode_probabilities(spark, sf_dir):
     """T12 decision layer under the hash gate: the REAL
     ``decode_probabilities`` operator (argmax over the choice slice, fixed
@@ -1178,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_block": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
         "ann_ivf": _q_ann_ivf,
+        "ann_lsh": _q_ann_lsh,
         "embedding_neardup": _q_embedding_neardup,
         "pricing_summary": _q_pricing_summary,
         "top_orders_per_customer": _q_top_orders_per_customer,
@@ -1204,16 +1281,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_packing": _q_doc_packing,
         "repetition_stats": _q_repetition_stats,
         # minhash_dedup_clusters, er_clusters_derived, training_prompts,
-        # eval_examples, decode_probabilities and entity_linking ARE
-        # oracle-checked end-to-end (see oracle_sql). Only
-        # er_clusters_synthetic and prompt_path_assignments remain
-        # rows-only: both run Arrow float32 scoring kernels (hashed-
-        # embedding cosine / batched MLM scores) whose bit patterns no
-        # float64 SQL engine can reproduce, and both run on the in-process
-        # synthetic gold world; their correctness gates are the exact-
-        # golden F1/accuracy assertions in tests/ — and each stage of both
-        # compositions now has its own hash oracle (er_clusters_derived /
-        # decode_probabilities cover the previously-unhashed layers).
+        # eval_examples, decode_probabilities, entity_linking AND the full
+        # prompt path (prompt_path_assignments_derived, via the
+        # dyadic-rational scorer_factory) ARE oracle-checked end-to-end
+        # (see oracle_sql). Only er_clusters_synthetic and
+        # prompt_path_assignments remain rows-only: both run Arrow float32
+        # kernels (hashed-embedding cosine / softmax over overlap logits)
+        # whose bit patterns no float64 SQL engine can reproduce, and both
+        # run on the in-process synthetic gold world; their correctness
+        # gates are the exact-golden F1/accuracy assertions in tests/ —
+        # and every STAGE of both compositions now has its own hash oracle
+        # (er_clusters_derived / prompt_path_assignments_derived /
+        # decode_probabilities cover all previously-unhashed layers).
         "minhash_dedup_clusters": _q_minhash_clusters,
         "er_clusters_synthetic": _q_er_clusters_synthetic,
         "er_clusters_derived": _q_er_clusters_derived,
@@ -1222,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prompts": _q_training_prompts,
         "decode_probabilities": _q_decode_probabilities,
         "prompt_path_assignments": _q_prompt_path_assignments,
+        "prompt_path_assignments_derived": _q_prompt_path_derived,
     }
 
 
@@ -1394,6 +1474,23 @@ def oracle_sql() -> dict[str, str]:
                   / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) > 0.0
         """,
         "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS vid,
+                     list_cosine_similarity(e.embedding, q.qvec) AS cosine
+              FROM embeddings e CROSS JOIN q),
+            ranked AS (
+              SELECT query_id, vid,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vid ASC) AS rank
+              FROM scored)
+            SELECT query_id, vid, rank FROM ranked WHERE rank <= 10
+        """,
+        # bits=0/tables=1 degrades LSH to the exhaustive search (every
+        # vector in bucket 0), so the exact full-scan top-k is a hard
+        # oracle over the whole signature -> bucket-join -> re-rank path.
+        "ann_lsh": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                        FROM embeddings WHERE vec_id < 3),
             scored AS (
@@ -2044,6 +2141,86 @@ def oracle_sql() -> dict[str, str]:
                    || chr(10) || chr(10) || 'Answer: [unused0] [MASK]' AS prompt
             FROM meta m CROSS JOIN letters lt
         """.replace("{LETTERS}", _LETTERS_SQL),
+        # Full prompt path replay: same derived inventory / example / marked
+        # sentence / rank-ordered defs CTEs as eval_examples, then the
+        # dyadic scorer (token-set overlap of each choice line with the
+        # Sentence line, capped at 63, over 64; fixed NOTA prior 1/64 =
+        # 0.015625) and the T12 decode (strict >, first-position argmax,
+        # one renormalizing IEEE division). All values are multiples of
+        # 2^-6 -> float32 (Spark vectors) == float64 (here) bit-for-bit.
+        "prompt_path_assignments_derived": r"""
+            WITH lemmas AS (
+              SELECT lemma FROM (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+')) AS lemma
+                FROM documents)
+              WHERE regexp_matches(lemma, '^[a-z]+$') AND length(lemma) > 3
+              GROUP BY lemma HAVING count(*) >= 5
+            ),
+            sdef AS (
+              SELECT lemma, k,
+                     lemma || '-s' || CAST(k AS VARCHAR) AS sense_id,
+                     lemma || ' as sense ' || CAST(k AS VARCHAR) || ' about '
+                       || substr(md5('t:' || lemma || CAST(k AS VARCHAR)), 1, 6)
+                     || ' — ' ||
+                     'any ' || lemma || ' involving '
+                       || substr(md5('a:' || lemma || CAST(k AS VARCHAR)), 1, 6)
+                       AS sense_definition
+              FROM (
+                SELECT lemma,
+                       unnest(range(CAST(CAST(('0x' || substr(md5('ns:' || lemma), 1, 8)) AS BIGINT) % 3 + 1 AS INTEGER))) AS k
+                FROM lemmas)
+            ),
+            grp AS (
+              SELECT lemma,
+                     list(sense_definition ORDER BY k) AS defs,
+                     list(sense_id ORDER BY k) AS sense_ids,
+                     CAST(count(*) AS INTEGER) AS n
+              FROM sdef GROUP BY lemma
+            ),
+            ex AS (
+              SELECT lemma, sense_id,
+                     unnest(['the ' || lemma || ' stood near the door on day ' || CAST(k AS VARCHAR),
+                             'every visitor saw that ' || lemma || ' by evening ' || CAST(k AS VARCHAR)]) AS sentence
+              FROM sdef
+            ),
+            meta AS (
+              SELECT e.sense_id AS correct_sense_id,
+                     regexp_replace(e.sentence, '\b' || e.lemma || '\b',
+                                    '*' || e.lemma || '*') AS marked_sentence,
+                     g.defs, g.n AS n_defs,
+                     CAST(list_position(g.sense_ids, e.sense_id) - 1 AS INTEGER)
+                       AS correct_letter_index
+              FROM ex e JOIN grp g ON e.lemma = g.lemma
+            ),
+            scored AS (
+              SELECT correct_sense_id, marked_sentence, n_defs,
+                     correct_letter_index,
+                     list_transform(defs, d ->
+                       CAST(least(len(list_intersect(
+                         list_distinct(regexp_extract_all(lower(d), '[a-z0-9'']+')),
+                         list_distinct(regexp_extract_all(lower(marked_sentence), '[a-z0-9'']+')))),
+                         63) AS DOUBLE) / 64.0) AS ps
+              FROM meta
+            ),
+            a AS (
+              SELECT *,
+                     list_aggregate(ps, 'max') AS best,
+                     COALESCE(list_aggregate(ps, 'sum'), 0.0) + 0.015625
+                       AS total
+              FROM scored
+            )
+            SELECT correct_sense_id, marked_sentence, n_defs,
+                   correct_letter_index,
+                   CASE WHEN NOT (n_defs = 0 OR 0.015625 > best)
+                        THEN CAST(list_position(ps, best) - 1 AS INT)
+                   END AS choice_index,
+                   (n_defs = 0 OR 0.015625 > best) AS is_nota_pred,
+                   CASE WHEN total > 0
+                        THEN (CASE WHEN (n_defs = 0 OR 0.015625 > best)
+                                   THEN 0.015625 ELSE best END) / total
+                        ELSE 0.0 END AS confidence
+            FROM a
+        """,
         # End-to-end oracle for the flagship dedup operator: the Spark side
         # is MinHash-LSH candidates -> exact token-3-gram Jaccard verify
         # (>= 0.7) -> iterative large-star/small-star CC. The oracle skips

@@ -166,3 +166,44 @@ def test_scorer_factory_swap_in(spark):
         assert abs(r.confidence - 0.75) < 1e-6
     # null prompt short-circuits to the zero vector regardless of model
     assert sum(out["mnull"].probabilities) == 0.0
+
+
+def test_dyadic_overlap_scorer_is_exact_and_parses_prompt():
+    """The hash-gate scorer (r4 verdict #2): every probability is a
+    multiple of 2^-6 (exact in float32 AND float64), the NOTA slot gets
+    the fixed 1/64 prior, and per-choice mass equals the token-set
+    overlap between each choice line and the Sentence line."""
+    import numpy as np
+
+    from word_sense_disambiguation_spark.functions.letters import (
+        NOTA_LETTER_INDEX,
+        build_letters,
+    )
+    from word_sense_disambiguation_spark.operators.mlm_scorer import (
+        dyadic_overlap_scorer,
+    )
+
+    letters = build_letters().letters
+    prompt = (
+        "What is the meaning of *bank* in this sentence?\n\n"
+        "Sentence: the *bank* of the river rose\n\n"
+        f"{letters[0]}. bank of a river with water\n"
+        f"{letters[1]}. bank holding money accounts\n"
+        f"{letters[NOTA_LETTER_INDEX]}. none of the above\n\n"
+        "Answer: [unused0] [MASK]"
+    )
+    score = dyadic_overlap_scorer()
+    out = score([prompt, prompt])
+    assert out.shape[1] == len(letters) and out.dtype == np.float32
+    assert np.array_equal(out[0], out[1])  # deterministic
+    # dyadic: 64 * p is an integer for every slot
+    assert np.array_equal(out * 64, np.round(out * 64))
+    # choice 0 tokens ∩ sentence = {bank, of, river} -> 3/64
+    assert out[0, 0] == np.float32(3 / 64)
+    # choice 1 tokens ∩ sentence = {bank} -> 1/64
+    assert out[0, 1] == np.float32(1 / 64)
+    assert out[0, NOTA_LETTER_INDEX] == np.float32(1 / 64)
+    # all other slots untouched
+    mask = np.ones(len(letters), dtype=bool)
+    mask[[0, 1, NOTA_LETTER_INDEX]] = False
+    assert not out[0, mask].any()

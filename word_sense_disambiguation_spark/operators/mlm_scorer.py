@@ -101,6 +101,48 @@ def load_scorer() -> Callable[[list[str]], np.ndarray]:
     return score
 
 
+def dyadic_overlap_scorer() -> Callable[[list[str]], np.ndarray]:
+    """Hash-gate scorer factory: the ``scorer_factory`` swap-in that makes
+    the FULL prompt path float-replayable in SQL.
+
+    Per prompt it parses exactly what the default scorer parses — the
+    ``Sentence:`` line and the lettered choice lines (reference chunk
+    iteration, ``/root/reference/wsd/masked_language_model.py:88-147``) —
+    but emits probabilities as DYADIC RATIONALS instead of a softmax:
+    ``p(choice) = min(|choice_tokens ∩ sentence_tokens|, 63) / 64`` (plain
+    token-set overlap, no stop-word profile) and a fixed NOTA prior of
+    ``1/64``. Every value is a multiple of 2^-6 below 1, hence exact in
+    BOTH float32 (Spark's vector element type) and float64 (DuckDB), and
+    every decode-stage sum of <= 128 such terms stays exact — so argmax,
+    the strict-``>`` NOTA rule and the single renormalizing IEEE division
+    are bit-identical across engines. This is the verification analogue
+    of the real model, not a quality stand-in: use ``load_scorer`` (or a
+    real ModernBERT factory) for actual disambiguation.
+    """
+    letter_index = {c: i for i, c in enumerate(build_letters().letters)}
+
+    def score(prompts: list[str]) -> np.ndarray:
+        out = np.zeros((len(prompts), NUM_LETTERS), dtype=np.float32)
+        for r, prompt in enumerate(prompts):
+            m = _SENTENCE_RE.search(prompt)
+            sent_tokens = set(
+                _WORD_RE.findall((m.group(1) if m else "").lower())
+            )
+            for lm in _CHOICE_RE.finditer(prompt):
+                letter, text = lm.group(1), lm.group(2)
+                idx = letter_index.get(letter)
+                if idx is None:
+                    continue
+                if idx == NOTA_LETTER_INDEX:
+                    out[r, idx] = np.float32(1.0 / 64.0)
+                    continue
+                overlap = len(set(_WORD_RE.findall(text.lower())) & sent_tokens)
+                out[r, idx] = np.float32(min(overlap, 63) / 64.0)
+        return out
+
+    return score
+
+
 def score_prompts(
     df: DataFrame,
     prompt_col: str = "prompt",
