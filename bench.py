@@ -5,6 +5,8 @@ Queries (each timed end-to-end, action = count on the final stage):
 
 * ``sense_assign``   — flagship pipeline over the full pages table
   (documents lifted to page shape + synthetic gold world at sf scale)
+* ``prompt_assign``  — the prompted inference path over the same pages
+  (prompt build -> batched 128-way scorer -> decode)
 * ``er_cluster``     — blocking -> pair scoring -> connected components
   over the synthetic mention graph
 * ``dedup_minhash``  — MinHash-LSH near-dup clustering of documents
@@ -62,7 +64,10 @@ def main() -> None:
     from word_sense_disambiguation_spark.operators.tokenize import (
         mentions_from_pages_sql,
     )
-    from word_sense_disambiguation_spark.plans.pipeline import sense_assignments
+    from word_sense_disambiguation_spark.plans.pipeline import (
+        sense_assignments,
+        sense_assignments_prompted,
+    )
     from word_sense_disambiguation_spark.session import get_spark
     from word_sense_disambiguation_spark.sources.pages import pages_from_documents
 
@@ -140,6 +145,14 @@ def main() -> None:
         materialize(sense_assignments(pages, senses))
         timed(
             "sense_assign", lambda: materialize(sense_assignments(pages, senses))
+        )
+        # the prompted inference path (prompt build -> batched mapInPandas
+        # scorer -> decode) gets its own headline row so a regression in
+        # the scorer machinery or prompt construction is visible to BENCH;
+        # python workers are already warm from the sense_assign reps.
+        timed(
+            "prompt_assign",
+            lambda: materialize(sense_assignments_prompted(pages, senses)),
         )
         # cache the assignments only AFTER measurement, for the ER stage
         assignments = sense_assignments(pages, senses).persist()
