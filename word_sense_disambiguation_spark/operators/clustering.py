@@ -119,9 +119,18 @@ def _cc_kernel_run(batches):
 def _local_cc(e0: DataFrame) -> DataFrame:
     """Single-task CC for small graphs: the NumPy kernel over ALL edges in
     one job — zero iterative driver rounds. ``component = min member``
-    falls out of sorted factorization (label order == value order)."""
+    falls out of sorted factorization (label order == value order).
+
+    ``repartition(1)``, NOT ``coalesce(1)``: coalesce folds the WHOLE
+    upstream DAG into the single solve task — when the caller passes
+    ``matches = scored_pairs.filter(is_match)`` over a persisted pair
+    table, that one thread re-scans every cached pair row (measured
+    ~20s of the full ER job's parallelism-independent tail at 960k
+    pages, vs ~1.3M actual match edges). The narrow repartition keeps
+    the filter/projection parallel upstream and ships only the match
+    edges through one compact shuffle into the solve task."""
     node_t = e0.schema["src"].dataType.simpleString()
-    return e0.coalesce(1).mapInPandas(
+    return e0.repartition(1).mapInPandas(
         _cc_kernel_run, schema=f"node {node_t}, component {node_t}"
     )
 

@@ -50,6 +50,18 @@ def sense_assignments_prompted(
     vector. Exists alongside the columnar path to prove the engine carries
     the full prompt/letter/scorer contract end-to-end; results agree with
     the columnar path on the gold fixtures (tested).
+
+    PHYSICAL SHORT-CIRCUIT (the engine-wide python-boundary rule): on a
+    crawl-heavy corpus ~90% of mentions have an EMPTY candidate set — their
+    decision is ``no_definitions`` with confidence 0.0 regardless of any
+    scoring — yet the naive plan ships them through the mapInPandas scorer
+    as null prompts, paying the Arrow round-trip of the fat passthrough
+    columns (definitions/sense_ids arrays, marked sentence) for rows the
+    python side only zero-fills. They are split out BEFORE the scorer and
+    union'd back as literal rows; both branches read the same grouped
+    aggregate (one Exchange, reused). Mentions with n_defs > 127 (prompt
+    NULL by the letter-window rule) stay on the scorer branch so their
+    degenerate decode is byte-identical to the unsplit plan.
     """
     from pyspark.sql import functions as F
 
@@ -88,23 +100,38 @@ def sense_assignments_prompted(
         )
         .drop("cands")
     )
-    prompted = build_prompts(grouped, word_col="surface")
+    prompted = build_prompts(
+        grouped.filter(F.col("n_defs") > 0), word_col="surface"
+    )
     scored = score_prompts(prompted.drop("context_words"))
     decoded = decode_probabilities(scored, n_defs_col="n_defs")
-    return decoded.select(
+    from_scorer = decoded.select(
         "url",
         "mention_id",
         "position",
         "surface",
         "lemma",
         "pos",
-        F.when(F.col("n_defs") == 0, F.lit("no_definitions"))
-        .when(F.col("is_nota_pred"), F.lit("nota"))
+        F.when(F.col("is_nota_pred"), F.lit("nota"))
         .otherwise(F.lit("assigned"))
         .alias("decision"),
         F.when(
-            ~F.col("is_nota_pred") & (F.col("n_defs") > 0),
+            ~F.col("is_nota_pred"),
             F.element_at(F.col("sense_ids"), F.col("choice_index") + 1),
         ).alias("pred_sense_id"),
         "confidence",
     )
+    # n_defs == 0 rows decode deterministically (zero vector -> is_nota
+    # forced, total 0 -> confidence 0.0) — emit the literals directly.
+    no_defs = grouped.filter(F.col("n_defs") == 0).select(
+        "url",
+        "mention_id",
+        "position",
+        "surface",
+        "lemma",
+        "pos",
+        F.lit("no_definitions").alias("decision"),
+        F.lit(None).cast("string").alias("pred_sense_id"),
+        F.lit(0.0).alias("confidence"),
+    )
+    return from_scorer.unionByName(no_defs)
