@@ -1007,6 +1007,21 @@ def _q_doc_packing(spark, sf_dir):
     return pack_documents(docs, capacity=256, shards=8)
 
 
+def _q_mixture_sample(spark, sf_dir):
+    """Training-data mixture blending: per-language target rates with
+    deterministic downsampling (en 0.5), integer+fractional upsampling
+    (de 2.25), identity (zh 1.0); unlisted languages drop. Acceptance
+    thresholds are integer literals on both engines — no float replay."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        mixture_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, {"en": 0.5, "de": 2.25, "zh": 1.0}, "doc_id", "lang"
+    ).select("doc_id", "lang", "copy_id")
+
+
 def _q_prompt_path_assignments(spark, sf_dir):
     """Full prompt path: build MC prompts, batched 128-way scorer, decode."""
     from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
@@ -1280,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "doc_packing": _q_doc_packing,
         "repetition_stats": _q_repetition_stats,
+        "mixture_sample": _q_mixture_sample,
         # minhash_dedup_clusters, er_clusters_derived, training_prompts,
         # eval_examples, decode_probabilities, entity_linking AND the full
         # prompt path (prompt_path_assignments_derived, via the
@@ -2351,6 +2367,30 @@ def oracle_sql() -> dict[str, str]:
         # Same portable shard hash, same (h, id) order, same per-shard
         # running sum and capacity-256 chunk arithmetic (floor of an
         # exact double division of integers < 2^53).
+        # Mixture blending replay: integer certain-copies + integer
+        # fractional-acceptance thresholds (0.5 -> 2147483648, 0.25 ->
+        # 1073741824 over 2^32) against the same md5-prefix hash — the
+        # whole acceptance test is integer-exact on both engines.
+        "mixture_sample": """
+            WITH p AS (
+              SELECT doc_id, lang,
+                     CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2
+                               WHEN 'zh' THEN 1 ELSE 0 END AS n_certain,
+                     CASE lang WHEN 'en' THEN 2147483648
+                               WHEN 'de' THEN 1073741824
+                               ELSE 0 END AS thr,
+                     CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u32
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, lang,
+                     n_certain + CASE WHEN u32 < thr THEN 1 ELSE 0 END AS n
+              FROM p
+            )
+            SELECT doc_id, lang,
+                   CAST(unnest(range(1, n + 1)) AS INT) AS copy_id
+            FROM c WHERE n > 0
+        """,
         "doc_packing": r"""
             WITH k AS (
               SELECT doc_id,

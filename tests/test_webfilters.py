@@ -370,3 +370,46 @@ def test_pack_documents_null_text_packs_as_zero(spark):
         for r in rs:
             assert r.start_offset == off
             off += r.n_tokens
+
+
+def test_mixture_sample_exact_and_parallelism_invariant(spark):
+    """mixture_sample must match a hashlib replay exactly (copies =
+    floor(r) + [hash32 < frac*2^32]), drop unlisted groups, and be
+    partitioning-invariant (pure function of the row id)."""
+    import hashlib
+
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        mixture_sample,
+    )
+
+    rows = [(i, ["en", "de", "zh", "xx"][i % 4]) for i in range(400)]
+    docs = spark.createDataFrame(rows, schema="doc_id long, lang string")
+    rates = {"en": 0.5, "de": 2.25, "zh": 1.0}
+    out = mixture_sample(docs, rates, "doc_id", "lang").collect()
+
+    def expected(doc_id, lang):
+        r = rates.get(lang, 0.0)
+        u32 = int(hashlib.md5(f"mix:{doc_id}".encode()).hexdigest()[:8], 16)
+        thr = int(round((r - int(r)) * 2**32))
+        return int(r) + (1 if u32 < thr else 0)
+
+    want = sorted(
+        (i, lang, c)
+        for i, lang in rows
+        for c in range(1, expected(i, lang) + 1)
+    )
+    assert sorted((r.doc_id, r.lang, r.copy_id) for r in out) == want
+    # every de doc keeps >= 2 copies; xx (absent) fully dropped
+    per = {}
+    for r in out:
+        per.setdefault((r.doc_id, r.lang), []).append(r.copy_id)
+    assert all(len(v) >= 2 for (_, lang), v in per.items() if lang == "de")
+    assert not any(lang == "xx" for (_, lang) in per)
+    # expected-copies calibration: en keeps roughly half (hash uniformity)
+    n_en = sum(1 for (_, lang) in per if lang == "en")
+    assert 30 <= n_en <= 70
+    # parallelism invariance
+    out1 = mixture_sample(docs.coalesce(1), rates, "doc_id", "lang").collect()
+    out7 = mixture_sample(docs.repartition(7), rates, "doc_id", "lang").collect()
+    key = lambda rws: sorted((r.doc_id, r.lang, r.copy_id) for r in rws)
+    assert key(out1) == key(out7) == key(out)

@@ -491,3 +491,62 @@ def pack_documents(
             F.greatest(end_off - 1, start_off) / capacity
         ).cast("long").alias("chunk_last"),
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-group mixture resampling — the training-data
+    BLENDING step (Pile/LLaMA-style corpus weights): each group (language,
+    source, domain) gets a target rate; rate < 1 downsamples, rate > 1
+    upsamples by integer replication plus a fractional Bernoulli copy.
+    A document with rate ``r`` emits ``floor(r)`` certain copies and one
+    extra copy iff ``hash32(salt, id) < frac(r) * 2^32`` — so expected
+    copies = r exactly, and the decision is a pure function of the row id:
+    identical output at local[1] and on 1000 executors, across re-runs,
+    and under any partitioning (the engine's no-rand discipline). Groups
+    absent from ``rates`` drop (rate 0). Output = input columns +
+    ``copy_id`` (1..n, the replication index — downstream epoch salting
+    can key on it).
+
+    Scale shape: pure whole-stage codegen — one scan, a literal-map
+    lookup, an md5, and an explode; no shuffle, no Python, no driver
+    state. Output volume is bounded by ``max(rates) * |input|``. The
+    fractional thresholds are precomputed here as INTEGER literals
+    (``int(frac * 2^32)``), so the SQL oracle replays the acceptance test
+    with integer comparison only — no cross-engine float discipline
+    needed at all. Reference analogue: the training set's per-word
+    example balancing (``/root/reference/training/train.py:309-357``)
+    — same goal (shape the label distribution), lifted to corpus scale.
+    """
+    certain: list[Column] = []
+    thresh: list[Column] = []
+    for g, r in sorted(rates.items()):
+        if r < 0:
+            raise ValueError(f"negative rate for group {g!r}")
+        certain.extend([F.lit(g), F.lit(int(r))])
+        thresh.extend([F.lit(g), F.lit(int(round((r - int(r)) * 2**32)))])
+    n_certain = F.coalesce(
+        F.element_at(F.create_map(*certain), F.col(group_col)), F.lit(0)
+    )
+    thr = F.coalesce(
+        F.element_at(F.create_map(*thresh), F.col(group_col)), F.lit(0)
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    n_copies = n_certain + F.when(u32 < thr, F.lit(1)).otherwise(F.lit(0))
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard with an
+    # empty array, which explode() drops.
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return docs.withColumn("copy_id", F.explode(copies))
