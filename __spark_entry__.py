@@ -1007,6 +1007,22 @@ def _q_doc_packing(spark, sf_dir):
     return pack_documents(docs, capacity=256, shards=8)
 
 
+def _q_contamination(spark, sf_dir):
+    """Test-set decontamination: every 20th document plays the eval set,
+    the rest the training corpus; per eval doc, the fraction of its
+    distinct token 8-grams found anywhere in training. Broadcast eval
+    gram set -> map-side train filter -> dedup survivors (never a global
+    train-gram distinct)."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        contamination_check,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_check(ev, tr, n=8)
+
+
 def _q_mixture_sample(spark, sf_dir):
     """Training-data mixture blending: per-language target rates with
     deterministic downsampling (en 0.5), integer+fractional upsampling
@@ -1296,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_packing": _q_doc_packing,
         "repetition_stats": _q_repetition_stats,
         "mixture_sample": _q_mixture_sample,
+        "contamination_check": _q_contamination,
         # minhash_dedup_clusters, er_clusters_derived, training_prompts,
         # eval_examples, decode_probabilities, entity_linking AND the full
         # prompt path (prompt_path_assignments_derived, via the
@@ -2367,6 +2384,42 @@ def oracle_sql() -> dict[str, str]:
         # Same portable shard hash, same (h, id) order, same per-shard
         # running sum and capacity-256 chunk arithmetic (floor of an
         # exact double division of integers < 2^53).
+        # Decontamination replay: identical tokenization (explicit
+        # whitespace class), 8-gram windows via inclusive list slices,
+        # 60-bit md5-prefix membership keys (integer-exact both engines),
+        # one IEEE division at the end.
+        "contamination_check": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(COALESCE(text, ''))), '[ \t\n\r\f\x0B]+') AS t
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 8 THEN
+                       list_distinct(list_transform(range(1, len(t) - 6),
+                         i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT)))
+                     ELSE [] END AS ghs
+              FROM toks
+            ),
+            ev AS (SELECT doc_id, unnest(ghs) AS gh FROM g WHERE doc_id % 20 = 0),
+            evd AS (SELECT doc_id FROM g WHERE doc_id % 20 = 0),
+            tr AS (SELECT DISTINCT unnest(ghs) AS gh FROM g WHERE doc_id % 20 <> 0),
+            agg AS (
+              SELECT e.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN t.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+              FROM ev e LEFT JOIN tr t USING (gh)
+              GROUP BY e.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_grams, 0) AS n_grams,
+                   COALESCE(a.n_hit, 0) AS n_hit,
+                   CASE WHEN COALESCE(a.n_grams, 0) > 0
+                        THEN CAST(a.n_hit AS DOUBLE) / CAST(a.n_grams AS DOUBLE)
+                        ELSE 0.0 END AS contamination
+            FROM evd d LEFT JOIN agg a USING (doc_id)
+        """,
         # Mixture blending replay: integer certain-copies + integer
         # fractional-acceptance thresholds (0.5 -> 2147483648, 0.25 ->
         # 1073741824 over 2^32) against the same md5-prefix hash — the

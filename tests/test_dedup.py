@@ -176,3 +176,64 @@ def test_exact_duplicates_hot_hash_group(spark):
     assert hot.count() == 5000
     assert hot.select("canonical_id").distinct().collect()[0].canonical_id == 0
     assert out.filter(~F.col("is_duplicate")).count() == 5
+
+
+def test_contamination_check_exact_vs_python_replay(spark):
+    """contamination_check must equal a brute-force python replay of the
+    same tokenization/n-gram/hash pipeline: planted verbatim overlap is
+    caught, clean docs score 0, short docs report n_grams=0."""
+    import re
+
+    from word_sense_disambiguation_spark.operators.dedup import (
+        contamination_check,
+    )
+
+    train_rows = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "one two three four five six seven eight nine ten eleven"),
+        (102, "completely unrelated training text with many filler words here"),
+    ]
+    eval_rows = [
+        # verbatim copy of a train window + extra tail -> partial hit
+        (1, "alpha beta gamma delta epsilon zeta eta theta NEW TAIL WORDS"),
+        # clean
+        (2, "purple monkey dishwasher quantum flux capacitor banana orange grape"),
+        # too short for 8-grams
+        (3, "tiny doc"),
+        # null text
+        (4, None),
+    ]
+    train = spark.createDataFrame(train_rows, schema="doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, schema="doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in contamination_check(ev, train, n=8).collect()
+    }
+
+    def grams(text, n=8):
+        toks = re.split("[ \t\n\r\f\x0b]+", (text or "").strip().lower())
+        if len(toks) < n:
+            return set()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    train_set = set().union(*(grams(t) for _, t in train_rows))
+    for did, text in eval_rows:
+        g = grams(text)
+        r = out[did]
+        assert r.n_grams == len(g)
+        assert r.n_hit == len(g & train_set)
+        want = len(g & train_set) / len(g) if g else 0.0
+        assert abs(r.contamination - want) < 1e-12
+    assert out[1].n_hit > 0 and out[2].n_hit == 0
+    assert out[3].n_grams == 0 and out[3].contamination == 0.0
+    assert out[4].n_grams == 0
+    # parallelism invariance
+    out7 = {
+        r.doc_id: (r.n_grams, r.n_hit, r.contamination)
+        for r in contamination_check(
+            ev.repartition(7), train.repartition(5), n=8
+        ).collect()
+    }
+    assert out7 == {
+        k: (v.n_grams, v.n_hit, v.contamination) for k, v in out.items()
+    }

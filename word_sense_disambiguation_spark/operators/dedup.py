@@ -101,6 +101,82 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_check(
+    eval_docs: DataFrame,
+    train_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Test-set decontamination signal (the GPT-3 appendix-C / C4-analysis
+    check): for each EVALUATION document, the fraction of its distinct
+    token ``n``-grams that occur anywhere in the TRAINING corpus. Output:
+    ``(id, n_grams, n_hit, contamination)`` — one row per eval doc, docs
+    with fewer than ``n`` tokens report ``n_grams = 0, contamination 0.0``.
+
+    Scale shape (train side = the 100 TB side): the eval gram set is tiny
+    by construction (benchmarks are thousands of docs), so it broadcasts
+    into the train scan — the train corpus is filtered MAP-SIDE to only
+    grams the eval set mentions, and only those survivors are deduped.
+    Never a global distinct of the train grams (that shuffle is the whole
+    corpus), never a join with train as build side. Membership keys are
+    15-hex-char md5 prefixes (60 bits — exact in a signed long on both
+    engines, collision odds negligible at eval-set cardinality); the
+    final fraction is one IEEE division. Set ``broadcast_eval=False``
+    only when the eval side is itself crawl-sized (falls back to a
+    shuffled join). Tokenization mirrors the engine's whitespace
+    convention (explicit class, never ``\\s`` — DuckDB-mirrorable).
+    Reference analogue: the skip-list anti-join discipline of
+    ``/root/reference/training/data/generate.py:148-160`` (exclude
+    already-seen items before expensive work), lifted to n-gram grain.
+    """
+
+    def gram_hashes(col):
+        toks = F.split(F.lower(F.trim(F.coalesce(col, F.lit("")))), WS_CLASS + "+")
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(
+            F.transform(
+                grams,
+                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
+        )
+
+    ev = eval_docs.select(
+        F.col(id_col), F.explode_outer(gram_hashes(F.col(text_col))).alias("gh")
+    )
+    tr = train_docs.select(F.explode(gram_hashes(F.col(text_col))).alias("gh"))
+    ev_set = ev.filter(F.col("gh").isNotNull()).select("gh").distinct()
+    if broadcast_eval:
+        ev_set = F.broadcast(ev_set)
+    hits = tr.join(ev_set, "gh").distinct().withColumn("_hit", F.lit(1))
+    return (
+        ev.join(hits, on="gh", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("gh").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hit",
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_hit").cast("double") / F.col("n_grams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contamination"),
+        )
+    )
+
+
 def minhash_near_duplicate_clusters(
     df: DataFrame,
     id_col: str,
