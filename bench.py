@@ -239,9 +239,18 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         time.sleep(1.0)
 
+    try:
+        from scripts._hoststat import cpu_sample, steal_pct
+    except Exception:  # standalone copy of bench.py without scripts/
+        cpu_sample = lambda: (0, 0)  # noqa: E731
+        steal_pct = lambda a, b: 0.0  # noqa: E731
+
     windows = []
+    window_steal = []
     for _ in range(2):
+        s0 = cpu_sample()
         windows.append(suite_pass())
+        window_steal.append(steal_pct(s0, cpu_sample()))
         _drop_rep_blocks()
     timings = {
         q: min(w[q] for w in windows) for q in windows[0]
@@ -258,6 +267,7 @@ def main() -> None:
                 "queries": timings,
                 "windows": len(windows),
                 "per_window": windows,
+                "steal_pct_per_window": window_steal,
                 "sf": sf,
                 "cpus": cpus,
                 "pages": total_pages,

@@ -93,12 +93,21 @@ def main() -> None:
         edges = score_mention_pairs(prs, a)
         _materialize(cluster_mentions(edges))
 
+    from scripts._hoststat import cpu_sample, steal_pct
+
     fn = run_full if mode == "full" else run_flagship
     best = float("inf")
+    steals: list[float] = []
+    best_steal = None
     for _ in range(reps):
+        s0 = cpu_sample()
         t0 = time.monotonic()
         fn()
-        best = min(best, time.monotonic() - t0)
+        dt = time.monotonic() - t0
+        sp = steal_pct(s0, cpu_sample())
+        steals.append(sp)
+        if dt < best:
+            best, best_steal = dt, sp
         # Free the rep's intermediate cache/checkpoint blocks BETWEEN
         # reps (outside the timed span): the composite materializes the
         # assignments checkpoint + the edge cache each rep, and
@@ -120,6 +129,12 @@ def main() -> None:
                 "n_pages": n,
                 "best_sec": round(best, 3),
                 "docs_per_sec": round(n / best, 1),
+                # host contention evidence for THIS leg: steal% during the
+                # best (reported) rep and per-rep values — a leg whose
+                # best rep carries materially more steal than its pair
+                # leg is the contended one (r5 discipline).
+                "steal_pct_best_rep": best_steal,
+                "steal_pct_reps": steals,
             }
         )
     )
