@@ -93,13 +93,15 @@ def main() -> None:
         edges = score_mention_pairs(prs, a)
         _materialize(cluster_mentions(edges))
 
-    from scripts._hoststat import cpu_sample, steal_pct
+    from scripts._hoststat import bandwidth_probe, cpu_sample, steal_pct
 
     fn = run_full if mode == "full" else run_flagship
     best = float("inf")
     steals: list[float] = []
+    bws: list[float] = []
     best_steal = None
     for _ in range(reps):
+        bws.append(bandwidth_probe())  # outside the timed span
         s0 = cpu_sample()
         t0 = time.monotonic()
         fn()
@@ -135,6 +137,9 @@ def main() -> None:
                 # leg is the contended one (r5 discipline).
                 "steal_pct_best_rep": best_steal,
                 "steal_pct_reps": steals,
+                # single-core DRAM copy GB/s sampled before each rep:
+                # bandwidth pressure is the contention steal% cannot see.
+                "bw_gbps_reps": bws,
             }
         )
     )
