@@ -164,12 +164,21 @@ def main() -> None:
             # exhaustive pairs only inside small surface blocks
             import pyspark.sql.functions as F
 
+            # materialize the pruned projection ONCE: the pair union +
+            # scorer below consume `a` ~8 times (three blocking branches,
+            # both scorer sides, block counts), and each consumer would
+            # otherwise re-scan the full 128-partition assignments cache
+            # through the filter. One eager checkpoint (38k rows at sf0.1)
+            # halves the cold er_cluster wall: 9.66s -> 4.29s measured,
+            # scripts/_er_cold_probe2.py. localCheckpoint, not persist —
+            # CacheManager would substitute a persist()ed plan into rep 2
+            # and turn it into a cache read (the r4 bench artifact).
             a = assignments.filter(
                 F.col("decision") != "no_definitions"
             ).select(
                 "mention_id", "lemma", "pos", "norm_surface", "surface",
                 "context_words", "pred_sense_id", "decision",
-            )
+            ).localCheckpoint(eager=True)
             # no silent caps, even here: two NOTA mentions with identical
             # surface AND identical context words (exactly what near-dup
             # pages produce) score 0.2*1.0 + 0.4*1.0 = 0.60 — which IS a
@@ -195,7 +204,10 @@ def main() -> None:
                 .unionByName(recovered)
             )
             edges = score_mention_pairs(pairs, a)
-            return cluster_mentions(edges).count()
+            out = cluster_mentions(edges)  # returns a caller-owned cache
+            n = out.count()
+            out.unpersist(blocking=False)
+            return n
 
         timed("er_cluster", run_er)
         timed(
