@@ -252,14 +252,21 @@ def main() -> None:
         time.sleep(1.0)
 
     try:
-        from scripts._hoststat import cpu_sample, steal_pct
+        from scripts._hoststat import bandwidth_probe, cpu_sample, steal_pct
     except Exception:  # standalone copy of bench.py without scripts/
         cpu_sample = lambda: (0, 0)  # noqa: E731
         steal_pct = lambda a, b: 0.0  # noqa: E731
+        bandwidth_probe = lambda: 0.0  # noqa: E731
 
     windows = []
     window_steal = []
+    window_bw = []
     for _ in range(2):
+        # both host-noise axes, sampled OUTSIDE the timed span: steal%
+        # (cpu contention) brackets the window; the ~2s DRAM copy probe
+        # (bandwidth pressure — the axis steal% cannot see, and the one
+        # the composite is actually bound by) runs just before it
+        window_bw.append(bandwidth_probe())
         s0 = cpu_sample()
         windows.append(suite_pass())
         window_steal.append(steal_pct(s0, cpu_sample()))
@@ -280,6 +287,7 @@ def main() -> None:
                 "windows": len(windows),
                 "per_window": windows,
                 "steal_pct_per_window": window_steal,
+                "bw_gbps_per_window": window_bw,
                 "sf": sf,
                 "cpus": cpus,
                 "pages": total_pages,
