@@ -1023,6 +1023,24 @@ def _q_contamination(spark, sf_dir):
     return contamination_check(ev, tr, n=8)
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Snapshot-vs-corpus dedup: every 5th document plays the incoming
+    snapshot, the rest the standing corpus; each new doc is tagged
+    exact_dup (byte-identical text in the corpus), near_dup (verified
+    3-gram Jaccard >= 0.7 via the banded MinHash index), or novel.
+    matched_id = min matching corpus id, max_jaccard = best verified
+    similarity (single IEEE division per pair; 1.0 for exact)."""
+    from word_sense_disambiguation_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    result, _oversized = incremental_dedup(
+        new, corpus, id_col="doc_id", text_col="text", n=3, threshold=0.7
+    )
+    return result
+
+
 def _q_mixture_sample(spark, sf_dir):
     """Training-data mixture blending: per-language target rates with
     deterministic downsampling (en 0.5), integer+fractional upsampling
@@ -1313,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "mixture_sample": _q_mixture_sample,
         "contamination_check": _q_contamination,
+        "incremental_dedup": _q_incremental_dedup,
         # minhash_dedup_clusters, er_clusters_derived, training_prompts,
         # eval_examples, decode_probabilities, entity_linking AND the full
         # prompt path (prompt_path_assignments_derived, via the
@@ -2419,6 +2438,63 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(a.n_hit AS DOUBLE) / CAST(a.n_grams AS DOUBLE)
                         ELSE 0.0 END AS contamination
             FROM evd d LEFT JOIN agg a USING (doc_id)
+        """,
+        # Snapshot-vs-corpus dedup replay: exact = raw-text equality (the
+        # sha256 index key is injective up to collisions, so text equality
+        # IS the semantics); near = the same distinct-3-gram Jaccard
+        # construction as minhash_dedup_clusters, all pairs (the banded
+        # MinHash index on the Spark side is candidate GENERATION only —
+        # verification decides, so all-pairs replays it exactly as long as
+        # banding recall holds at this scale, the same contract the
+        # minhash_dedup_clusters oracle already pins).
+        "incremental_dedup": r"""
+            WITH newd AS (
+              SELECT doc_id, COALESCE(text, '') AS text FROM documents
+              WHERE doc_id % 5 = 0
+            ),
+            corp AS (
+              SELECT doc_id, COALESCE(text, '') AS text FROM documents
+              WHERE doc_id % 5 <> 0
+            ),
+            ex AS (
+              SELECT text, CAST(min(doc_id) AS BIGINT) AS exact_id
+              FROM corp GROUP BY text
+            ),
+            g AS (
+              SELECT doc_id, grp, grams FROM (
+                SELECT doc_id, grp,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct(list_transform(
+                                   range(0, len(toks) - 2),
+                                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
+                            ELSE [array_to_string(toks, ' ')] END AS grams
+                FROM (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'n' ELSE 'c' END AS grp,
+                             regexp_split_to_array(lower(trim(COALESCE(text, ''))),
+                                                   '[ \t\n\r\f\x0B]+') AS toks
+                      FROM documents))
+            ),
+            near AS (
+              SELECT n.doc_id,
+                     CAST(min(c.doc_id) AS BIGINT) AS near_id,
+                     max(CAST(len(list_filter(n.grams, x -> list_contains(c.grams, x))) AS DOUBLE)
+                         / greatest(CAST(len(list_distinct(list_concat(n.grams, c.grams))) AS DOUBLE), 1.0)
+                     ) AS near_j
+              FROM g n JOIN g c ON n.grp = 'n' AND c.grp = 'c'
+              WHERE CAST(len(list_filter(n.grams, x -> list_contains(c.grams, x))) AS DOUBLE)
+                    / greatest(CAST(len(list_distinct(list_concat(n.grams, c.grams))) AS DOUBLE), 1.0)
+                    >= 0.7
+              GROUP BY n.doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+                        WHEN r.near_id IS NOT NULL THEN 'near_dup'
+                        ELSE 'novel' END AS status,
+                   CAST(COALESCE(e.exact_id, r.near_id) AS BIGINT) AS matched_id,
+                   CASE WHEN e.exact_id IS NOT NULL THEN 1.0
+                        ELSE r.near_j END AS max_jaccard
+            FROM newd d
+            LEFT JOIN ex e ON d.text = e.text
+            LEFT JOIN near r ON r.doc_id = d.doc_id
         """,
         # Mixture blending replay: integer certain-copies + integer
         # fractional-acceptance thresholds (0.5 -> 2147483648, 0.25 ->

@@ -237,3 +237,85 @@ def test_contamination_check_exact_vs_python_replay(spark):
     assert out7 == {
         k: (v.n_grams, v.n_hit, v.contamination) for k, v in out.items()
     }
+
+
+def test_incremental_dedup_statuses(spark, docs):
+    """Snapshot-vs-corpus tagging: exact (byte-identical), near (verified
+    Jaccard >= threshold), novel; matched_id is the min matching corpus
+    id; exact wins over near; null text matches null/empty text exactly."""
+    from word_sense_disambiguation_spark.operators.dedup import incremental_dedup
+
+    corpus = docs.unionByName(
+        spark.createDataFrame([(6, None)], schema="doc_id long, text string")
+    )
+    base = docs.filter(F.col("doc_id") == 0).collect()[0].text
+    new = spark.createDataFrame(
+        [
+            (10, base),  # exact dup of corpus 0 AND 1 -> matched_id 0
+            (11, base.replace("morning", "evening").replace("market", "bazaar")),
+            (12, "utterly novel text never seen in any corpus snapshot before now"),
+            (13, None),  # exact vs corpus doc 6 (both coalesce to "")
+        ],
+        schema="doc_id long, text string",
+    )
+    res, oversized = incremental_dedup(new, corpus, threshold=0.5)
+    out = {r.doc_id: r for r in res.collect()}
+    assert len(out) == 4
+    assert out[10].status == "exact_dup" and out[10].matched_id == 0
+    assert out[10].max_jaccard == 1.0
+    assert out[11].status == "near_dup" and out[11].matched_id == 0
+    assert 0.5 <= out[11].max_jaccard < 1.0
+    assert out[12].status == "novel"
+    assert out[12].matched_id is None and out[12].max_jaccard is None
+    assert out[13].status == "exact_dup" and out[13].matched_id == 6
+    assert oversized.count() == 0
+
+
+def test_incremental_dedup_is_vs_corpus_only(spark):
+    """Within-snapshot duplicates are out of scope: two identical NEW docs
+    with no corpus match are both novel (the within-snapshot pass is
+    exact_duplicates/minhash clusters' job)."""
+    from word_sense_disambiguation_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "corpus only content about rivers and stones and afternoon light")],
+        schema="doc_id long, text string",
+    )
+    t = "twin snapshot document repeated twice inside the same new snapshot"
+    new = spark.createDataFrame(
+        [(10, t), (11, t)], schema="doc_id long, text string"
+    )
+    res, _ = incremental_dedup(new, corpus)
+    assert {r.status for r in res.collect()} == {"novel"}
+
+
+def test_incremental_dedup_hot_bucket_capped(spark):
+    """A hot band bucket (boilerplate shingles on BOTH sides) is capped by
+    the n_new * n_corpus pair product and REPORTED, never silently
+    dropped; docs in healthy buckets still match."""
+    from word_sense_disambiguation_spark.operators.dedup import incremental_dedup
+
+    boiler = "identical boilerplate parked domain page text repeated everywhere"
+    corpus_rows = [(i, boiler) for i in range(200)]
+    corpus_rows.append((900, "healthy unique corpus article about telescope optics"))
+    new_rows = [(10_000 + i, boiler) for i in range(200)]
+    new_rows.append((19_000, "healthy unique corpus article about telescope optics"))
+    corpus = spark.createDataFrame(corpus_rows, schema="doc_id long, text string")
+    new = spark.createDataFrame(new_rows, schema="doc_id long, text string")
+    res, oversized = incremental_dedup(new, corpus, max_pairs_per_bucket=64)
+    out = {r.doc_id: r for r in res.collect()}
+    # the boilerplate copies are EXACT dups (caught by the hash index,
+    # which never goes through band buckets), so capping cannot lose them
+    assert all(out[10_000 + i].status == "exact_dup" for i in range(200))
+    assert out[19_000].status == "exact_dup"
+    # every new doc was an exact hit -> the near stage saw NOTHING, so no
+    # bucket ever formed on the new side (the physical short-circuit)
+    assert oversized.count() == 0
+    # a capped NEAR-dup bucket: perturb the new side so the hash misses
+    new2 = spark.createDataFrame(
+        [(20_000 + i, boiler + " extra tail words") for i in range(200)],
+        schema="doc_id long, text string",
+    )
+    res2, over2 = incremental_dedup(new2, corpus, max_pairs_per_bucket=64)
+    over = over2.collect()
+    assert over and all(r.n_new * r.n_corpus > 64 for r in over)

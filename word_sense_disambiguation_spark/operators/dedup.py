@@ -220,6 +220,156 @@ def minhash_near_duplicate_clusters(
     return out
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.7,
+    num_perm: int | None = None,
+    bands: int | None = None,
+    shingle_k: int = 5,
+    max_pairs_per_bucket: int = 4096,
+) -> tuple[DataFrame, DataFrame]:
+    """Snapshot-vs-corpus deduplication: tag every NEW document as
+    ``exact_dup`` (byte-identical text exists in the corpus), ``near_dup``
+    (verified n-gram Jaccard >= ``threshold`` against some corpus doc), or
+    ``novel``. This is the standing operation of a crawl pipeline: each new
+    snapshot is admitted against the corpus accumulated so far, never
+    re-clustered against itself (within-snapshot duplicates are
+    :func:`exact_duplicates` / :func:`minhash_near_duplicate_clusters`'
+    job and are deliberately out of scope here).
+
+    Returns ``(result, oversized_buckets)``. ``result`` has one row per
+    new doc: ``(id, status, matched_id, max_jaccard)`` where ``matched_id``
+    is the MINIMUM matching corpus id (the engine-wide canonical
+    convention), ``max_jaccard`` the best verified similarity (1.0 for
+    exact), both NULL for novel docs — deterministic, no tie-break
+    ambiguity.
+
+    Scale shape (corpus = the 100 TB side):
+
+    - Exact stage: the corpus collapses to ONE row per distinct content
+      (``groupBy(hash).agg(min(id))`` — map-side partial combine, the
+      skew rule of :func:`exact_duplicates`) before the join; a 10^8-copy
+      boilerplate page costs one index row. The per-new-row tag join is
+      linear in the snapshot.
+    - Near stage runs ONLY on new docs that miss the exact index (a
+      physical split, not a ``when()`` — the MinHash ``mapInPandas``
+      kernel never sees rows the cheap stage already decided, the
+      engine's UDF short-circuit rule).
+    - Candidates come from a banded MinHash equi-join between the new
+      side's band keys and the corpus band index (``minhash_bands``
+      output — exactly the table a deployment persists as its standing
+      index and unions per admitted snapshot). Hot band buckets (shingle
+      boilerplate) are capped by the PRODUCT ``n_new * n_corpus`` per
+      key — the actual number of generated pairs — and excluded buckets
+      are reported in ``oversized_buckets``, never silently dropped.
+    - Verification is JVM array math (``array_intersect``/``array_union``
+      over distinct token n-grams, one IEEE division), then a
+      ``groupBy(new_id).agg(min, max)`` — partial-combined, so a new doc
+      colliding with a million corpus near-copies ships one row per map
+      partition.
+
+    Reference analogue: the skip-list discipline of
+    ``/root/reference/training/data/generate.py:148-160`` (drop
+    already-covered items before expensive scoring), lifted from id grain
+    to content grain.
+    """
+    from word_sense_disambiguation_spark.operators.blocking import (
+        DEFAULT_BANDS,
+        DEFAULT_NUM_PERM,
+        minhash_bands,
+    )
+
+    num_perm = DEFAULT_NUM_PERM if num_perm is None else num_perm
+    bands = DEFAULT_BANDS if bands is None else bands
+
+    txt = lambda c: F.coalesce(F.col(c), F.lit(""))  # noqa: E731
+
+    # ---- exact stage: one index row per distinct corpus content ----
+    exact_index = (
+        corpus.select(F.col(id_col).alias("_cid"), F.sha2(txt(text_col), 256).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min("_cid").alias("_exact_id"))
+    )
+    tagged = (
+        new_docs.select(id_col, text_col)
+        .withColumn("_h", F.sha2(txt(text_col), 256))
+        .join(exact_index, on="_h", how="left")
+    ).localCheckpoint(eager=True)
+    # materialize ONCE: `tagged` feeds the near-stage filter, the gram
+    # side of verification, and the final assembly — uncheckpointed, the
+    # snapshot scan + hash + index join re-runs per consumer (the
+    # fan-out rule measured on the bench's er_cluster, BASELINE.md)
+
+    # ---- near stage: only the exact-stage misses enter the kernel ----
+    misses = tagged.filter(F.col("_exact_id").isNull()).select(id_col, text_col)
+    new_bands = minhash_bands(
+        misses, id_col, text_col, num_perm, bands, shingle_k
+    ).withColumnRenamed("id", "_nid")
+    idx_bands = minhash_bands(
+        corpus, id_col, text_col, num_perm, bands, shingle_k
+    ).withColumnRenamed("id", "_oid").localCheckpoint(eager=True)
+    # the corpus band table is the persistent LSH index: checkpointed
+    # because it feeds both the bucket-size caps and the candidate join
+
+    key = ["band_id", "band_hash"]
+    n_new = new_bands.groupBy(*key).agg(F.count("*").alias("n_new"))
+    n_idx = idx_bands.groupBy(*key).agg(F.count("*").alias("n_corpus"))
+    sizes = n_new.join(n_idx, on=key)  # inner: keys on one side only pair nothing
+    oversized = sizes.filter(
+        F.col("n_new") * F.col("n_corpus") > max_pairs_per_bucket
+    )
+    cands = (
+        new_bands.join(F.broadcast(oversized.select(*key)), on=key, how="left_anti")
+        .join(idx_bands, on=key)
+        .select("_nid", "_oid")
+        .distinct()
+    )
+
+    # ---- verify: exact token-n-gram Jaccard, JVM array math ----
+    g_new = misses.select(
+        F.col(id_col).alias("_nid"), _token_ngrams(txt(text_col), n).alias("_ga")
+    )
+    g_old = corpus.select(
+        F.col(id_col).alias("_oid"), _token_ngrams(txt(text_col), n).alias("_gb")
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = F.size(F.array_union("_ga", "_gb")).cast("double")
+    jac = inter / F.greatest(union, F.lit(1.0))
+    near = (
+        cands.join(g_new, on="_nid")
+        .join(g_old, on="_oid")
+        .select("_nid", "_oid", jac.alias("_j"))
+        .filter(F.col("_j") >= threshold)
+        .groupBy("_nid")
+        .agg(
+            F.min("_oid").alias("_near_id"),
+            F.max("_j").alias("_near_j"),
+        )
+    )
+
+    result = (
+        tagged.join(near, tagged[id_col] == near["_nid"], how="left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_exact_id").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("_near_id").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            F.coalesce(F.col("_exact_id"), F.col("_near_id"))
+            .cast("long")
+            .alias("matched_id"),
+            F.when(F.col("_exact_id").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("_near_j"))
+            .alias("max_jaccard"),
+        )
+    )
+    return result, oversized
+
+
 def simhash_candidates(
     df: DataFrame,
     id_col: str,
