@@ -1023,6 +1023,35 @@ def _q_contamination(spark, sf_dir):
     return contamination_check(ev, tr, n=8)
 
 
+def _q_blocklist_filter(spark, sf_dir):
+    """UT1-style domain blocklist over deterministic synthetic hosts
+    (m{doc_id%4}.{source}.{tld by doc_id%3}): exact-host and
+    under-domain matches, most-specific rule wins, shuffle-free
+    broadcast-per-depth plan."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        filter_blocklisted_hosts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("net"))
+        .otherwise(F.lit("org"))
+    )
+    hosts = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("m"), (F.col("doc_id") % 4).cast("string"), F.lit("."),
+            F.col("source"), F.lit("."), tld,
+        ).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [("src3.com",), ("m1.src5.net",), ("src5.net",), ("org",), ("src19.net",)],
+        "rule string",
+    )
+    return filter_blocklisted_hosts(hosts, bl)
+
+
 def _q_incremental_dedup(spark, sf_dir):
     """Snapshot-vs-corpus dedup: every 5th document plays the incoming
     snapshot, the rest the standing corpus; each new doc is tagged
@@ -1332,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "contamination_check": _q_contamination,
         "incremental_dedup": _q_incremental_dedup,
+        "blocklist_filter": _q_blocklist_filter,
         # minhash_dedup_clusters, er_clusters_derived, training_prompts,
         # eval_examples, decode_probabilities, entity_linking AND the full
         # prompt path (prompt_path_assignments_derived, via the
@@ -2438,6 +2468,33 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(a.n_hit AS DOUBLE) / CAST(a.n_grams AS DOUBLE)
                         ELSE 0.0 END AS contamination
             FROM evd d LEFT JOIN agg a USING (doc_id)
+        """,
+        # Blocklist replay: a rule matches iff it equals the host or is a
+        # dot-suffix of it; the winner is the longest matching rule
+        # (suffixes of one host have pairwise-distinct lengths, and equal-
+        # length matching rules are the same string — arg_max is tie-free).
+        "blocklist_filter": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     'm' || CAST(doc_id % 4 AS VARCHAR) || '.' || source || '.' ||
+                     CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'net'
+                          ELSE 'org' END AS host
+              FROM documents
+            ),
+            bl(rule) AS (
+              VALUES ('src3.com'), ('m1.src5.net'), ('src5.net'), ('org'),
+                     ('src19.net')
+            ),
+            m AS (
+              SELECT h.doc_id, arg_max(bl.rule, length(bl.rule)) AS matched_rule
+              FROM h JOIN bl
+                ON h.host = bl.rule OR h.host LIKE '%.' || bl.rule
+              GROUP BY h.doc_id
+            )
+            SELECT h.doc_id, h.host,
+                   m.matched_rule IS NOT NULL AS blocked,
+                   m.matched_rule
+            FROM h LEFT JOIN m USING (doc_id)
         """,
         # Snapshot-vs-corpus dedup replay: exact = raw-text equality (the
         # sha256 index key is injective up to collisions, so text equality

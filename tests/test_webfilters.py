@@ -413,3 +413,61 @@ def test_mixture_sample_exact_and_parallelism_invariant(spark):
     out7 = mixture_sample(docs.repartition(7), rates, "doc_id", "lang").collect()
     key = lambda rws: sorted((r.doc_id, r.lang, r.copy_id) for r in rws)
     assert key(out1) == key(out7) == key(out)
+
+
+def test_filter_blocklisted_hosts_semantics(spark):
+    """Domain blocklist: exact host match, subdomain-under-rule match,
+    most-specific (longest) rule wins, label boundaries respected
+    (notexample.com is NOT under example.com), null host unblocked."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        filter_blocklisted_hosts,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "ads.tracker.example.com"),
+            (2, "example.com"),
+            (3, "good.org"),
+            (4, "deep.sub.bad.net"),
+            (5, "com"),
+            (6, "notexample.com"),
+            (7, None),
+            (8, "a.b.c.d.e.f.g.h.i.j.k.bad.net"),  # deeper than max_depth
+        ],
+        "id long, host string",
+    )
+    bl = spark.createDataFrame(
+        [("example.com",), ("bad.net",), ("sub.bad.net",)], "rule string"
+    )
+    out = {r.id: r for r in filter_blocklisted_hosts(df, bl).collect()}
+    assert out[1].blocked and out[1].matched_rule == "example.com"
+    assert out[2].blocked and out[2].matched_rule == "example.com"
+    assert not out[3].blocked and out[3].matched_rule is None
+    assert out[4].blocked and out[4].matched_rule == "sub.bad.net"  # most specific
+    assert not out[5].blocked  # a bare label matches only a bare-label rule
+    assert not out[6].blocked  # label boundary: not a dot-suffix
+    assert not out[7].blocked
+    # the suffix is anchored at the host TAIL: a 12-label host still
+    # matches a 2-label rule even though max_depth=8
+    assert out[8].blocked and out[8].matched_rule == "bad.net"
+
+
+def test_filter_blocklisted_hosts_plan_is_broadcast_only(spark):
+    """The corpus side must NEVER shuffle: the plan is a chain of
+    broadcast hash joins (one per suffix depth) over a single scan — no
+    SortMergeJoin, no exchange on the data spine. The only shuffle in
+    the whole plan is the blocklist's own tiny distinct."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        filter_blocklisted_hosts,
+    )
+
+    df = spark.createDataFrame([(1, "x.example.com")], "id long, host string")
+    bl = spark.createDataFrame([("example.com",)], "rule string")
+    plan = (
+        filter_blocklisted_hosts(df, bl)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 8
