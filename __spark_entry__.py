@@ -1023,6 +1023,35 @@ def _q_contamination(spark, sf_dir):
     return contamination_check(ev, tr, n=8)
 
 
+def _q_dedup_keep_best(spark, sf_dir):
+    """Quality-priority dedup: MinHash near-dup clusters, then per
+    cluster keep the highest-n_chars member (ties -> min doc_id) — the
+    RefinedWeb keep-the-best-copy rule. The argmax is a min_by AGGREGATE
+    over (negated score, id), never a window (hot-cluster skew rule)."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        cluster_representatives,
+        minhash_near_duplicate_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = minhash_near_duplicate_clusters(
+        docs, "doc_id", "text", threshold=0.7
+    )
+    scored = clusters.join(
+        docs.select("doc_id", F.col("n_chars").cast("double").alias("score")),
+        on="doc_id",
+    )
+    return cluster_representatives(
+        scored, id_col="doc_id", cluster_col="cluster_id", score_col="score"
+    ).select(
+        "doc_id",
+        "cluster_id",
+        "score",
+        F.col("rep_id").cast("long").alias("rep_id"),
+        "is_representative",
+    )
+
+
 def _q_blocklist_filter(spark, sf_dir):
     """UT1-style domain blocklist over deterministic synthetic hosts
     (m{doc_id%4}.{source}.{tld by doc_id%3}): exact-host and
@@ -1362,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": _q_contamination,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
+        "dedup_keep_best": _q_dedup_keep_best,
         # minhash_dedup_clusters, er_clusters_derived, training_prompts,
         # eval_examples, decode_probabilities, entity_linking AND the full
         # prompt path (prompt_path_assignments_derived, via the
@@ -2468,6 +2498,59 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(a.n_hit AS DOUBLE) / CAST(a.n_grams AS DOUBLE)
                         ELSE 0.0 END AS contamination
             FROM evd d LEFT JOIN agg a USING (doc_id)
+        """,
+        # Keep-best dedup replay: the minhash_dedup_clusters CTE (exact
+        # all-pairs Jaccard + recursive-CTE transitive closure) plus a
+        # row_number pick per cluster (score DESC, id ASC — DuckDB's
+        # default NULLS LAST matches the operator's pinned null-ranks-last
+        # rule; score is one exact integer->double cast on both sides).
+        "dedup_keep_best": r"""
+            WITH RECURSIVE g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(0, len(toks) - 2),
+                                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
+                          ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS toks
+                    FROM documents)
+            ),
+            e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+                    / greatest(CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 1.0)
+                    >= 0.7
+            ),
+            sym AS (SELECT src, dst FROM e
+                    UNION SELECT dst AS src, src AS dst FROM e),
+            nodes AS (SELECT doc_id AS n FROM documents),
+            reach(a, b) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+            ),
+            clus AS (
+              SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY a
+            ),
+            scored AS (
+              SELECT c.doc_id, c.cluster_id, CAST(d.n_chars AS DOUBLE) AS score
+              FROM clus c JOIN documents d USING (doc_id)
+            ),
+            reps AS (
+              SELECT cluster_id, doc_id AS rep_id FROM (
+                SELECT cluster_id, doc_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY score DESC, doc_id ASC) AS rn
+                FROM scored)
+              WHERE rn = 1
+            )
+            SELECT s.doc_id, s.cluster_id, s.score,
+                   CAST(r.rep_id AS BIGINT) AS rep_id,
+                   s.doc_id = r.rep_id AS is_representative
+            FROM scored s JOIN reps r USING (cluster_id)
         """,
         # Blocklist replay: a rule matches iff it equals the host or is a
         # dot-suffix of it; the winner is the longest matching rule

@@ -319,3 +319,39 @@ def test_incremental_dedup_hot_bucket_capped(spark):
     res2, over2 = incremental_dedup(new2, corpus, max_pairs_per_bucket=64)
     over = over2.collect()
     assert over and all(r.n_new * r.n_corpus > 64 for r in over)
+
+
+def test_cluster_representatives(spark):
+    """Quality-priority canonical pick: max score wins, ties -> min id,
+    NULL scores rank last (pinned, not engine null-ordering), string ids
+    work, the argmax is an aggregate not a window."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 100, 5.0),
+            (2, 100, 9.0),
+            (3, 100, 9.0),  # tie with 2 -> min id 2 wins
+            (4, 200, None),
+            (5, 200, 0.5),  # null ranks last -> 5 wins despite low score
+            (6, 300, None),  # all-null cluster -> min id
+        ],
+        "doc_id long, cluster_id long, score double",
+    )
+    out = {r.doc_id: r for r in cluster_representatives(df).collect()}
+    assert out[1].rep_id == 2 and not out[1].is_representative
+    assert out[2].rep_id == 2 and out[2].is_representative
+    assert out[3].rep_id == 2 and not out[3].is_representative
+    assert out[4].rep_id == 5 and out[5].is_representative
+    assert out[6].rep_id == 6 and out[6].is_representative
+    s = cluster_representatives(
+        spark.createDataFrame(
+            [("a", "c1", 2.0), ("b", "c1", 3.0)],
+            "doc_id string, cluster_id string, score double",
+        )
+    )
+    assert {r.doc_id: r.rep_id for r in s.collect()} == {"a": "b", "b": "b"}
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # aggregate + join back, never a window

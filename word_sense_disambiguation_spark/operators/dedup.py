@@ -220,6 +220,44 @@ def minhash_near_duplicate_clusters(
     return out
 
 
+def cluster_representatives(
+    clustered: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-priority canonical selection: per dup cluster keep the
+    HIGHEST-``score`` member (ties -> smallest id), not the min id — the
+    RefinedWeb/FineWeb rule (keep the longest/cleanest copy, drop the
+    rest). Appends ``rep_id`` and ``is_representative`` to every row.
+
+    SKEW-SAFE: the per-cluster argmax is an AGGREGATE
+    (``min_by(id, struct(-score, id))`` — max score then min id, one
+    lexicographic ordering key), never a window: a crawl-reality hot
+    cluster (10^8 boilerplate copies) contributes one combined row per
+    map partition instead of streaming through a single spilled window
+    task (the engine-wide assign_senses rule). The join back is a plain
+    shuffle join on the cluster key against one row per cluster.
+    ``min_by`` (not ``max_by`` of a negated id) so ids only need to be
+    ORDERABLE, not negatable — string ids work. NULL scores rank LAST
+    (pinned via coalesce to +inf on the negated key, not engine null
+    ordering — Spark sorts struct-field NULLs first, DuckDB last, so an
+    unpinned null would pick different representatives per engine).
+    """
+    reps = clustered.groupBy(cluster_col).agg(
+        F.expr(
+            f"min_by({id_col}, struct("
+            f"coalesce(-{score_col}, cast('Infinity' as double)) as _ns,"
+            f" {id_col}))"
+        ).alias("rep_id")
+    )
+    return clustered.join(reps, on=cluster_col).select(
+        *clustered.columns,
+        "rep_id",
+        (F.col(id_col) == F.col("rep_id")).alias("is_representative"),
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     corpus: DataFrame,
