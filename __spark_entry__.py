@@ -1085,6 +1085,18 @@ def _q_contamination(spark, sf_dir):
     return contamination_check(ev, tr, n=8)
 
 
+def _q_substring_span_dedup(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022 ExactSubstr):
+    8-token window hashes -> ONE partial-combined groupBy finds corpus-
+    wide duplicates + the canonical first occurrence -> non-canonical
+    windows merge per doc (gaps-and-islands) into removable spans."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    return duplicate_span_stats(_t(spark, sf_dir, "documents"), n=8)
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-priority dedup: MinHash near-dup clusters, then per
     cluster keep the highest-n_chars member (ties -> min doc_id) — the
@@ -1451,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "mixture_sample": _q_mixture_sample,
         "contamination_check": _q_contamination,
+        "substring_span_dedup": _q_substring_span_dedup,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2561,6 +2574,71 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(a.n_hit AS DOUBLE) / CAST(a.n_grams AS DOUBLE)
                         ELSE 0.0 END AS contamination
             FROM evd d LEFT JOIN agg a USING (doc_id)
+        """,
+        # ExactSubstr span-dedup replay: same tokenization + 60-bit
+        # md5-prefix window keys as contamination_check; the canonical
+        # first occurrence is min(doc_id, pos) — encoded here as one
+        # BIGINT (doc_id*2^32 + pos; identical lexicographic order to
+        # the operator's min(struct) while doc_id < 2^31) — and the
+        # span merge is the same gaps-and-islands window algebra.
+        "substring_span_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(COALESCE(text, ''))), '[ \t\n\r\f\x0B]+') AS t
+              FROM documents
+            ),
+            base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM toks),
+            w AS (
+              SELECT doc_id, unnest(range(1, len(t) - 6)) AS pos, t
+              FROM base WHERE len(t) >= 8
+            ),
+            wh AS (
+              SELECT doc_id, pos,
+                     CAST(('0x' || substr(md5(array_to_string(t[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS h
+              FROM w
+            ),
+            dups AS (
+              SELECT h, min(doc_id * 4294967296 + pos) AS ck
+              FROM wh GROUP BY h HAVING count(*) > 1
+            ),
+            flg AS (
+              SELECT w.doc_id, w.pos
+              FROM wh w JOIN dups d USING (h)
+              WHERE w.doc_id * 4294967296 + w.pos <> d.ck
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= pos - 1
+                          THEN 0 ELSE 1 END AS brk
+              FROM flg
+            ),
+            isl2 AS (
+              SELECT doc_id, pos,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl
+            ),
+            spans AS (
+              SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e,
+                     count(*) AS wins
+              FROM isl2 GROUP BY doc_id, island
+            ),
+            perdoc AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_spans,
+                     CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+                     CAST(sum(wins) AS BIGINT) AS n_dup_windows
+              FROM spans GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n_tokens,
+                   CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+                   CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   CASE WHEN COALESCE(p.dup_tokens, 0) > 0
+                        THEN CAST(p.dup_tokens AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+                        ELSE 0.0 END AS dup_fraction
+            FROM base b LEFT JOIN perdoc p USING (doc_id)
         """,
         # Keep-best dedup replay: the minhash_dedup_clusters CTE (exact
         # all-pairs Jaccard + recursive-CTE transitive closure) plus a

@@ -355,3 +355,81 @@ def test_cluster_representatives(spark):
     assert {r.doc_id: r.rep_id for r in s.collect()} == {"a": "b", "b": "b"}
     plan = s._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # aggregate + join back, never a window
+
+
+def test_duplicate_span_stats_planted(spark):
+    """ExactSubstr semantics on a planted fixture: canonical (first
+    occurrence) kept, cross-doc and intra-doc repeats flagged, adjacent
+    windows merged into maximal spans, short/None docs report zeros."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "intro one two three " + passage + " tail1 x y z"),
+        (2, "other words here " + passage + " trailing stuff here now"),
+        (3, passage + " filler mid tokens " + passage),
+        (4, "totally unique document with no repeats at all whatsoever today"),
+        (5, "short doc"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in duplicate_span_stats(df, n=8).collect()
+    }
+    assert len(out) == 6
+    # doc 1 holds the canonical copy: min (doc_id, pos) -> nothing removable.
+    assert out[1]["n_dup_windows"] == 0 and out[1]["dup_tokens"] == 0
+    # doc 2: the 10-token passage = 3 windows of 8, merged to ONE span
+    # covering exactly the 10 passage tokens.
+    assert out[2]["n_dup_windows"] == 3
+    assert out[2]["n_spans"] == 1
+    assert out[2]["dup_tokens"] == 10
+    assert out[2]["dup_fraction"] == 10 / out[2]["n_tokens"]
+    # doc 3 repeats the passage twice, both non-canonical, 3-token gap
+    # between the covered regions -> TWO spans, 20 removable tokens.
+    assert out[3]["n_dup_windows"] == 6
+    assert out[3]["n_spans"] == 2
+    assert out[3]["dup_tokens"] == 20
+    # clean / sub-n / null docs: zeros, fraction exactly 0.0.
+    for d in (4, 5, 6):
+        assert out[d]["n_dup_windows"] == 0
+        assert out[d]["n_spans"] == 0
+        assert out[d]["dup_tokens"] == 0
+        assert out[d]["dup_fraction"] == 0.0
+
+
+def test_duplicate_span_stats_parallelism_invariant(spark):
+    from word_sense_disambiguation_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    passage = "one two three four five six seven eight nine ten eleven"
+    rows = [(i, f"doc {i} pad words " + (passage if i % 3 == 0 else "unique tail %d" % i))
+            for i in range(1, 31)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    a = sorted(map(tuple, duplicate_span_stats(df.repartition(7), n=8).collect()))
+    b = sorted(map(tuple, duplicate_span_stats(df.coalesce(1), n=8).collect()))
+    assert a == b
+
+
+def test_duplicate_span_stats_intra_doc_overlap_merges(spark):
+    """A doc made of ONE token repeated: every window is identical, the
+    canonical is pos 1, and the remaining windows fuse into a single span
+    covering tokens [2, T] — the merge must handle full overlap, not just
+    adjacency."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["spam"] * 20))], schema="doc_id long, text string"
+    )
+    row = duplicate_span_stats(df, n=8).collect()[0]
+    # windows at pos 1..13 share one hash; pos 1 canonical; pos 2..13
+    # merge to one span covering tokens 2..20 = 19 tokens.
+    assert row["n_tokens"] == 20
+    assert row["n_dup_windows"] == 12
+    assert row["n_spans"] == 1
+    assert row["dup_tokens"] == 19

@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from word_sense_disambiguation_spark.functions.text import WS_CLASS
 from word_sense_disambiguation_spark.operators.blocking import minhash_lsh_pairs
@@ -552,3 +553,151 @@ def embedding_near_duplicates(
         F.col("cosine") >= threshold
     )
     return matches, oversized
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Exact duplicated-substring spans, the ExactSubstr dedup policy
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better") re-expressed relationally at token-window grain.
+
+    Every ``n``-token window whose content hash occurs MORE THAN ONCE in
+    the corpus (cross-doc or intra-doc) is a duplicated substring
+    occurrence. The globally first occurrence — minimal ``(doc_id, pos)``
+    — is canonical and kept; every other occurrence is removable.
+    Non-canonical windows are merged per document into maximal token
+    spans (gaps-and-islands over window starts; a window starting at or
+    before the previous covered end + 1 fuses — covered regions are
+    contiguous because consecutive in-island starts are <= n apart).
+
+    Output, one row per input document (clean docs report zeros):
+    ``(doc_id, n_tokens, n_dup_windows, n_spans, dup_tokens,
+    dup_fraction)`` where ``dup_tokens`` is the token count covered by
+    removable spans and ``dup_fraction`` is the single IEEE division
+    ``dup_tokens / n_tokens``.
+
+    Scale shape (the 100 TB contract):
+
+    - Window generation is a map-side explode of a generated position
+      sequence — no shuffle, no per-doc buffering beyond the token array.
+    - Duplicate detection is ONE ``groupBy(h)`` with map-side partial
+      combine: the count and the ``min(struct(doc_id, pos))`` canonical
+      pick both partial-aggregate, so a 10^8-occurrence boilerplate
+      window (crawl reality: cookie banners, nav bars) costs one row per
+      map partition — never a windowed buffer (same discipline as the
+      post-r4 ``exact_duplicates``). The agg is a SortAggregate (struct
+      buffer), which is exactly the assign_senses precedent.
+    - The join back is occurrence-side on ``h`` with ONE row per
+      duplicated hash on the build side — no row amplification, and a
+      hot hash is AQE-skew-splittable because each probe row matches
+      exactly one build row.
+    - Span merge is a doc-bounded window (buffer <= windows per doc),
+      the same bound accepted for ``repetition_stats``'s tie-break.
+
+    Tokenization is the engine's oracle-mirrorable convention: explicit
+    whitespace class (never ``\\s`` — Java/RE2 divergence), lower/trim/
+    null-coalesce; window keys are 60-bit md5-prefix integers, exact in
+    a signed long on both engines (same scheme as
+    :func:`contamination_check`). Reference parity anchor: the
+    reference's skip-already-covered discipline in
+    ``/root/reference/training/data/generate.py:148-160``; the span
+    policy itself is public literature (Lee et al. 2022 §4.1), which the
+    reference does not implement — this is added training-pipeline
+    surface.
+    """
+    toks = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), WS_CLASS + "+"
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("t"),
+    ).select("doc_id", "t", F.size("t").cast("long").alias("n_tokens"))
+
+    # (doc_id, pos, h): one row per n-token window, map-side only.
+    occ = (
+        base.filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("t") - (n - 1))).alias("pos"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("pos"), n))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+
+    dups = (
+        occ.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("canon"),
+        )
+        .filter(F.col("c") > 1)
+        .select("h", "canon")
+    )
+    flagged = (
+        occ.join(dups, "h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("canon.doc_id"))
+                & (F.col("pos") == F.col("canon.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+
+    # Gaps-and-islands: break when this window starts past the previous
+    # covered end + 1 (NULL prev on the first row also breaks).
+    ws = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        ws.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = flagged.withColumn(
+        "brk",
+        F.when(prev_end >= F.col("pos") - 1, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn(
+        "island", F.sum("brk").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + (n - 1)).alias("e"),
+        F.count(F.lit(1)).alias("wins"),
+    )
+    perdoc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+        F.sum("wins").cast("long").alias("n_dup_windows"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.when(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)) > 0,
+                F.col("dup_tokens").cast("double") / F.col("n_tokens").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
