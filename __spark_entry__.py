@@ -1097,6 +1097,18 @@ def _q_substring_span_dedup(spark, sf_dir):
     return duplicate_span_stats(_t(spark, sf_dir, "documents"), n=8)
 
 
+def _q_quality_classifier(spark, sf_dir):
+    """fastText-architecture linear quality scorer: integer milli-weight
+    per token (60-bit md5 hash projection), exact BIGINT logit sum, one
+    IEEE division. Default hash-weights path: zero shuffle, pure
+    codegen; the learned-vocab broadcast path shares the contract."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        quality_classifier_scores,
+    )
+
+    return quality_classifier_scores(_t(spark, sf_dir, "documents"))
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-priority dedup: MinHash near-dup clusters, then per
     cluster keep the highest-n_chars member (ties -> min doc_id) — the
@@ -1464,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "contamination_check": _q_contamination,
         "substring_span_dedup": _q_substring_span_dedup,
+        "quality_classifier": _q_quality_classifier,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2639,6 +2652,28 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(p.dup_tokens AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
                         ELSE 0.0 END AS dup_fraction
             FROM base b LEFT JOIN perdoc p USING (doc_id)
+        """,
+        # Linear-classifier replay: integer milli-weights ((60-bit md5
+        # prefix mod 2001) - 1000), exact BIGINT logit sum (association-
+        # free), one IEEE division with an exact double denominator.
+        "quality_classifier": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(COALESCE(text, ''))), '[ \t\n\r\f\x0B]+') AS t
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     CAST(list_sum(list_transform(t,
+                       tok -> (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2001) - 1000
+                     )) AS BIGINT) AS logit_milli
+              FROM toks
+            )
+            SELECT doc_id, n_tokens, logit_milli,
+                   CAST(logit_milli AS DOUBLE) / (1000.0 * CAST(n_tokens AS DOUBLE)) AS score,
+                   logit_milli > 0 AS keep
+            FROM s
         """,
         # Keep-best dedup replay: the minhash_dedup_clusters CTE (exact
         # all-pairs Jaccard + recursive-CTE transitive closure) plus a

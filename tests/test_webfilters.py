@@ -471,3 +471,94 @@ def test_filter_blocklisted_hosts_plan_is_broadcast_only(spark):
     )
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 8
+
+
+def test_quality_classifier_default_vs_python_replay(spark):
+    """Default hash-weights path replays exactly in python: integer
+    milli-weights, exact BIGINT logit, single IEEE division."""
+    import hashlib
+    import re
+
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        quality_classifier_scores,
+    )
+
+    rows = [
+        (1, "Good Wiki prose here"),
+        (2, "spam spam spam"),
+        (3, None),
+        (4, ""),
+        (5, "Mixed CASE   tokens\twith\nwhitespace variety"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {r["doc_id"]: r for r in quality_classifier_scores(df).collect()}
+
+    def w(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 2001 - 1000
+
+    for did, txt in rows:
+        toks = re.split("[ \t\n\r\f\x0b]+", (txt or "").lower().strip())
+        logit = sum(w(t) for t in toks)
+        r = got[did]
+        assert r["n_tokens"] == len(toks)
+        assert r["logit_milli"] == logit
+        assert r["score"] == logit / (1000.0 * len(toks))
+        assert r["keep"] == (logit > 0)
+
+
+def test_quality_classifier_learned_path_matches_default(spark):
+    """The broadcast learned-vocab path with derived weights equals the
+    zero-shuffle default path; missing vocab entries contribute 0."""
+    import hashlib
+    import re
+
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        quality_classifier_scores,
+    )
+
+    rows = [(i, f"tok{i % 5} shared words tok{i % 3} tail{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+
+    def w(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 2001 - 1000
+
+    vocab = sorted(
+        {t for _, txt in rows for t in re.split("[ \t\n\r\f\x0b]+", txt.lower())}
+    )
+    wt = spark.createDataFrame(
+        [(t, w(t)) for t in vocab], schema="token string, w_milli long"
+    )
+    a = sorted(map(tuple, quality_classifier_scores(df).collect()))
+    b = sorted(map(tuple, quality_classifier_scores(df, weights=wt).collect()))
+    assert a == b
+    # partial vocab: dropped tokens contribute exactly 0
+    wt_partial = spark.createDataFrame(
+        [(t, w(t)) for t in vocab if not t.startswith("shared")],
+        schema="token string, w_milli long",
+    )
+    part = {
+        r["doc_id"]: r
+        for r in quality_classifier_scores(df, weights=wt_partial).collect()
+    }
+    full = {r["doc_id"]: r for r in quality_classifier_scores(df).collect()}
+    for did in part:
+        assert part[did]["logit_milli"] == full[did]["logit_milli"] - w("shared")
+        assert part[did]["n_tokens"] == full[did]["n_tokens"]
+
+
+def test_quality_classifier_default_plan_no_shuffle(spark):
+    """The 100 TB pin: the default hash-weights path is one codegen'd
+    scan-stage expression — no Exchange, no explode-join."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        quality_classifier_scores,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        quality_classifier_scores(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]

@@ -612,3 +612,104 @@ def mixture_sample(
         n_copies > 0, F.sequence(F.lit(1), n_copies)
     ).otherwise(F.array().cast("array<int>"))
     return docs.withColumn("copy_id", F.explode(copies))
+
+
+def quality_classifier_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: DataFrame | None = None,
+    threshold_milli: int = 0,
+) -> DataFrame:
+    """Model-based quality scoring: a linear bag-of-words classifier in
+    fastText's architecture (mean of per-token weights -> sign), the
+    filter CCNet / LLaMA-style pipelines run AFTER the rule gates
+    (:func:`quality_rule_flags`) to rank pages by wiki-reference-ness.
+
+    Weights are INTEGER milli-units and the per-document logit is a
+    BIGINT sum, so accumulation is exact and association-free — floating
+    point appears only in the final single IEEE division
+    ``score = logit_milli / (1000 * n_tokens)`` (exact denominator:
+    1000 * n_tokens < 2^53). That is what makes a learned-model scorer
+    hash-oracle-able at all; a float-weight sum would be partition-order
+    dependent. Output: ``(doc_id, n_tokens, logit_milli, score, keep)``
+    with ``keep = logit_milli > threshold_milli * n_tokens`` (the
+    integer-space form of ``score > threshold`` — no float compare).
+
+    Two physical paths, identical output contract:
+
+    - ``weights is None`` (default): the engine's deterministic stand-in
+      — token weight = (60-bit md5 prefix mod 2001) - 1000, i.e. a
+      seeded hash-projection in [-1000, 1000], the same
+      plumbing-real/model-fake discipline as the multimodal decoder and
+      the gloss-overlap MLM stand-in. ZERO shuffle: one codegen'd
+      higher-order aggregate per row, no explode, nothing leaves the
+      scan stage. This is the 100 TB shape — a model whose weights are
+      a pure function of the token needs no weight table at all.
+    - ``weights`` given (``(token, w_milli)``): the learned-model slot.
+      Tokens explode, BROADCAST-join the vocabulary (a real fastText
+      vocab is <= a few million rows — always the build side, never a
+      shuffled join keyed on a crawl's hot tokens), unmatched tokens
+      contribute 0, then ONE groupBy(doc) with map-side partial combine
+      re-aggregates. Skew-immune: a 10^9-occurrence stop word is
+      broadcast-matched map-side and partial-summed before the shuffle.
+
+    Tokenization is the oracle convention: explicit whitespace class,
+    lower/trim/coalesce(''); empty/null text scores over its single ''
+    token (n_tokens is never 0, so the division is total). Reference
+    parity anchor: the scorer-as-injectable-slot contract of
+    ``operators/mlm_scorer.py`` (scorer_factory), applied to corpus
+    curation.
+    """
+    toks = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), WS_CLASS + "+"
+    )
+
+    def w_of(tok):
+        return (
+            F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % 2001
+            - 1000
+        )
+
+    if weights is None:
+        logit = F.aggregate(
+            F.transform(toks, w_of),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            logit.alias("logit_milli"),
+        )
+    else:
+        exploded = docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
+        )
+        joined = exploded.join(
+            F.broadcast(
+                weights.select(
+                    F.col("token"), F.col("w_milli").cast("long").alias("w_milli")
+                )
+            ),
+            on="token",
+            how="left",
+        )
+        scored = joined.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("w_milli"), F.lit(0))
+            .cast("long")
+            .alias("logit_milli"),
+        )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "logit_milli",
+        (
+            F.col("logit_milli").cast("double")
+            / (F.lit(1000.0) * F.col("n_tokens").cast("double"))
+        ).alias("score"),
+        (
+            F.col("logit_milli") > F.lit(threshold_milli) * F.col("n_tokens")
+        ).alias("keep"),
+    )
