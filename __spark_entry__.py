@@ -1109,6 +1109,52 @@ def _q_quality_classifier(spark, sf_dir):
     return quality_classifier_scores(_t(spark, sf_dir, "documents"))
 
 
+def _q_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage: a deterministically
+    corrupted copy of the customer table (name edits, segment blanking,
+    code char swap — all keyed on custkey) is blocked against the
+    original on nation; three Levenshtein agreement levels per field
+    index integer milli log-weights, the exact BIGINT total drives the
+    classic match / possible / non_match three-zone decision; clear
+    non-matches are dropped."""
+    from word_sense_disambiguation_spark.operators.pairs import (
+        fellegi_sunter_scores,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    code = F.substring(F.md5(k.cast("string")), 1, 6)
+    orig = cust.select(
+        k.alias("id_a"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        code.alias("code_a"),
+    )
+    name_b = (
+        F.when(k % 4 == 1, F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Custmr")))
+        .when(k % 4 == 2, F.substring(F.col("c_name"), 2, 1000))
+        .when(k % 4 == 3, F.concat(F.col("c_name"), F.lit("x")))
+        .otherwise(F.col("c_name"))
+    )
+    corrupt = cust.select(
+        k.alias("id_b"),
+        F.col("c_nationkey").alias("nk"),
+        name_b.alias("name_b"),
+        F.when(k % 5 == 0, F.lit("UNKNOWN")).otherwise(F.col("c_mktsegment")).alias("seg_b"),
+        F.when(k % 6 == 0, F.concat(F.lit("z"), F.substring(code, 2, 5))).otherwise(code).alias("code_b"),
+    )
+    pairs = orig.join(corrupt, on="nk")
+    comps = [
+        {"name": "name", "left": "name_a", "right": "name_b", "close": 3, "w": (1500, 600, -1200)},
+        {"name": "segment", "left": "seg_a", "right": "seg_b", "close": 0, "w": (800, 0, -800)},
+        {"name": "code", "left": "code_a", "right": "code_b", "close": 2, "w": (2500, 1000, -2000)},
+    ]
+    return fellegi_sunter_scores(
+        pairs, comps, match_milli=3000, review_milli=0
+    ).filter(F.col("decision") != "non_match")
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-priority dedup: MinHash near-dup clusters, then per
     cluster keep the highest-n_chars member (ties -> min doc_id) — the
@@ -1477,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": _q_contamination,
         "substring_span_dedup": _q_substring_span_dedup,
         "quality_classifier": _q_quality_classifier,
+        "fellegi_sunter": _q_fellegi_sunter,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2652,6 +2699,60 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(p.dup_tokens AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
                         ELSE 0.0 END AS dup_fraction
             FROM base b LEFT JOIN perdoc p USING (doc_id)
+        """,
+        # Fellegi-Sunter replay: same deterministic corruption, DuckDB's
+        # built-in levenshtein (ASCII parity with Spark's pinned by
+        # test; OFF ascii they diverge — codepoints vs UTF-8 bytes — so
+        # every compared field here is ASCII by construction), integer
+        # milli-weight CASE ladders, BIGINT total, three-zone decision.
+        "fellegi_sunter": r"""
+            WITH orig AS (
+              SELECT c_custkey AS id_a, c_nationkey AS nk,
+                     c_name AS name_a, c_mktsegment AS seg_a,
+                     substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) AS code_a
+              FROM customer
+            ),
+            corrupt AS (
+              SELECT c_custkey AS id_b, c_nationkey AS nk,
+                     CASE c_custkey % 4
+                       WHEN 1 THEN replace(c_name, 'Customer', 'Custmr')
+                       WHEN 2 THEN substr(c_name, 2, 1000)
+                       WHEN 3 THEN c_name || 'x'
+                       ELSE c_name END AS name_b,
+                     CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
+                          ELSE c_mktsegment END AS seg_b,
+                     CASE WHEN c_custkey % 6 = 0
+                          THEN 'z' || substr(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6), 2, 5)
+                          ELSE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) END AS code_b
+              FROM customer
+            ),
+            p AS (SELECT * FROM orig JOIN corrupt USING (nk)),
+            lv AS (
+              SELECT id_a, id_b,
+                     CASE WHEN levenshtein(name_a, name_b) = 0 THEN 2
+                          WHEN levenshtein(name_a, name_b) <= 3 THEN 1
+                          ELSE 0 END AS lvl_name,
+                     CASE WHEN levenshtein(seg_a, seg_b) = 0 THEN 2
+                          ELSE 0 END AS lvl_segment,
+                     CASE WHEN levenshtein(code_a, code_b) = 0 THEN 2
+                          WHEN levenshtein(code_a, code_b) <= 2 THEN 1
+                          ELSE 0 END AS lvl_code
+              FROM p
+            ),
+            t AS (
+              SELECT id_a, id_b, lvl_name, lvl_segment, lvl_code,
+                     CAST(CASE lvl_name WHEN 2 THEN 1500 WHEN 1 THEN 600 ELSE -1200 END
+                        + CASE lvl_segment WHEN 2 THEN 800 WHEN 1 THEN 0 ELSE -800 END
+                        + CASE lvl_code WHEN 2 THEN 2500 WHEN 1 THEN 1000 ELSE -2000 END
+                        AS BIGINT) AS total_milli
+              FROM lv
+            )
+            SELECT id_a, id_b, lvl_name, lvl_segment, lvl_code, total_milli,
+                   CASE WHEN total_milli >= 3000 THEN 'match'
+                        WHEN total_milli >= 0 THEN 'possible'
+                        ELSE 'non_match' END AS decision
+            FROM t
+            WHERE total_milli >= 0
         """,
         # Linear-classifier replay: integer milli-weights ((60-bit md5
         # prefix mod 2001) - 1000), exact BIGINT logit sum (association-

@@ -282,3 +282,101 @@ def test_bench_er_construction_equals_canonical(spark, sworld):
         .distinct()
     )
     assert clusters_of(bench_pairs) == clusters_of(canon_pairs)
+
+
+def test_fellegi_sunter_three_zones(spark):
+    """Planted pairs land in the right zone: exact record -> match,
+    lightly corrupted -> match/possible, unrelated -> non_match; totals
+    are exact integer sums of the level weights."""
+    from word_sense_disambiguation_spark.operators.pairs import (
+        fellegi_sunter_scores,
+    )
+
+    rows = [
+        # (id_a, id_b, name_a, name_b, code_a, code_b)
+        (1, 1, "Alice Johnson", "Alice Johnson", "abc123", "abc123"),
+        (2, 2, "Bob Smith", "Bob Smyth", "def456", "def456"),
+        (3, 3, "Carol White", "Karol Wite", "ghi789", "zhi789"),
+        (4, 5, "Dan Brown", "Eve Stone", "jkl012", "mno345"),
+        (6, 6, None, None, "pqr678", "pqr678"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, name_a string, name_b string, code_a string, code_b string"
+    )
+    comps = [
+        {"name": "name", "left": "name_a", "right": "name_b", "close": 3, "w": (1500, 600, -1200)},
+        {"name": "code", "left": "code_a", "right": "code_b", "close": 2, "w": (2500, 1000, -2000)},
+    ]
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in fellegi_sunter_scores(df, comps, match_milli=3000, review_milli=0).collect()
+    }
+    assert out[(1, 1)]["total_milli"] == 4000 and out[(1, 1)]["decision"] == "match"
+    # Smyth: lev 1 -> close name (600) + exact code (2500) = 3100 -> match
+    assert out[(2, 2)]["lvl_name"] == 1
+    assert out[(2, 2)]["total_milli"] == 3100 and out[(2, 2)]["decision"] == "match"
+    # Karol Wite: lev 3 -> close (600); zhi789: lev 1 -> close (1000) -> possible
+    assert out[(3, 3)]["total_milli"] == 1600 and out[(3, 3)]["decision"] == "possible"
+    assert out[(4, 5)]["total_milli"] == -3200 and out[(4, 5)]["decision"] == "non_match"
+    # NULL-coalesce contract: two NULLs compare exact ('' == '')
+    assert out[(6, 6)]["lvl_name"] == 2 and out[(6, 6)]["decision"] == "match"
+
+
+def test_fellegi_sunter_levenshtein_duckdb_parity(spark):
+    """The oracle claim: Spark F.levenshtein == DuckDB levenshtein on
+    ASCII input — and the KNOWN DIVERGENCE off ASCII is pinned here:
+    Spark counts Unicode codepoints, DuckDB counts UTF-8 BYTES
+    ('café'->'cafe' is 1 vs 2). Same trap family as \\s vs WS_CLASS;
+    any levenshtein expression mirrored into a DuckDB oracle must only
+    ever see ASCII fields (the fellegi_sunter oracle's customer fields
+    are ASCII by construction)."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    ascii_cases = [
+        ("Customer#000000001", "Custmr#000000001"),
+        ("Customer#000000001", "ustomer#000000001"),
+        ("Customer#000000001", "Customer#000000001x"),
+        ("ABc", "abc"),
+        ("kitten", "sitting"),
+        ("", "abc"),
+        ("same", "same"),
+    ]
+    df = spark.createDataFrame(ascii_cases, "a string, b string")
+    got = [r[0] for r in df.select(F.levenshtein("a", "b")).collect()]
+    want = [
+        duckdb.sql("SELECT levenshtein(?, ?)", params=[a, b]).fetchone()[0]
+        for a, b in ascii_cases
+    ]
+    assert got == want
+    # the divergence, pinned so a future engine upgrade that changes it
+    # is caught rather than silently shifting oracle semantics
+    sp = (
+        spark.createDataFrame([("café", "cafe")], "a string, b string")
+        .select(F.levenshtein("a", "b"))
+        .collect()[0][0]
+    )
+    du = duckdb.sql("SELECT levenshtein('café', 'cafe')").fetchone()[0]
+    assert sp == 1 and du == 2
+
+
+def test_fellegi_sunter_plan_no_shuffle(spark):
+    """Scoring an already-blocked pair table is pure per-row codegen:
+    no Exchange, no UDF eval node."""
+    from word_sense_disambiguation_spark.operators.pairs import (
+        fellegi_sunter_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, "a", "b")], "id_a long, id_b long, name_a string, name_b string"
+    )
+    comps = [{"name": "name", "left": "name_a", "right": "name_b", "close": 2, "w": (1, 0, -1)}]
+    plan = (
+        fellegi_sunter_scores(df, comps)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Python" not in plan, plan[:1500]
