@@ -1155,6 +1155,41 @@ def _q_fellegi_sunter(spark, sf_dir):
     ).filter(F.col("decision") != "non_match")
 
 
+def _q_blocking_quality(spark, sf_dir):
+    """Blocking audit: pair completeness + reduction ratio of the
+    SimHash@3 blocker against exact all-pairs 3-gram Jaccard >= 0.7
+    gold. Gold is derived in-query at audit scale (a labeled truth set
+    is an INPUT at crawl scale); three one-row aggregations joined on a
+    constant key, exact integer total_pairs (div 2, never through a
+    double)."""
+    from word_sense_disambiguation_spark.operators.blocking import (
+        blocking_quality,
+    )
+    from word_sense_disambiguation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand, _oversized = simhash_candidates(
+        docs, "doc_id", "text", max_hamming=3, max_block_size=1024
+    )
+    ids = docs.select("doc_id")
+    all_pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    gold = (
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7, pairs=all_pairs)
+        .filter(F.col("is_match"))
+        .select("id_a", "id_b")
+    )
+    return blocking_quality(cand, gold, docs)
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-priority dedup: MinHash near-dup clusters, then per
     cluster keep the highest-n_chars member (ties -> min doc_id) — the
@@ -1524,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_span_dedup": _q_substring_span_dedup,
         "quality_classifier": _q_quality_classifier,
         "fellegi_sunter": _q_fellegi_sunter,
+        "blocking_quality": _q_blocking_quality,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2699,6 +2735,90 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(p.dup_tokens AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
                         ELSE 0.0 END AS dup_fraction
             FROM base b LEFT JOIN perdoc p USING (doc_id)
+        """,
+        # Blocking-audit replay: the simhash_candidates CTE chain
+        # verbatim (candidates), the minhash oracle's exact all-pairs
+        # Jaccard construction (gold), three one-row aggregates
+        # cross-joined; total_pairs via integer // 2 (exact), metrics
+        # via one IEEE division each.
+        "blocking_quality": """
+            WITH th AS (
+              SELECT doc_id, md5('sim:' || tok) AS hx
+              FROM (SELECT doc_id,
+                           unnest(string_split(
+                             trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')),
+                             ' ')) AS tok
+                    FROM documents)
+              WHERE tok <> ''
+            ),
+            bits AS (
+              SELECT doc_id, i,
+                     CASE WHEN sum(CASE WHEN
+                         ((CAST(('0x' || substr(hx, 2 * (i // 8) + 1, 2)) AS INTEGER)
+                           >> CAST(i % 8 AS INTEGER)) & 1) = 1
+                       THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS m
+              FROM th CROSS JOIN (SELECT unnest(range(64)) AS i)
+              GROUP BY doc_id, i
+            ),
+            chunks AS (
+              SELECT doc_id, CAST(i // 16 AS INTEGER) AS c,
+                     CAST(sum(m * (1 << CAST(i % 16 AS INTEGER))) AS BIGINT) AS v
+              FROM bits GROUP BY doc_id, i // 16
+            ),
+            ok AS (
+              SELECT c, v FROM chunks GROUP BY c, v HAVING count(*) <= 1024
+            ),
+            cand0 AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM chunks a
+              JOIN ok o ON a.c = o.c AND a.v = o.v
+              JOIN chunks b ON a.c = b.c AND a.v = b.v
+                   AND a.doc_id < b.doc_id
+            ),
+            cpairs AS (
+              SELECT p.id_a, p.id_b
+              FROM cand0 p
+              JOIN bits a ON a.doc_id = p.id_a
+              JOIN bits b ON b.doc_id = p.id_b AND a.i = b.i
+              GROUP BY p.id_a, p.id_b
+              HAVING sum(CASE WHEN a.m <> b.m THEN 1 ELSE 0 END) <= 3
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(0, len(toks) - 2),
+                                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
+                          ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS toks
+                    FROM documents)
+            ),
+            gold AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+                    / greatest(CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 1.0)
+                    >= 0.7
+            ),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM documents),
+            nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cpairs),
+            h AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_gold,
+                     CAST(COALESCE(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+              FROM gold go
+              LEFT JOIN cpairs c ON go.id_a = c.id_a AND go.id_b = c.id_b
+            )
+            SELECT n.n_records,
+                   CAST((n.n_records * (n.n_records - 1)) // 2 AS BIGINT) AS total_pairs,
+                   nc.n_candidates, h.n_gold, h.n_hit,
+                   CASE WHEN h.n_gold > 0
+                        THEN CAST(h.n_hit AS DOUBLE) / CAST(h.n_gold AS DOUBLE)
+                        ELSE 1.0 END AS pair_completeness,
+                   1.0 - CAST(nc.n_candidates AS DOUBLE)
+                       / CAST(greatest((n.n_records * (n.n_records - 1)) // 2, 1) AS DOUBLE)
+                     AS reduction_ratio
+            FROM n, nc, h
         """,
         # Fellegi-Sunter replay: same deterministic corruption, DuckDB's
         # built-in levenshtein (ASCII parity with Spark's pinned by

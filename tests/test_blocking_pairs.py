@@ -380,3 +380,42 @@ def test_fellegi_sunter_plan_no_shuffle(spark):
     )
     assert "Exchange" not in plan, plan[:1500]
     assert "Python" not in plan, plan[:1500]
+
+
+def test_blocking_quality_planted(spark):
+    """Known candidate/gold sets produce exact metric arithmetic;
+    orientation flips, duplicate pairs, and self-pairs are normalized
+    away before counting."""
+    from word_sense_disambiguation_spark.operators.blocking import (
+        blocking_quality,
+    )
+
+    records = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # raw candidates: (1,2) twice in both orientations, a self-pair, (3,4)
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 1), (5, 5), (3, 4)], "id_a long, id_b long"
+    )
+    gold = spark.createDataFrame(
+        [(2, 1), (7, 8)], "id_a long, id_b long"
+    )
+    r = blocking_quality(cand, gold, records).collect()[0]
+    assert r["n_records"] == 10
+    assert r["total_pairs"] == 45
+    assert r["n_candidates"] == 2          # {1,2}, {3,4}
+    assert r["n_gold"] == 2                # {1,2}, {7,8}
+    assert r["n_hit"] == 1                 # {1,2}
+    assert r["pair_completeness"] == 0.5
+    assert r["reduction_ratio"] == 1.0 - 2 / 45
+
+
+def test_blocking_quality_empty_gold_is_vacuously_complete(spark):
+    from word_sense_disambiguation_spark.operators.blocking import (
+        blocking_quality,
+    )
+
+    records = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    gold = spark.createDataFrame([], "id_a long, id_b long")
+    r = blocking_quality(cand, gold, records).collect()[0]
+    assert r["n_gold"] == 0 and r["n_hit"] == 0
+    assert r["pair_completeness"] == 1.0
