@@ -1190,6 +1190,26 @@ def _q_blocking_quality(spark, sf_dir):
     return blocking_quality(cand, gold, docs)
 
 
+def _q_asof_join(spark, sf_dir):
+    """Point-in-time join: each view event attaches the most recent
+    click by the same user at-or-before it (inclusive, largest-event-id
+    tie rule). Union + one shuffle + a running last(ignoreNulls) frame
+    — never the O(|L_k|*|R_k|) inequality join."""
+    from word_sense_disambiguation_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    L = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    R = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        L, R, on="user_id", left_ts="ts",
+        right_cols=["event_id", "value"], tie_col="event_id",
+    )
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-priority dedup: MinHash near-dup clusters, then per
     cluster keep the highest-n_chars member (ties -> min doc_id) — the
@@ -1560,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "fellegi_sunter": _q_fellegi_sunter,
         "blocking_quality": _q_blocking_quality,
+        "asof_join": _q_asof_join,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2735,6 +2756,32 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(p.dup_tokens AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
                         ELSE 0.0 END AS dup_fraction
             FROM base b LEFT JOIN perdoc p USING (doc_id)
+        """,
+        # As-of replay: explicit argmax window (rn=1 over ts DESC,
+        # event_id DESC among right rows <= left ts) rather than native
+        # ASOF JOIN, so the inclusive bound and the tie rule are pinned
+        # in SQL, not in an engine default.
+        "asof_join": """
+            WITH l AS (
+              SELECT event_id, user_id, ts, value
+              FROM events WHERE event_type = 'view'
+            ),
+            r AS (
+              SELECT event_id, user_id, ts, value
+              FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+            ),
+            j AS (
+              SELECT l.event_id AS levt,
+                     r.ts AS r_ts, r.event_id AS r_id, r.value AS r_value,
+                     row_number() OVER (PARTITION BY l.event_id
+                       ORDER BY r.ts DESC, r.event_id DESC) AS rn
+              FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+            )
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   j.r_ts AS asof_ts, j.r_id AS asof_event_id,
+                   j.r_value AS asof_value
+            FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+              ON l.event_id = j.levt
         """,
         # Blocking-audit replay: the simhash_candidates CTE chain
         # verbatim (candidates), the minhash oracle's exact all-pairs

@@ -1,0 +1,139 @@
+"""Temporal joins Spark's DataFrame API lacks: as-of (point-in-time) join.
+
+The classic union-and-running-window construction, not a per-key
+`collect`+bisect and not an inequality join: both sides union into one
+stream, ONE shuffle partitions by key, and a running `last(payload,
+ignoreNulls)` frame carries the most recent right-side row forward into
+every left row. Wall-clock is a single pass per key; the running frame
+(UNBOUNDED PRECEDING .. CURRENT ROW) is evaluated incrementally by
+WindowExec — it never buffers the whole partition the way a full-partition
+min/count window does (the `exact_duplicates` r4 lesson does not apply to
+running frames).
+
+Scale notes:
+- One Exchange on the key columns, total. The left table never joins the
+  right table row-for-row (a naive `l.key = r.key AND r.ts <= l.ts` join
+  is O(|L_k| * |R_k|) per key and explodes on crawl-sized keys before its
+  row_number prunes); the union form is O(|L_k| + |R_k|).
+- A pathologically hot key serializes its single partition through one
+  task (window semantics need the key's total time order). That is
+  inherent to as-of semantics; if a key is hot enough to matter, bucket
+  it upstream by coarse time range and as-of join within buckets, seeding
+  each bucket with the key's last row from the previous bucket.
+- Determinism: ties are totally ordered — right rows sort BEFORE left
+  rows at equal timestamps (inclusive `<=` semantics), and equal-ts right
+  rows resolve to the largest tie-break id. `local[1] == local[32]`
+  bit-for-bit, same as every other operator here.
+
+Reference parity anchor: the reference resolves each mention against the
+inventory state its batch was built from (`/root/reference/wsd/
+word_sense_disambiguation.py:384-387`, a point-in-time lookup by
+construction); this operator is that semantics lifted to explicit
+event-time. DuckDB replays it either with native ASOF JOIN or an explicit
+argmax window — the oracle uses the explicit form so the tie rule is
+pinned in SQL, not in an engine default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    tie_col: str | None = None,
+    direction: str = "backward",
+    prefix: str = "asof_",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For every left row, attach the most recent right row at-or-before
+    its timestamp (``direction='backward'``) or the earliest right row
+    at-or-after it (``'forward'``), per key. Unmatched left rows keep
+    NULL ``asof_*`` columns; with ``tolerance_seconds`` set, matches
+    further than the tolerance are nulled out too (pandas
+    ``merge_asof`` semantics).
+
+    ``right_cols`` (default: all non-key, non-ts right columns) are
+    emitted as ``<prefix><col>``; the right timestamp is always emitted
+    as ``<prefix><right_ts>``. ``tie_col`` (default: first of
+    ``right_cols``) breaks equal-timestamp ties deterministically —
+    largest wins for backward, smallest for forward. Right rows with a
+    NULL timestamp are dropped (they have no position on the time
+    axis); left rows with NULL timestamps match nothing.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    if tie_col is None:
+        if not right_cols:
+            raise ValueError("need right_cols or tie_col for deterministic ties")
+        tie_col = right_cols[0]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction!r}")
+
+    payload_fields = [right_ts] + [c for c in right_cols if c != right_ts]
+    r = right.filter(F.col(right_ts).isNotNull()).select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(tie_col).alias("_tie"),
+        F.struct(*[F.col(c) for c in payload_fields]).alias("_payload"),
+    )
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *left_cols,
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_tie"].dataType).alias("_tie"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    # Backward: scan time ascending; at equal ts the right row must be
+    # visible to the left row (inclusive <=), so _side=0 sorts first;
+    # equal-ts right rows resolve to the largest tie id (it sorts last,
+    # and `last()` takes the latest in frame order). Forward mirrors it.
+    if direction == "backward":
+        order = [F.col("_t").asc(), F.col("_side").asc(), F.col("_tie").asc()]
+    else:
+        order = [F.col("_t").desc(), F.col("_side").asc(), F.col("_tie").desc()]
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = F.last("_payload", ignorenulls=True).over(w)
+
+    out = (
+        u.withColumn("_m", matched)
+        .filter(F.col("_side") == 1)
+        .drop("_t", "_side", "_tie", "_payload")
+    )
+    if tolerance_seconds is not None:
+        age = (
+            F.col(left_ts).cast("double")
+            - F.col(f"_m.{right_ts}").cast("double")
+        )
+        if direction == "forward":
+            age = -age
+        out = out.withColumn(
+            "_m",
+            F.when(age <= F.lit(float(tolerance_seconds)), F.col("_m")),
+        )
+    return out.select(
+        *left_cols,
+        *[
+            F.col(f"_m.{c}").alias(f"{prefix}{c}")
+            for c in payload_fields
+        ],
+    )
