@@ -1210,6 +1210,29 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_range_join(spark, sf_dir):
+    """Interval containment join: view-event values against same-user
+    [click value, click value + 5] intervals, as the bucketized
+    equi-join (one bucket per point, exploded interval buckets, exact
+    re-check) — never a BroadcastNestedLoop inequality join."""
+    from word_sense_disambiguation_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("value").alias("v")
+    )
+    iv = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("i_id"),
+        "user_id",
+        F.col("value").alias("lo"),
+        (F.col("value") + F.lit(5.0)).alias("hi"),
+    )
+    pairs, _oversized = range_join(
+        p, iv, "v", "lo", "hi", keys=["user_id"], bucket_width=4.0
+    )
+    return pairs.select("p_id", "i_id", "user_id", "v", "lo", "hi")
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-priority dedup: MinHash near-dup clusters, then per
     cluster keep the highest-n_chars member (ties -> min doc_id) — the
@@ -1581,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fellegi_sunter": _q_fellegi_sunter,
         "blocking_quality": _q_blocking_quality,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2782,6 +2806,19 @@ def oracle_sql() -> dict[str, str]:
                    j.r_value AS asof_value
             FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
               ON l.event_id = j.levt
+        """,
+        # Range-join replay: the plain inequality join IS the spec (the
+        # bucketization is a cost construction only; containment is
+        # re-checked on raw IEEE bounds, so the results are identical).
+        "range_join": """
+            SELECT p.event_id AS p_id, i.event_id AS i_id, p.user_id,
+                   p.value AS v, i.lo, i.hi
+            FROM (SELECT event_id, user_id, value
+                  FROM events WHERE event_type = 'view') p
+            JOIN (SELECT event_id, user_id, value AS lo, value + 5.0 AS hi
+                  FROM events WHERE event_type = 'click') i
+              ON p.user_id = i.user_id
+             AND p.value >= i.lo AND p.value <= i.hi
         """,
         # Blocking-audit replay: the simhash_candidates CTE chain
         # verbatim (candidates), the minhash oracle's exact all-pairs

@@ -138,3 +138,79 @@ def test_asof_plan_single_exchange(spark, lr):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "Join" not in plan, plan[:2000]
+
+
+def test_range_join_semantics_and_oversized(spark):
+    from word_sense_disambiguation_spark.operators.temporal import range_join
+
+    # points at bucket boundaries (W=4): 0.0, 3.999..., 4.0, 8.0
+    P = spark.createDataFrame(
+        [(1, 0.0), (2, 3.9999), (3, 4.0), (4, 8.0), (5, None)],
+        "p_id long, v double",
+    )
+    I = spark.createDataFrame(
+        [
+            (10, 0.0, 4.0),      # straddles bucket 0 -> 1; catches 1,2,3
+            (11, 4.0, 4.0),      # degenerate-width single point; catches 3
+            (12, 8.5, 7.0),      # lo > hi: matches nothing
+            (13, None, 9.0),     # NULL bound: matches nothing
+            (14, 0.0, 1000.0),   # 251 buckets > max 64 -> oversized
+        ],
+        "i_id long, lo double, hi double",
+    )
+    pairs, oversized = range_join(P, I, "v", "lo", "hi", bucket_width=4.0)
+    got = sorted((r["p_id"], r["i_id"]) for r in pairs.collect())
+    assert got == [(1, 10), (2, 10), (3, 10), (3, 11)]
+    assert [r["i_id"] for r in oversized.collect()] == [14]
+
+
+def test_range_join_exhaustive_replay_and_invariance(spark):
+    """Seeded fixture vs python brute force, and each pair appears
+    EXACTLY once (the one-bucket-per-point no-dedup argument)."""
+    import hashlib
+
+    from word_sense_disambiguation_spark.operators.temporal import range_join
+
+    def h(i, salt):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+
+    Prows = [(i, h(i, "k") % 5, (h(i, "v") % 10000) / 100.0) for i in range(150)]
+    Irows = [
+        (1000 + i, h(i, "ik") % 5, (h(i, "lo") % 9000) / 100.0,
+         (h(i, "lo") % 9000) / 100.0 + (h(i, "w") % 800) / 100.0)
+        for i in range(60)
+    ]
+    P = spark.createDataFrame(Prows, "p_id long, k long, v double")
+    I = spark.createDataFrame(Irows, "i_id long, k long, lo double, hi double")
+    pairs, oversized = range_join(P, I, "v", "lo", "hi", keys=["k"], bucket_width=2.0)
+    got = sorted((r["p_id"], r["i_id"]) for r in pairs.collect())
+    assert oversized.count() == 0
+    want = sorted(
+        (pid, iid)
+        for pid, pk, v in Prows
+        for iid, ik, lo, hi in Irows
+        if pk == ik and lo <= v <= hi
+    )
+    assert got == want
+    assert len(got) == len(set(got))  # exactly-once, no dedup needed
+    a = sorted(map(tuple, range_join(
+        P.repartition(7), I.repartition(3), "v", "lo", "hi",
+        keys=["k"], bucket_width=2.0)[0].collect()))
+    b = sorted(map(tuple, range_join(
+        P.coalesce(1), I.coalesce(1), "v", "lo", "hi",
+        keys=["k"], bucket_width=2.0)[0].collect()))
+    assert a == b
+
+
+def test_range_join_plan_is_equi_join(spark):
+    """The scale pin: the join is a hash/SMJ equi-join on (keys, bucket)
+    — never BroadcastNestedLoop or a cartesian product."""
+    from word_sense_disambiguation_spark.operators.temporal import range_join
+
+    P = spark.createDataFrame([(1, 1, 2.0)], "p_id long, k long, v double")
+    I = spark.createDataFrame([(9, 1, 1.0, 3.0)], "i_id long, k long, lo double, hi double")
+    pairs, _ = range_join(P, I, "v", "lo", "hi", keys=["k"])
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), plan[:2000]

@@ -137,3 +137,71 @@ def asof_join(
             for c in payload_fields
         ],
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    keys: list[str] | None = None,
+    bucket_width: float = 4.0,
+    max_buckets: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Interval containment join (``lo <= v <= hi``) as a bucketized
+    EQUI-join — the second join family Spark's API lacks (Catalyst plans
+    a raw inequality join as BroadcastNestedLoop/cartesian: O(|P|*|I|)
+    per key, the scale killer this operator exists to avoid).
+
+    Construction: every point lands in exactly ONE bucket
+    (``floor(v / bucket_width)``); every interval explodes into the
+    buckets it covers (bounded by ``max_buckets``). The equi-join on
+    ``keys + [bucket]`` then finds each containing pair exactly once —
+    in the point's own bucket — so there is NO dedup shuffle, by the
+    same no-distinct argument as the blocking pair union
+    (``blocking.py``): multiplicity is structurally impossible, not
+    merely tolerated. Exact containment is re-checked on the raw
+    bounds, so bucketing affects cost only, never the result.
+
+    Returns ``(pairs, oversized_intervals)``: intervals spanning more
+    than ``max_buckets`` buckets are EXCLUDED from pairing and reported
+    in the side table — no silent caps, same contract as every blocker
+    here. Route them through a broadcast inequality join if they
+    matter: there are few of them by definition, and each is cheap to
+    broadcast. Degenerate intervals (``lo > hi`` or NULL bounds) match
+    nothing, per containment semantics. Pick ``bucket_width`` near the
+    TYPICAL interval span: width >> span wastes bucket selectivity,
+    width << span explodes rows (span/width buckets per interval).
+
+    Column names pass through from both inputs — alias collisions away
+    before calling. All bucket arithmetic is internal; the output
+    depends only on IEEE comparisons against the raw bounds, so a
+    DuckDB inequality-join replay is exact.
+    """
+    keys = list(keys or [])
+    W = float(bucket_width)
+    p = points.withColumn(
+        "_b", F.floor(F.col(point_col) / F.lit(W)).cast("long")
+    )
+    lo_b = F.floor(F.col(lo_col) / F.lit(W)).cast("long")
+    hi_b = F.floor(F.col(hi_col) / F.lit(W)).cast("long")
+    iv = intervals.withColumn("_nb", hi_b - lo_b + 1)
+    oversized = iv.filter(F.col("_nb") > max_buckets).drop("_nb")
+    expl = (
+        iv.filter(
+            (F.col("_nb") <= max_buckets)
+            & (F.col(lo_col) <= F.col(hi_col))
+        )
+        .withColumn("_b", F.explode(F.sequence(lo_b, hi_b)))
+        .drop("_nb")
+    )
+    pairs = (
+        p.join(expl, on=keys + ["_b"])
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("_b")
+    )
+    return pairs, oversized
