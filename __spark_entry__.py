@@ -1233,6 +1233,22 @@ def _q_range_join(spark, sf_dir):
     return pairs.select("p_id", "i_id", "user_id", "v", "lo", "hi")
 
 
+def _q_time_rollup(spark, sf_dir):
+    """Hypertable continuous-aggregate rollup: minute/hour/day buckets
+    per event_type from ONE scan (grouping sets -> one Expand, one
+    shuffle), exact aggregates only (count, order-free min/max, BIGINT
+    scaled sum)."""
+    from word_sense_disambiguation_spark.operators.temporal import (
+        time_bucket_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return time_bucket_rollup(
+        ev, "ts", ["event_type"], "value",
+        granularities=("minute", "hour", "day"), int_scale=100,
+    )
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-priority dedup: MinHash near-dup clusters, then per
     cluster keep the highest-n_chars member (ties -> min doc_id) — the
@@ -1605,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_quality": _q_blocking_quality,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "time_rollup": _q_time_rollup,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2806,6 +2823,33 @@ def oracle_sql() -> dict[str, str]:
                    j.r_value AS asof_value
             FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
               ON l.event_id = j.levt
+        """,
+        # Rollup replay: the UNION ALL of per-granularity aggregations
+        # IS the spec — grouping sets is the one-scan cost construction.
+        # Aggregates are hash-exact: count, order-free min/max, and a
+        # floor(value*100) BIGINT sum (never a raw double sum).
+        "time_rollup": """
+            SELECT event_type, 'minute' AS granularity,
+                   date_trunc('minute', ts) AS bucket_start,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(value) AS min_value, max(value) AS max_value,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_scaled
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY event_type, date_trunc('minute', ts)
+            UNION ALL
+            SELECT event_type, 'hour', date_trunc('hour', ts),
+                   CAST(count(*) AS BIGINT),
+                   min(value), max(value),
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY event_type, date_trunc('hour', ts)
+            UNION ALL
+            SELECT event_type, 'day', date_trunc('day', ts),
+                   CAST(count(*) AS BIGINT),
+                   min(value), max(value),
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY event_type, date_trunc('day', ts)
         """,
         # Range-join replay: the plain inequality join IS the spec (the
         # bucketization is a cost construction only; containment is

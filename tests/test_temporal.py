@@ -214,3 +214,82 @@ def test_range_join_plan_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), plan[:2000]
+
+
+def test_time_bucket_rollup_semantics(spark):
+    from word_sense_disambiguation_spark.operators.temporal import (
+        time_bucket_rollup,
+    )
+
+    rows = [
+        ("a", T(2024, 1, 1, 10, 0, 5), 1.50),
+        ("a", T(2024, 1, 1, 10, 0, 40), 2.25),
+        ("a", T(2024, 1, 1, 10, 59, 0), 4.00),
+        ("a", T(2024, 1, 1, 23, 30, 0), 8.00),
+        ("a", T(2024, 1, 2, 0, 0, 0), 16.00),
+        ("b", T(2024, 1, 1, 10, 0, 0), None),   # null value under count
+        ("b", None, 99.0),                       # null ts dropped
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = time_bucket_rollup(df, "ts", ["event_type"], "value")
+    rowsd = {
+        (r["event_type"], r["granularity"], r["bucket_start"]): r
+        for r in out.collect()
+    }
+    m = rowsd[("a", "minute", T(2024, 1, 1, 10, 0))]
+    assert m["n"] == 2 and m["sum_scaled"] == 150 + 225
+    assert m["min_value"] == 1.5 and m["max_value"] == 2.25
+    h = rowsd[("a", "hour", T(2024, 1, 1, 10, 0))]
+    assert h["n"] == 3 and h["sum_scaled"] == 150 + 225 + 400
+    d1 = rowsd[("a", "day", T(2024, 1, 1))]
+    assert d1["n"] == 4 and d1["sum_scaled"] == 150 + 225 + 400 + 800
+    assert ("a", "day", T(2024, 1, 2)) in rowsd
+    # null value: counted in n, skipped by min/max/sum
+    b = rowsd[("b", "minute", T(2024, 1, 1, 10, 0))]
+    assert b["n"] == 1 and b["sum_scaled"] is None and b["min_value"] is None
+    # null ts row is gone entirely
+    assert not any(k[0] == "b" and k[1] == "day" and k[2] is None for k in rowsd)
+    # cross-granularity consistency: every day's n equals the sum of its hours
+    days = [(k, v) for k, v in rowsd.items() if k[1] == "day"]
+    for (etype, _g, bstart), v in days:
+        hsum = sum(
+            vv["n"] for (et, g, bs), vv in rowsd.items()
+            if et == etype and g == "hour" and bs.date() == bstart.date()
+        )
+        assert hsum == v["n"]
+
+
+def test_time_bucket_rollup_one_scan_one_shuffle(spark):
+    """The hypertable pin: grouping sets = one Expand over ONE scan and
+    one hash exchange — never a scan/shuffle per granularity."""
+    from word_sense_disambiguation_spark.operators.temporal import (
+        time_bucket_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("a", T(2024, 1, 1), 1.0)], "event_type string, ts timestamp, value double"
+    )
+    plan = (
+        time_bucket_rollup(df, "ts", ["event_type"], "value")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Expand" in plan, plan[:2000]
+    assert plan.count("Scan") <= 1, plan[:2000]
+
+
+def test_time_bucket_rollup_parallelism_invariant(spark):
+    from word_sense_disambiguation_spark.operators.temporal import (
+        time_bucket_rollup,
+    )
+
+    rows = [
+        ("t%d" % (i % 3), T(2024, 1, 1) + dt.timedelta(minutes=7 * i), i * 1.01)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    a = sorted(map(tuple, time_bucket_rollup(df.repartition(9), "ts", ["event_type"], "value").collect()))
+    b = sorted(map(tuple, time_bucket_rollup(df.coalesce(1), "ts", ["event_type"], "value").collect()))
+    assert a == b

@@ -205,3 +205,67 @@ def range_join(
         .drop("_b")
     )
     return pairs, oversized
+
+
+def time_bucket_rollup(
+    events: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    granularities: tuple[str, ...] = ("minute", "hour", "day"),
+    int_scale: int = 100,
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the SAME scan feeds
+    every granularity at once (TimescaleDB's multi-resolution cagg
+    shape) via GROUPING SETS — one Expand, one partial-combined
+    aggregation, ONE shuffle, instead of one scan+shuffle per
+    granularity. At 100 TB the scan is the dominant cost, so an N-level
+    rollup for one scan is the whole point.
+
+    Output, one row per (keys, granularity, bucket): ``(*key_cols,
+    granularity, bucket_start, n, min_value, max_value, sum_scaled)``.
+    The aggregates are chosen to be hash-exact by construction: count
+    is integral; min/max over doubles are order-free; the sum is taken
+    over ``floor(value * int_scale)`` BIGINTs (exact, association-free
+    — a raw double sum is partition-order dependent and can never be
+    oracle-hashed; the same discipline as the classifier logits).
+    Consumers reconstruct an approximate mean as
+    ``sum_scaled / (int_scale * n)`` — one IEEE division.
+
+    Rows with NULL timestamps are dropped up front: a grouping-set NULL
+    is how the active granularity is detected (coalesce over the bucket
+    columns), so a genuine NULL bucket would be ambiguous — excluding
+    them keeps the contract total and is what a time-series rollup
+    means anyway. NULL values aggregate with SQL skip-null semantics
+    under a total row count.
+    """
+    b = {g: F.date_trunc(g, F.col(ts_col)).alias(f"_b_{g}") for g in granularities}
+    base = events.filter(F.col(ts_col).isNotNull()).select(
+        *[F.col(k) for k in key_cols],
+        *b.values(),
+        F.col(value_col).alias("_v"),
+    )
+    sets = [key_cols + [f"_b_{g}"] for g in granularities]
+    agg = base.groupingSets(
+        sets, *[F.col(c) for c in key_cols + [f"_b_{g}" for g in granularities]]
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("_v").alias("min_value"),
+        F.max("_v").alias("max_value"),
+        F.sum(F.floor(F.col("_v") * int_scale).cast("long"))
+        .cast("long")
+        .alias("sum_scaled"),
+    )
+    gran = None
+    for g in granularities:
+        cond = F.col(f"_b_{g}").isNotNull()
+        gran = F.when(cond, F.lit(g)) if gran is None else gran.when(cond, F.lit(g))
+    return agg.select(
+        *key_cols,
+        gran.alias("granularity"),
+        F.coalesce(*[F.col(f"_b_{g}") for g in granularities]).alias("bucket_start"),
+        "n",
+        "min_value",
+        "max_value",
+        "sum_scaled",
+    )
