@@ -1249,6 +1249,17 @@ def _q_time_rollup(spark, sf_dir):
     )
 
 
+def _q_hll_distinct(spark, sf_dir):
+    """Portable integer-exact HyperLogLog: approximate distinct
+    event_ids per event_type. Registers from 60-bit md5 hashes, exact
+    BIGINT denominator, one IEEE division — bit-identical in Spark,
+    DuckDB, and python."""
+    from word_sense_disambiguation_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_distinct(ev, ["event_type"], "event_id", m=64)
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-priority dedup: MinHash near-dup clusters, then per
     cluster keep the highest-n_chars member (ties -> min doc_id) — the
@@ -1622,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "time_rollup": _q_time_rollup,
+        "hll_distinct": _q_hll_distinct,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2823,6 +2835,39 @@ def oracle_sql() -> dict[str, str]:
                    j.r_value AS asof_value
             FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
               ON l.event_id = j.levt
+        """,
+        # HLL replay: identical register construction (60-bit md5-prefix
+        # hash, bucket = h % 64, rank via binary-string length — no
+        # float log), exact BIGINT denominator, and the estimate's
+        # numerator as ONE pre-folded double literal (0.709 * 64^2 *
+        # 2^55; DuckDB would parse 0.709 as DECIMAL — the round-1 trap
+        # — so no in-engine folding on either side).
+        "hll_distinct": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+              FROM events WHERE event_id IS NOT NULL
+            ),
+            br AS (
+              SELECT event_type, hv % 64 AS b,
+                     CASE WHEN hv // 64 = 0 THEN 55
+                          ELSE 55 - length(to_base(hv // 64, 2)) END AS r
+              FROM h
+            ),
+            reg AS (SELECT event_type, b, max(r) AS mr FROM br GROUP BY event_type, b),
+            agg AS (
+              SELECT event_type,
+                     CAST(sum(1::BIGINT << (55 - mr)) AS BIGINT) AS present,
+                     CAST(count(*) AS BIGINT) AS nreg
+              FROM reg GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(64 AS BIGINT) AS m,
+                   CAST(64 - nreg AS BIGINT) AS n_zero_registers,
+                   CAST(present + (64 - nreg) * (1::BIGINT << 55) AS BIGINT) AS denom_scaled,
+                   1.0462993238608057e+20
+                     / CAST(present + (64 - nreg) * (1::BIGINT << 55) AS DOUBLE) AS estimate
+            FROM agg
         """,
         # Rollup replay: the UNION ALL of per-granularity aggregations
         # IS the spec — grouping sets is the one-scan cost construction.
