@@ -1260,6 +1260,33 @@ def _q_hll_distinct(spark, sf_dir):
     return hll_distinct(ev, ["event_type"], "event_id", m=64)
 
 
+def _q_group_quantiles(spark, sf_dir):
+    """Exact per-source p50/p90/p99 of document length: type-1 (lower
+    discrete) quantile at rank ceil(p*n), computed in PURE INTEGER rank
+    arithmetic (p as a rational — no float multiply to diverge between
+    engines). Partial-combined count + broadcast join + one rank
+    window; see operators/quantiles.py for the scale notes."""
+    from word_sense_disambiguation_spark.operators.quantiles import (
+        group_quantiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_quantiles(docs, ["source"], "n_chars")
+
+
+def _q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters: users with estimated event count >= 75
+    (guaranteed superset of the true heavy hitters — one-sided error).
+    Counters are BIGINT sums over the portable 60-bit md5 hash, so the
+    d x w sketch and every estimate replay bit-identically in DuckDB."""
+    from word_sense_disambiguation_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cms_heavy_hitters(ev, "user_id", threshold=75, d=4, w=512)
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-priority dedup: MinHash near-dup clusters, then per
     cluster keep the highest-n_chars member (ties -> min doc_id) — the
@@ -1634,6 +1661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "time_rollup": _q_time_rollup,
         "hll_distinct": _q_hll_distinct,
+        "group_quantiles": _q_group_quantiles,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2868,6 +2897,65 @@ def oracle_sql() -> dict[str, str]:
                    1.0462993238608057e+20
                      / CAST(present + (64 - nreg) * (1::BIGINT << 55) AS DOUBLE) AS estimate
             FROM agg
+        """,
+        # Exact-quantile replay: the same type-1 order statistic —
+        # row_number over the sorted group, target rank in PURE INTEGER
+        # arithmetic (ceil(num*n/den) = (num*n + den - 1) // den; a
+        # float ceil(p*n) diverges from the true rank — IEEE
+        # ceil(0.14 * 100) is 15, not 14). Ties make row identity
+        # ambiguous but the VALUE at every rank is deterministic, and
+        # value is all that's emitted.
+        "group_quantiles": """
+            WITH v AS (
+              SELECT source, n_chars FROM documents WHERE n_chars IS NOT NULL
+            ),
+            r AS (
+              SELECT source, n_chars,
+                     CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars
+                     ) AS BIGINT) AS rr
+              FROM v
+            ),
+            n AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n
+              FROM v GROUP BY source
+            ),
+            t(quantile, num, den) AS (
+              VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)
+            )
+            SELECT r.source, t.quantile,
+                   CAST(greatest(1, (t.num * n.n + t.den - 1) // t.den)
+                        AS BIGINT) AS q_rank,
+                   CAST(r.n_chars AS BIGINT) AS q_value
+            FROM r
+            JOIN n ON r.source = n.source
+            JOIN t ON r.rr = greatest(1, (t.num * n.n + t.den - 1) // t.den)
+        """,
+        # Count-Min replay: identical d x w counter table (60-bit md5
+        # hash row-salted with '{i}:', BIGINT count sums), estimate =
+        # min over the item's d counters, probed through the corpus
+        # rows themselves (duplicate probes don't change a min).
+        "cms_heavy_hitters": """
+            WITH p AS (
+              SELECT user_id, i.i AS cms_row,
+                     CAST(('0x' || substr(md5(
+                       CAST(i.i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)
+                     ), 1, 15)) AS BIGINT) % 512 AS cms_bucket
+              FROM events, (VALUES (0), (1), (2), (3)) AS i(i)
+              WHERE user_id IS NOT NULL
+            ),
+            sk AS (
+              SELECT cms_row, cms_bucket,
+                     CAST(count(*) AS BIGINT) AS cms_count
+              FROM p GROUP BY cms_row, cms_bucket
+            ),
+            est AS (
+              SELECT p.user_id, CAST(min(sk.cms_count) AS BIGINT) AS est_count
+              FROM p JOIN sk ON p.cms_row = sk.cms_row
+                            AND p.cms_bucket = sk.cms_bucket
+              GROUP BY p.user_id
+            )
+            SELECT user_id, est_count FROM est WHERE est_count >= 75
         """,
         # Rollup replay: the UNION ALL of per-granularity aggregations
         # IS the spec — grouping sets is the one-scan cost construction.

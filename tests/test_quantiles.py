@@ -1,0 +1,91 @@
+"""group_quantiles: python order-statistic oracle, integer-rank
+arithmetic (the ceil(p*n) float trap), edge groups, nulls, coincident
+ranks, parameter validation, and plan shape (partial-combined counts +
+broadcast join, exactly one sort window)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from word_sense_disambiguation_spark.operators.quantiles import (
+    DEFAULT_QUANTILES,
+    group_quantiles,
+)
+
+
+def _py_quantiles(rows, quantiles=DEFAULT_QUANTILES):
+    by_key: dict = {}
+    for k, v in rows:
+        if v is not None:
+            by_key.setdefault(k, []).append(v)
+    out = set()
+    for k, vals in by_key.items():
+        vals.sort()
+        n = len(vals)
+        for label, num, den in quantiles:
+            kr = max(1, -(-(num * n) // den))  # ceil in pure ints
+            out.add((k, label, kr, vals[kr - 1]))
+    return out
+
+
+def test_quantiles_match_python_order_stats(spark):
+    rows = [("g%d" % (i % 4), (i * 37) % 211) for i in range(3000)]
+    rows += [("g0", None), ("solo", 42)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        (r["k"], r["quantile"], r["q_rank"], r["q_value"])
+        for r in group_quantiles(df, ["k"], "v").collect()
+    }
+    assert got == _py_quantiles(rows)
+    # the size-1 group: every quantile is the single element at rank 1
+    assert ("solo", "p50", 1, 42) in got and ("solo", "p99", 1, 42) in got
+
+
+def test_quantiles_integer_rank_avoids_float_ceil_trap(spark):
+    # p=14/100 at n=100: the true rank is ceil(14) = 14, but the IEEE
+    # double product is 14.000000000000002 so a float ceil gives 15 —
+    # the divergence the pure-integer rank arithmetic exists to avoid
+    assert math.ceil(0.14 * 100) == 15  # the trap is real
+    df = spark.createDataFrame(
+        [("k", i) for i in range(1, 101)], "k string, v int"
+    )
+    got = {r["quantile"]: (r["q_rank"], r["q_value"]) for r in
+           group_quantiles(df, ["k"], "v",
+                           quantiles=(("p14", 14, 100), ("p50", 1, 2))).collect()}
+    assert got["p14"] == (14, 14)
+    assert got["p50"] == (50, 50)
+
+
+def test_quantiles_coincident_ranks_emit_one_row_each(spark):
+    # n=2: p90 and p99 both land on rank 2 — each still emits its row
+    df = spark.createDataFrame([("k", 1), ("k", 7)], "k string, v int")
+    rows = group_quantiles(df, ["k"], "v").collect()
+    assert len(rows) == 3
+    assert {(r["quantile"], r["q_rank"], r["q_value"]) for r in rows} == {
+        ("p50", 1, 1),
+        ("p90", 2, 7),
+        ("p99", 2, 7),
+    }
+
+
+def test_quantiles_rejects_bad_rational(spark):
+    df = spark.createDataFrame([("k", 1)], "k string, v int")
+    with pytest.raises(ValueError):
+        group_quantiles(df, ["k"], "v", quantiles=(("bad", 3, 2),))
+    with pytest.raises(ValueError):
+        group_quantiles(df, ["k"], "v", quantiles=(("zero", 0, 2),))
+
+
+def test_quantiles_plan_shape(spark):
+    df = spark.createDataFrame(
+        [("g%d" % (i % 3), i) for i in range(100)], "k string, v int"
+    )
+    q = group_quantiles(df, ["k"], "v")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # group sizes from a partial-combined aggregate, broadcast back —
+    # never a count-over-full-partition window
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window") == 1  # the one irreducible rank window
+    assert "HashAggregate" in plan or "SortAggregate" in plan

@@ -1,13 +1,21 @@
 """hll_distinct: python-replay exactness, duplicate-blindness,
-accuracy, invariance, and parameter validation."""
+accuracy, invariance, and parameter validation. Count-Min: python-replay
+exactness, one-sided error, additivity under union, heavy-hitter
+superset guarantee, and plan shape."""
 
 from __future__ import annotations
 
 import hashlib
+from collections import Counter
 
 import pytest
 
-from word_sense_disambiguation_spark.operators.sketches import hll_distinct
+from word_sense_disambiguation_spark.operators.sketches import (
+    cms_estimate,
+    cms_heavy_hitters,
+    cms_sketch,
+    hll_distinct,
+)
 
 
 def _py_hll(rows, m=64):
@@ -67,3 +75,97 @@ def test_hll_rejects_bad_m(spark):
         hll_distinct(df, ["k"], "v", m=48)
     with pytest.raises(ValueError):
         hll_distinct(df, ["k"], "v", m=0)
+
+
+# --- Count-Min ----------------------------------------------------------
+
+
+def _cms_bucket(i: int, item, w: int) -> int:
+    return int(hashlib.md5(f"{i}:{item}".encode()).hexdigest()[:15], 16) % w
+
+
+def _py_cms(items, d, w):
+    sk: Counter = Counter()
+    for x in items:
+        if x is None:
+            continue
+        for i in range(d):
+            sk[(i, _cms_bucket(i, x, w))] += 1
+    return sk
+
+
+_ITEMS = [f"item-{i % 37}" for i in range(2000)] + ["hot"] * 500 + [None] * 3
+
+
+def test_cms_sketch_matches_python_replay_bit_for_bit(spark):
+    d, w = 4, 64
+    df = spark.createDataFrame([(x,) for x in _ITEMS], "item string")
+    got = {
+        (r["cms_row"], r["cms_bucket"]): r["cms_count"]
+        for r in cms_sketch(df, "item", d=d, w=w).collect()
+    }
+    assert got == dict(_py_cms(_ITEMS, d, w))
+
+
+def test_cms_estimate_one_sided_and_exact_without_collisions(spark):
+    df = spark.createDataFrame([(x,) for x in _ITEMS], "item string")
+    true = Counter(x for x in _ITEMS if x is not None)
+    # tight table: estimates may only ever OVERcount
+    est_small = {
+        r["item"]: r["est_count"]
+        for r in cms_estimate(
+            cms_sketch(df, "item", d=2, w=16), df, "item", d=2, w=16
+        ).collect()
+    }
+    assert set(est_small) == set(true)
+    assert all(est_small[x] >= n for x, n in true.items())
+    # wide table (38 distinct items, 4 x 4096 counters): exact
+    est_wide = {
+        r["item"]: r["est_count"]
+        for r in cms_estimate(
+            cms_sketch(df, "item", d=4, w=4096), df, "item", d=4, w=4096
+        ).collect()
+    }
+    assert est_wide == dict(true)
+    # an item the sketch never saw estimates as... >= 0 and, in the
+    # wide table, exactly 0 (no collisions with real mass)
+    unseen = spark.createDataFrame([("never-seen",)], "item string")
+    z = cms_estimate(
+        cms_sketch(df, "item", d=4, w=4096), unseen, "item", d=4, w=4096
+    ).collect()
+    assert z[0]["est_count"] == 0
+
+
+def test_cms_sketches_add_under_union(spark):
+    d, w = 4, 64
+    a = spark.createDataFrame([(x,) for x in _ITEMS[:1000]], "item string")
+    b = spark.createDataFrame([(x,) for x in _ITEMS[1000:]], "item string")
+    both = {
+        (r["cms_row"], r["cms_bucket"]): r["cms_count"]
+        for r in cms_sketch(a.union(b), "item", d=d, w=w).collect()
+    }
+    sa = Counter(
+        {
+            (r["cms_row"], r["cms_bucket"]): r["cms_count"]
+            for r in cms_sketch(a, "item", d=d, w=w).collect()
+        }
+    )
+    sa.update(
+        {
+            (r["cms_row"], r["cms_bucket"]): r["cms_count"]
+            for r in cms_sketch(b, "item", d=d, w=w).collect()
+        }
+    )
+    assert both == dict(sa)
+
+
+def test_cms_heavy_hitters_superset_and_plan(spark):
+    df = spark.createDataFrame([(x,) for x in _ITEMS], "item string")
+    true = Counter(x for x in _ITEMS if x is not None)
+    hh = cms_heavy_hitters(df, "item", threshold=100, d=2, w=16)
+    got = {r["item"] for r in hh.collect()}
+    assert {x for x, n in true.items() if n >= 100} <= got  # never misses
+    plan = hh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the <=d*w sketch is broadcast
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

@@ -1,0 +1,110 @@
+"""Exact per-group quantiles by order statistic (type-1 / lower
+discrete quantile): for each group and each requested quantile ``p``
+return the element at rank ``ceil(p * n)`` of the group's sorted
+values.
+
+Reference parity trail: the reference's evaluation layer reports only
+means/accuracy (``/root/reference/wsd/benchmark.py``); percentile
+reporting (p50/p90/p99 token counts, latency-style tail stats) is part
+of the added large-scale curation surface, same family as
+``operators/textstats.py``.
+
+Determinism / oracle discipline: the target rank is computed in PURE
+INTEGER arithmetic — ``p`` is passed as a rational ``(num, den)`` and
+``k = (num * n + den - 1) DIV den`` (= ``ceil(num*n/den)``), clamped to
+>= 1 — so there is NO float multiply whose last-ulp could disagree with
+the true rank (``ceil(0.14 * 100)`` is 15 in IEEE doubles, not 14 — the
+exact trap this avoids; pinned in test_quantiles). Ties in the value
+column make row IDENTITY at a rank
+ambiguous, but the VALUE at every rank is deterministic, and value is
+all this emits.
+
+Scale shape: the group sizes come from ONE partial-combined
+``groupBy(keys).count()`` (a hot key costs one row per map partition),
+broadcast back; the per-group sort is a ``row_number`` window — the
+irreducible cost of an EXACT order statistic (rank selection needs the
+group's total order; a hot key streams through one spilling sort task).
+At a scale where that is unacceptable, trade exactness for
+``F.percentile_approx`` (t-digest-style, fully partial-combined) — the
+approximate path is deliberately NOT wrapped here because its output is
+neither portable nor oracle-able.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_QUANTILES: tuple[tuple[str, int, int], ...] = (
+    ("p50", 1, 2),
+    ("p90", 9, 10),
+    ("p99", 99, 100),
+)
+
+
+def group_quantiles(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    quantiles: tuple[tuple[str, int, int], ...] = DEFAULT_QUANTILES,
+) -> DataFrame:
+    """Per-key exact quantiles of ``value_col``. Output:
+    ``(*key_cols, quantile, q_rank, q_value)`` — one row per key per
+    requested quantile (two quantiles that land on the same rank each
+    still emit their own row).
+
+    ``quantiles``: ``(label, num, den)`` rationals with
+    ``0 < num <= den``; NULL values are excluded on both the rank and
+    the count side (SQL aggregate semantics).
+    """
+    for label, num, den in quantiles:
+        if not (0 < num <= den):
+            raise ValueError(f"quantile {label}: need 0 < num <= den")
+
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        *key_cols, F.col(value_col)
+    )
+    counts = vals.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    ranked = vals.withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy(*key_cols).orderBy(F.col(value_col))
+        ),
+    )
+    j = ranked.join(F.broadcast(counts), key_cols)
+
+    def k_expr(num: int, den: int):
+        # ceil(num*n/den) in integer arithmetic; DIV is SQL-form only.
+        return F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"CAST(({num} * _n + {den - 1}) DIV {den} AS BIGINT)"),
+        )
+
+    hit = reduce(or_, [F.col("_r") == k_expr(n_, d_) for _, n_, d_ in quantiles])
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("q"), k_expr(n_, d_).alias("k")
+            )
+            for label, n_, d_ in quantiles
+        ]
+    )
+    return (
+        j.filter(hit)  # codegen OR first: explode only the matched rows
+        .select(
+            *key_cols, F.col(value_col), F.col("_r"), F.explode(targets).alias("_t")
+        )
+        .filter(F.col("_t.k") == F.col("_r"))
+        .select(
+            *key_cols,
+            F.col("_t.q").alias("quantile"),
+            F.col("_t.k").alias("q_rank"),
+            F.col(value_col).alias("q_value"),
+        )
+    )

@@ -1,4 +1,5 @@
-"""Portable cardinality sketches: an integer-exact HyperLogLog.
+"""Portable sketches: an integer-exact HyperLogLog (cardinality) and a
+Count-Min sketch (frequency / heavy hitters).
 
 Spark's built-in ``approx_count_distinct`` is a black-box HLL++ whose
 registers depend on Spark's internal hash — useless for cross-engine
@@ -97,3 +98,138 @@ def hll_distinct(
         denom.alias("denom_scaled"),
         (F.lit(numer) / denom.cast("double")).alias("estimate"),
     )
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan 2005) -------------------
+#
+# Integer-exact by construction: counters are BIGINT sums, the d row
+# hashes are the engine's portable 60-bit md5-prefix primitive — the
+# SAME input yields the SAME d x w counter table in Spark, DuckDB, or a
+# python replay, and estimates are one-sided (est >= true count) with
+# the standard eps = e/w, delta = e^-d guarantee. Sketches MERGE by
+# elementwise counter addition, which is exactly re-running the
+# operator over a union — no separate merge path.
+#
+# When to reach for it: in a closed batch world a plain partial-combined
+# groupBy().count() is strictly cheaper and exact. The sketch earns its
+# keep when the summary must LEAVE the engine — a fixed d*w-row table
+# (independent of corpus size) shipped to a driver, a feature store, or
+# merged across days — or when query items arrive AFTER the corpus scan
+# and re-scanning 100 TB per probe set is off the table.
+
+
+def _cms_probes(item_col: str, d: int, w: int):
+    """d (row, bucket) probe structs for one item: bucket_i =
+    md5-60bit(f"{i}:" + item) % w — row-salted so the d hashes are
+    independent."""
+    out = []
+    for i in range(d):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col(item_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        out.append(
+            F.struct(
+                F.lit(i).cast("int").alias("cms_row"),
+                (h % w).cast("int").alias("cms_bucket"),
+            )
+        )
+    return F.array(*out)
+
+
+def cms_sketch(
+    df: DataFrame,
+    item_col: str,
+    d: int = 4,
+    w: int = 512,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the d x w counter table: ``(cms_row, cms_bucket,
+    cms_count)``, at most ``d * w`` rows regardless of input size.
+
+    Scale shape: explode(d) -> ONE partial-combined hash aggregate on
+    (row, bucket); a 10^10-row hot item collapses to d rows per map
+    partition before the (at-most-d*w-key) shuffle. NULL items are
+    ignored. ``weight_col`` (integral) turns it into a weighted sketch.
+    """
+    if d < 1 or w < 1:
+        raise ValueError("need d >= 1 and w >= 1")
+    weight = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(F.explode(_cms_probes(item_col, d, w)).alias("_p"), weight.alias("_w"))
+        .groupBy(
+            F.col("_p.cms_row").alias("cms_row"),
+            F.col("_p.cms_bucket").alias("cms_bucket"),
+        )
+        .agg(F.sum("_w").cast("long").alias("cms_count"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """Estimated count per distinct item in ``items``: ``(item_col,
+    est_count)`` with ``est_count = min`` over the item's d counters
+    (0 for an item the sketch never saw). ``d``/``w`` must match the
+    sketch's build parameters.
+
+    Scale shape: the sketch is <= d*w rows — broadcast — so probing is
+    a map-side join plus ONE partial-combined min-aggregate on the item
+    (duplicate probe rows for the same item are collapsed map-side and
+    cannot skew; min over duplicated (row, bucket) hits equals min over
+    the d counters).
+    """
+    probes = (
+        items.filter(F.col(item_col).isNotNull())
+        .select(F.col(item_col), F.explode(_cms_probes(item_col, d, w)).alias("_p"))
+        .select(
+            F.col(item_col),
+            F.col("_p.cms_row").alias("cms_row"),
+            F.col("_p.cms_bucket").alias("cms_bucket"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["cms_row", "cms_bucket"], "left")
+        .groupBy(item_col)
+        .agg(
+            F.min(F.coalesce(F.col("cms_count"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias("est_count")
+        )
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    threshold: int,
+    d: int = 4,
+    w: int = 512,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Items whose Count-Min estimate is >= ``threshold`` — a
+    guaranteed SUPERSET of the true heavy hitters (one-sided error:
+    est >= true, so nothing above the threshold is missed; collisions
+    can only add false positives, bounded by eps = e/w of total mass).
+
+    The corpus itself is the probe set (no separate distinct() pass:
+    cms_estimate's min-aggregate dedups map-side), so the whole
+    operator is one explode scan, one bounded groupBy, one broadcast
+    probe join, one min-groupBy — no corpus-sized shuffle beyond the
+    item aggregate itself.
+    """
+    sk = cms_sketch(df, item_col, d=d, w=w, weight_col=weight_col)
+    est = cms_estimate(sk, df.select(item_col), item_col, d=d, w=w)
+    return est.filter(F.col("est_count") >= int(threshold))
