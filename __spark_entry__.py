@@ -40,6 +40,13 @@ _BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]"
 # a DuckDB oracle: Java \s includes U+000B, RE2 \s does not — spelled out
 # on BOTH sides (functions.text.WS_CLASS invariant).
 _WS = r"[ \t\n\r\f\x0B]"
+
+# Soundex of the first space-separated word of `text`, DuckDB dialect —
+# generated from the SAME template Spark evaluates (functions/phonetic.py;
+# the one dialect knob is DuckDB's 'g' regexp_replace flag).
+from word_sense_disambiguation_spark.functions.phonetic import soundex_sql
+
+_SDX_DOC = soundex_sql("split_part(text, ' ', 1)", dialect="duckdb")
 _WORD_RE = r"[A-Za-z0-9]+"
 _EN = r"\b(the|and|of|to|is)\b"
 _FR = r"\b(le|la|les|et|est)\b"
@@ -1287,6 +1294,28 @@ def _q_cms_heavy_hitters(spark, sf_dir):
     return cms_heavy_hitters(ev, "user_id", threshold=75, d=4, w=512)
 
 
+def _q_phonetic_blocking(spark, sf_dir):
+    """Soundex phonetic blocking over the leading word of each document:
+    spelling-variant candidate pairs (id_a < id_b) within capped blocks.
+    The key is the archival American Soundex built from ONE portable SQL
+    template (functions/phonetic.py) that both engines evaluate — pure
+    codegen, no UDF; blocks larger than 24 are excluded (and surfaced via
+    the operator's oversized side table), never silently truncated."""
+    from word_sense_disambiguation_spark.operators.blocking import (
+        phonetic_key_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs, _oversized = phonetic_key_pairs(
+        docs, "doc_id", "element_at(split(text, ' '), 1)", max_block_size=24
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "phonetic_key",
+    )
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-priority dedup: MinHash near-dup clusters, then per
     cluster keep the highest-n_chars member (ties -> min doc_id) — the
@@ -1663,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "group_quantiles": _q_group_quantiles,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "phonetic_blocking": _q_phonetic_blocking,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2956,6 +2986,27 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY p.user_id
             )
             SELECT user_id, est_count FROM est WHERE est_count >= 75
+        """,
+        # Soundex blocking replay: the phonetic key comes from the SAME
+        # SQL template both engines evaluate (functions/phonetic.py);
+        # capped blocks (> 24) are excluded exactly as the operator's
+        # oversized side table excludes them.
+        "phonetic_blocking": f"""
+            WITH keyed AS (
+              SELECT doc_id AS id, {_SDX_DOC} AS phonetic_key
+              FROM documents
+              WHERE {_SDX_DOC} IS NOT NULL
+            ),
+            ok AS (
+              SELECT phonetic_key FROM keyed
+              GROUP BY phonetic_key HAVING count(*) <= 24
+            )
+            SELECT CAST(a.id AS BIGINT) AS id_a,
+                   CAST(b.id AS BIGINT) AS id_b,
+                   a.phonetic_key
+            FROM keyed a
+            JOIN keyed b ON a.phonetic_key = b.phonetic_key AND a.id < b.id
+            JOIN ok ON ok.phonetic_key = a.phonetic_key
         """,
         # Rollup replay: the UNION ALL of per-granularity aggregations
         # IS the spec — grouping sets is the one-scan cost construction.
