@@ -1316,6 +1316,26 @@ def _q_phonetic_blocking(spark, sf_dir):
     )
 
 
+def _q_bloom_semijoin(spark, sf_dir):
+    """Bloom-pruned exact semi-join: lineitem rows whose part is size 1.
+    A portable md5 Bloom filter of the qualifying part keys (m=2^14, k=4
+    — bounded one-aggregate build, m/64 BIGINT words) prunes the fact
+    side BELOW the join's exchange with a pure-codegen predicate; the
+    verify join removes false positives, so the output — and therefore
+    the oracle — is exactly the plain SEMI JOIN."""
+    from word_sense_disambiguation_spark.operators.bloom import bloom_semijoin
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    return bloom_semijoin(
+        li, part, "l_partkey", "p_partkey", m_bits=1 << 14, k=4
+    ).select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+    )
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-priority dedup: MinHash near-dup clusters, then per
     cluster keep the highest-n_chars member (ties -> min doc_id) — the
@@ -1693,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": _q_group_quantiles,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "phonetic_blocking": _q_phonetic_blocking,
+        "bloom_semijoin": _q_bloom_semijoin,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -3007,6 +3028,15 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed a
             JOIN keyed b ON a.phonetic_key = b.phonetic_key AND a.id < b.id
             JOIN ok ON ok.phonetic_key = a.phonetic_key
+        """,
+        # Bloom prune is one-sided-error plumbing; the verify join makes
+        # the OUTPUT the exact semi-join, so that is the oracle.
+        "bloom_semijoin": """
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(l_partkey AS BIGINT) AS l_partkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
         """,
         # Rollup replay: the UNION ALL of per-granularity aggregations
         # IS the spec — grouping sets is the one-scan cost construction.
