@@ -47,6 +47,12 @@ _WS = r"[ \t\n\r\f\x0B]"
 from word_sense_disambiguation_spark.functions.phonetic import soundex_sql
 
 _SDX_DOC = soundex_sql("split_part(text, ' ', 1)", dialect="duckdb")
+
+# Morton key of the two 8-bit min-max ranks, DuckDB dialect — same
+# template the Spark side evaluates (operators/zorder.py).
+from word_sense_disambiguation_spark.operators.zorder import zorder_sql
+
+_ZORDER_DUCK = zorder_sql(["r0", "r1"], 8, dialect="duckdb")
 _WORD_RE = r"[A-Za-z0-9]+"
 _EN = r"\b(the|and|of|to|is)\b"
 _FR = r"\b(le|la|les|et|est)\b"
@@ -1336,6 +1342,31 @@ def _q_bloom_semijoin(spark, sf_dir):
     )
 
 
+def _q_zorder_layout(spark, sf_dir):
+    """Z-order layout audit: documents min-max-ranked on (doc_id,
+    n_chars) at 8 bits each, Morton-interleaved (pure-codegen bit
+    shuffle), keyed into 64 equal Z-ranges; per chunk the row count and
+    each dimension's min/max span. Tight spans on BOTH dimensions are
+    the file-skipping evidence a single-column layout cannot give. No
+    global sort anywhere — the chunk id is row-local arithmetic and the
+    stats a partial-combined groupBy."""
+    from word_sense_disambiguation_spark.operators.zorder import (
+        minmax_rank_exprs,
+        zorder_chunk_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ranks = minmax_rank_exprs(docs, ["doc_id", "n_chars"], bits=8)
+    return zorder_chunk_stats(docs, ranks, bits=8, n_chunks=64).select(
+        F.col("chunk").cast("long").alias("chunk"),
+        F.col("n").cast("long").alias("n"),
+        F.col("dim0_min").cast("long").alias("dim0_min"),
+        F.col("dim0_max").cast("long").alias("dim0_max"),
+        F.col("dim1_min").cast("long").alias("dim1_min"),
+        F.col("dim1_max").cast("long").alias("dim1_max"),
+    )
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-priority dedup: MinHash near-dup clusters, then per
     cluster keep the highest-n_chars member (ties -> min doc_id) — the
@@ -1714,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "phonetic_blocking": _q_phonetic_blocking,
         "bloom_semijoin": _q_bloom_semijoin,
+        "zorder_layout": _q_zorder_layout,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -3037,6 +3069,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l_linenumber AS BIGINT) AS l_linenumber
             FROM lineitem
             WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+        """,
+        # Z-order replay: identical min-max integer ranks (BIGINT div),
+        # the SAME Morton template rendered for DuckDB (<<|>> operators
+        # instead of shiftleft/shiftright — functions/zorder dialect
+        # knob), same ceil(2^16/64)=1024 chunk width.
+        "zorder_layout": f"""
+            WITH b AS (
+              SELECT CAST(min(doc_id) AS BIGINT) AS mn0,
+                     CAST(max(doc_id) AS BIGINT) AS mx0,
+                     CAST(min(n_chars) AS BIGINT) AS mn1,
+                     CAST(max(n_chars) AS BIGINT) AS mx1
+              FROM documents
+            ),
+            k AS (
+              SELECT ((CAST(doc_id AS BIGINT) - mn0) * 255 // (mx0 - mn0)) AS r0,
+                     ((CAST(n_chars AS BIGINT) - mn1) * 255 // (mx1 - mn1)) AS r1
+              FROM documents, b
+            )
+            SELECT CAST({_ZORDER_DUCK} // 1024 AS BIGINT) AS chunk,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(r0) AS BIGINT) AS dim0_min,
+                   CAST(max(r0) AS BIGINT) AS dim0_max,
+                   CAST(min(r1) AS BIGINT) AS dim1_min,
+                   CAST(max(r1) AS BIGINT) AS dim1_max
+            FROM k GROUP BY 1
         """,
         # Rollup replay: the UNION ALL of per-granularity aggregations
         # IS the spec — grouping sets is the one-scan cost construction.
