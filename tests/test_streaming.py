@@ -150,3 +150,70 @@ def test_stateful_dedup_ttl_readmits(spark, tmp_path):
     write2([page("q2", "text q")])
     r5 = stream_exact_dedup(spark, p2, PAGES_SCHEMA, ck2, out2, ttl_ms=ttl)
     assert {r.url: r.first_seen for r in r5.collect()}["q2"] is True
+
+
+def test_stream_attach_to_clusters_parity(spark, tmp_path):
+    """Streaming incremental ER == batch incremental ER per micro-batch:
+    a frozen base is clustered once; two increments arrive as separate
+    files (maxFilesPerTrigger=1 -> two micro-batches); the streamed
+    resolutions must equal the union of per-increment BATCH attaches
+    (one code path, deterministic scoring, frozen base).
+
+    Sized deliberately small (40-page world): the test runs the full
+    pipeline DAG five times (base + 2 streamed epochs + 2 batch
+    replays), so page count multiplies wall time."""
+    from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
+    from word_sense_disambiguation_spark.operators.incremental_er import (
+        attach_mentions_to_clusters,
+    )
+    from word_sense_disambiguation_spark.plans.checkpoint import run_er_pipeline
+    from word_sense_disambiguation_spark.plans.pipeline import sense_assignments
+    from word_sense_disambiguation_spark.streaming.ingest import (
+        stream_attach_to_clusters,
+    )
+
+    sworld = world_to_spark(spark, build_world(n_pages=40, seed=11))
+    cut1 = "https://synthetic.example/0000/page-0000028"
+    cut2 = "https://synthetic.example/0000/page-0000034"
+    base_pages = sworld["pages"].filter(F.col("url") < cut1)
+    inc1 = sworld["pages"].filter((F.col("url") >= cut1) & (F.col("url") < cut2))
+    inc2 = sworld["pages"].filter(F.col("url") >= cut2)
+
+    base = run_er_pipeline(
+        spark, base_pages, sworld["senses"], str(tmp_path / "base"), "base"
+    )
+    base_assignments = base["assignments"].cache()
+    base_clusters = base["clusters"].select("mention_id", "entity_id").cache()
+
+    pages_dir = str(tmp_path / "pages")
+    inc1.coalesce(1).write.mode("append").parquet(pages_dir)
+    inc2.coalesce(1).write.mode("append").parquet(pages_dir)
+
+    n = stream_attach_to_clusters(
+        spark,
+        pages_dir,
+        sworld["senses"],
+        base_assignments,
+        base_clusters,
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+    )
+    streamed = spark.read.parquet(str(tmp_path / "out"))
+    assert n == streamed.count() > 0
+
+    expected = None
+    for inc in (inc1, inc2):
+        a = sense_assignments(inc, sworld["senses"])
+        r, _ = attach_mentions_to_clusters(a, base_assignments, base_clusters)
+        expected = r if expected is None else expected.unionByName(r)
+
+    cols = ["mention_id", "entity_id", "attach_source"]
+    got = sorted(map(tuple, streamed.select(cols).collect()))
+    want = sorted(map(tuple, expected.select(cols).collect()))
+    assert got == want
+    # every streamed mention is resolved exactly once
+    ids = [t[0] for t in got]
+    assert len(ids) == len(set(ids))
+    base_assignments.unpersist()
+    base_clusters.unpersist()

@@ -116,6 +116,20 @@ def attach_mentions_to_clusters(
     keys = list(key_cols)
     attrs = list(_ATTR_COLS)
 
+    # 0. materialize the batch ONCE. The operator fans this input out to
+    #    many consumers (keys, candidate side, scorer attribute union,
+    #    residual anti-join -> blocking -> scorer -> CC), and several of
+    #    them sit under separate internal actions (cluster_mentions'
+    #    fused materialize+count) — an unmaterialized expensive upstream
+    #    DAG (e.g. the full pages->assignments pipeline) would re-execute
+    #    per consumer (measured 312s -> ~30s on a 12-page increment).
+    #    localCheckpoint, NEVER persist: persisted plans get CacheManager-
+    #    substituted into later logically-identical queries (the r4 bench
+    #    artifact); the RDD-level checkpoint is invisible to CacheManager
+    #    and its blocks free when the result is garbage-collected. The
+    #    batch is small by operator contract, so the extra job is cheap.
+    batch_assignments = batch_assignments.localCheckpoint(eager=True)
+
     # 1. prune the base to the batch's keys (broadcast semi-join: the batch
     #    is small by contract; at real scale this is scan-level pruning).
     batch_keys = batch_assignments.select(*keys).distinct()
@@ -175,9 +189,13 @@ def attach_mentions_to_clusters(
             F.max("score").alias("best_score"),
         )
     )
+    # Same fan-out rule for the attach result: the residual anti-join and
+    # every consumer downstream of it (self-join blocking, scorer, CC —
+    # each with its own internal actions) would otherwise re-run the
+    # scorer DAG behind `best` once apiece.
     matched = best.select(
         F.col("id_a").alias("mention_id"), "entity_id", "best_score"
-    )
+    ).localCheckpoint(eager=True)
 
     # 6. residual: batch mentions with no base attachment cluster among
     #    themselves with the SAME stack that built the snapshot.

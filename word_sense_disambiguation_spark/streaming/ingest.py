@@ -89,3 +89,61 @@ def stream_sense_assignments(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).count()
+
+
+def stream_attach_to_clusters(
+    spark: SparkSession,
+    pages_dir: str,
+    senses: DataFrame,
+    base_assignments: DataFrame,
+    base_clusters: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Streaming incremental entity resolution: each micro-batch of new
+    pages runs the identical batch DAG (pages -> assignments ->
+    ``attach_mentions_to_clusters`` against the FROZEN base) and appends
+    its resolved mentions to a parquet sink. Returns rows written.
+
+    Semantics (the lambda-architecture contract, stated rather than
+    hidden): attaches are exact — a streamed mention joins the same base
+    entity the batch operator would give it, because the base is frozen
+    and scoring is deterministic. Mints are PER-MICRO-BATCH — two
+    should-be-coreferent mentions arriving in different micro-batches
+    mint two entities (their ids are min mention_ids, globally unique,
+    so they never collide); merging those belongs to the periodic batch
+    re-cluster, exactly like the batch operator's own contract for
+    base-vs-base merges (``operators/incremental_er.py:60-84``). State
+    is bounded by the base size — the stream itself keeps NO growing
+    state, which is what lets it run indefinitely.
+
+    Exactly-once: file-source progress lives in ``checkpoint_dir``; a
+    killed-and-restarted query reprocesses only unfinished files (the
+    same cross-JVM resume contract tested for the sense pipeline).
+    """
+    from word_sense_disambiguation_spark.datagen import PAGES_SCHEMA
+    from word_sense_disambiguation_spark.operators.incremental_er import (
+        attach_mentions_to_clusters,
+    )
+    from word_sense_disambiguation_spark.plans.pipeline import sense_assignments
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        assignments = sense_assignments(batch_df, senses)
+        resolved, _oversized = attach_mentions_to_clusters(
+            assignments, base_assignments, base_clusters
+        )
+        resolved.write.mode("append").parquet(out_dir)
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(pages_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).count()
