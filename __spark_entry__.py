@@ -1367,6 +1367,31 @@ def _q_zorder_layout(spark, sf_dir):
     )
 
 
+def _q_salted_aggregate(spark, sf_dir):
+    """Salted two-phase aggregation over the hot event_type keys: phase 1
+    reduces (key, xxhash64(event_id) % 16) partials so a hot key's reduce
+    work spreads over 16 reducers, phase 2 merges the <=16 partial rows
+    per key. Result-identical to the plain GROUP BY (the oracle); the sum
+    rides a floor(value*100) BIGINT so it is order-insensitive and
+    hash-exact (the engine's float-sum discipline)."""
+    from word_sense_disambiguation_spark.operators.skew import (
+        salted_group_count,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_scaled", F.expr("CAST(floor(value * 100) AS BIGINT)")
+    )
+    out = salted_group_count(
+        ev, ["event_type"], "event_id", buckets=16,
+        agg_exprs={"value_scaled": "sum_scaled"},
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_scaled").cast("long").alias("sum_scaled"),
+    )
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-priority dedup: MinHash near-dup clusters, then per
     cluster keep the highest-n_chars member (ties -> min doc_id) — the
@@ -1746,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_blocking": _q_phonetic_blocking,
         "bloom_semijoin": _q_bloom_semijoin,
         "zorder_layout": _q_zorder_layout,
+        "salted_aggregate": _q_salted_aggregate,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -3094,6 +3120,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(r1) AS BIGINT) AS dim1_min,
                    CAST(max(r1) AS BIGINT) AS dim1_max
             FROM k GROUP BY 1
+        """,
+        # Salting is result-invariant — the oracle IS the plain GROUP BY;
+        # the sum is the scaled-BIGINT form (hash-exact, order-free).
+        "salted_aggregate": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_scaled
+            FROM events
+            GROUP BY event_type
         """,
         # Rollup replay: the UNION ALL of per-granularity aggregations
         # IS the spec — grouping sets is the one-scan cost construction.
