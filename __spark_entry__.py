@@ -1392,6 +1392,22 @@ def _q_salted_aggregate(spark, sf_dir):
     )
 
 
+def _q_hopping_window(spark, sf_dir):
+    """Hopping-window aggregate: 15-minute windows sliding every 5
+    minutes over events — each event expands to its 3 window memberships
+    locally (offset explode, never an inequality join against a window
+    table), then one partial-combined groupBy. Hash-exact aggregates
+    (count, min/max, scaled-BIGINT sum)."""
+    from word_sense_disambiguation_spark.operators.temporal import (
+        hopping_window_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return hopping_window_agg(
+        ev, "ts", ["event_type"], "value", length_s=900, slide_s=300
+    )
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-priority dedup: MinHash near-dup clusters, then per
     cluster keep the highest-n_chars member (ties -> min doc_id) — the
@@ -1772,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin": _q_bloom_semijoin,
         "zorder_layout": _q_zorder_layout,
         "salted_aggregate": _q_salted_aggregate,
+        "hopping_window": _q_hopping_window,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -3130,6 +3147,24 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_scaled
             FROM events
             GROUP BY event_type
+        """,
+        # Hopping replay: the same window_start arithmetic
+        # (floor(epoch/S)*S - i*S, UTC, floored seconds) with the offsets
+        # as a 3-row VALUES table; to_timestamp cast back to naive.
+        "hopping_window": """
+            SELECT event_type,
+                   CAST(to_timestamp(
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300
+                     - i.i * 300
+                   ) AS TIMESTAMP) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(value) AS min_value,
+                   max(value) AS max_value,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_scaled
+            FROM events, (VALUES (0), (1), (2)) AS i(i)
+            WHERE ts IS NOT NULL
+            GROUP BY event_type, 2
         """,
         # Rollup replay: the UNION ALL of per-granularity aggregations
         # IS the spec — grouping sets is the one-scan cost construction.

@@ -293,3 +293,61 @@ def test_time_bucket_rollup_parallelism_invariant(spark):
     a = sorted(map(tuple, time_bucket_rollup(df.repartition(9), "ts", ["event_type"], "value").collect()))
     b = sorted(map(tuple, time_bucket_rollup(df.coalesce(1), "ts", ["event_type"], "value").collect()))
     assert a == b
+
+
+def _hop_events(spark):
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                "t" + str(i % 3),
+                dt.datetime(2024, 1, 1, 0, 0, 0)
+                + dt.timedelta(seconds=37 * i + (i % 7) * 0.25),
+                float(i) / 4.0,
+            )
+        )
+    return spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+
+
+def test_hopping_window_matches_builtin_window(spark):
+    """Our explicit offset-explode arithmetic must reproduce Structured
+    Streaming's F.window(ts, 15min, 5min) convention exactly — window
+    starts AND membership counts — so the batch twin and a streaming
+    deployment agree."""
+    from word_sense_disambiguation_spark.operators.temporal import (
+        hopping_window_agg,
+    )
+
+    ev = _hop_events(spark)
+    ours = hopping_window_agg(
+        ev, "ts", ["event_type"], "value", length_s=900, slide_s=300
+    )
+    builtin = (
+        ev.groupBy(
+            F.window("ts", "15 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("event_type", F.col("w.start").alias("window_start"), "n")
+    )
+    a = {(r.event_type, r.window_start): r.n for r in ours.collect()}
+    b = {(r.event_type, r.window_start): r.n for r in builtin.collect()}
+    assert a == b
+
+    # every event is in exactly length/slide = 3 windows
+    assert sum(a.values()) == 3 * ev.count()
+
+
+def test_hopping_window_guard_and_plan(spark):
+    from word_sense_disambiguation_spark.operators.temporal import (
+        hopping_window_agg,
+    )
+
+    ev = _hop_events(spark)
+    with pytest.raises(ValueError):
+        hopping_window_agg(ev, "ts", ["event_type"], "value", 900, 400)
+    out = hopping_window_agg(ev, "ts", ["event_type"], "value", 900, 300)
+    plan = out._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "EvalPython" not in plan
+    assert "Generate" in plan  # offset explode, not a window-table join
+    assert plan.count("Exchange") == 1  # one partial-combined groupBy
+    assert "Join" not in plan

@@ -269,3 +269,55 @@ def time_bucket_rollup(
         "max_value",
         "sum_scaled",
     )
+
+
+def hopping_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    length_s: int,
+    slide_s: int,
+    int_scale: int = 100,
+) -> DataFrame:
+    """Overlapping (hopping/sliding) window aggregate: every event lands
+    in exactly ``length_s/slide_s`` windows of length ``length_s`` whose
+    starts are multiples of ``slide_s``.
+
+    The scale shape is the OFFSET EXPLODE, never a window-table range
+    join: each row generates its L/S (row, window_start) memberships
+    locally (``window_start = floor(epoch/S)*S - i*S``), then ONE
+    partial-combined groupBy — replication factor is the small constant
+    L/S, and a naive ``w.start <= ts < w.start + L`` join against a
+    generated window table is an inequality join that rescans the fact
+    per window. This is the batch twin of Structured Streaming's
+    ``F.window(ts, length, slide)`` (same window-start convention for
+    non-negative epochs), kept as explicit arithmetic so the DuckDB
+    oracle replays it bit-for-bit.
+
+    Aggregates are the hash-exact set (count, min/max, scaled-BIGINT
+    sum — the engine's float-sum discipline); epoch seconds are
+    truncated identically in both engines (UTC session, floor).
+    """
+    if length_s <= 0 or slide_s <= 0 or length_s % slide_s:
+        raise ValueError("length_s must be a positive multiple of slide_s")
+    n_offsets = length_s // slide_s
+    base = F.expr(
+        f"(unix_timestamp({ts_col}) div {slide_s}) * {slide_s}"
+    )
+    exploded = (
+        df.filter(F.col(ts_col).isNotNull())
+        .withColumn("_off", F.explode(F.sequence(F.lit(0), F.lit(n_offsets - 1))))
+        .withColumn(
+            "window_start",
+            F.timestamp_seconds(base - F.col("_off").cast("long") * slide_s),
+        )
+    )
+    return exploded.groupBy(*key_cols, "window_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+        F.sum(
+            F.expr(f"CAST(floor({value_col} * {int_scale}) AS BIGINT)")
+        ).cast("long").alias("sum_scaled"),
+    )
