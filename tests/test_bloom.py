@@ -89,3 +89,30 @@ def test_sizing_guards():
         build_bloom_words(None, "k", m_bits=100)  # not a multiple of 64
     with pytest.raises(ValueError):
         build_bloom_words(None, "k", m_bits=1 << 22)  # literal ceiling
+
+
+def test_join_path_identical_to_literal_path(spark, tables):
+    """The beyond-literal-ceiling broadcast-join prune must keep the
+    EXACT same rows as the literal predicate on the same words, and its
+    plan must stay exchange-free on the fact side (k broadcast joins)."""
+    from word_sense_disambiguation_spark.operators.bloom import (
+        bloom_prune_by_join,
+        bloom_words_df,
+    )
+
+    big, small = tables
+    words = build_bloom_words(small, "k", m_bits=M, k=K)
+    lit = bloom_prune(big, "bk", words, m_bits=M, k=K)
+    jn = bloom_prune_by_join(
+        big, "bk", bloom_words_df(spark, words), m_bits=M, k=K
+    )
+    assert jn.exceptAll(lit).count() == 0
+    assert lit.exceptAll(jn).count() == 0
+
+    plan = jn._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "EvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") == K
+    # the only exchanges are the broadcast ones — nothing shuffles the fact side
+    import re
+
+    assert not re.search(r"(?<!Broadcast)Exchange hashpartitioning", plan)

@@ -32,8 +32,10 @@ Sizing: false-positive rate ~= (1 - e^(-k*n/m))^k; the default
 m=2^16, k=4 holds ~6500 keys at ~2% fp. Size m to the dim-key count —
 the words array is embedded in the plan as a literal (m/64 BIGINTs;
 m=2^20 -> 16K words ~= 128 KB plan payload, the practical ceiling for
-literal embedding — beyond that, ship the words as a broadcast join on
-word index instead; documented, not silently degraded).
+literal embedding — beyond that, :func:`bloom_prune_by_join` ships the
+words as a broadcast (w, word) relation instead: k broadcast hash joins,
+still exchange-free on the fact side, identity-tested against the
+literal path).
 """
 
 from __future__ import annotations
@@ -89,8 +91,9 @@ def build_bloom_words(
     if m_bits > MAX_LITERAL_M_BITS:
         raise ValueError(
             f"m_bits={m_bits} exceeds the plan-literal ceiling "
-            f"{MAX_LITERAL_M_BITS}; ship the words via a word-index join "
-            "instead of a literal predicate at that scale"
+            f"{MAX_LITERAL_M_BITS}; build the words in chunks and use "
+            "bloom_prune_by_join (broadcast word-index relation) at that "
+            "scale"
         )
     pos_cols = [
         F.expr(_pos_sql(key_expr, i, m_bits)).alias(f"_p{i}") for i in range(k)
@@ -149,6 +152,52 @@ def bloom_prune(
     return big.filter(
         F.expr(key_expr).isNotNull() & bloom_might_contain(key_expr, words, m_bits, k)
     )
+
+
+def bloom_words_df(spark, words: list[int]) -> DataFrame:
+    """The packed words as a (w, word) table, nonzero words only — the
+    shippable form for filters too big to embed as plan literals."""
+    rows = [(i, int(w)) for i, w in enumerate(words) if w]
+    return spark.createDataFrame(rows, "w long, word long")
+
+
+def bloom_prune_by_join(
+    big: DataFrame,
+    key_expr: str,
+    words_df: DataFrame,
+    m_bits: int,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """The beyond-the-literal-ceiling prune: k successive BROADCAST hash
+    joins against the nonzero-words table, one per probe — still NO
+    exchange on the fact side, so the prune stays below any downstream
+    shuffle, but the filter ships as a broadcast relation (m/64 rows)
+    instead of a plan literal. Semantically identical to
+    :func:`bloom_prune` on the same words (identity-tested): an inner
+    join on the word index drops keys probing an all-zero word (bit
+    unset) exactly as the literal predicate would, and the bit test
+    filters the rest. NULL keys drop at the first join (null probe).
+    """
+    out = big
+    for i in range(k):
+        p = _pos_sql(key_expr, i, m_bits)
+        wd = words_df.select(
+            F.col("w").alias(f"_bw{i}"), F.col("word").alias(f"_bword{i}")
+        )
+        out = (
+            out.join(
+                F.broadcast(wd),
+                on=F.expr(f"CAST(({p}) div 64 AS BIGINT)") == F.col(f"_bw{i}"),
+                how="inner",
+            )
+            .filter(
+                F.expr(
+                    f"(shiftright(_bword{i}, CAST(({p}) % 64 AS INT)) & 1) = 1"
+                )
+            )
+            .drop(f"_bw{i}", f"_bword{i}")
+        )
+    return out
 
 
 def bloom_semijoin(
