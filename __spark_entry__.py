@@ -1408,6 +1408,34 @@ def _q_hopping_window(spark, sf_dir):
     )
 
 
+def _q_latest_snapshot(spark, sf_dir):
+    """CDC compaction: the events changelog keyed by user_id -> each
+    user's newest event (order = ts then event_id, explicit tiebreak).
+    ONE max_by aggregate with map-side partial combine — never the
+    row_number window that funnels a hot key's whole history through a
+    single task. value rides as floor(value*100) BIGINT (hash-exact)."""
+    from word_sense_disambiguation_spark.operators.cdc import latest_snapshot
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").cast("long").alias("event_id"),
+            "event_type",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("value_scaled"),
+        )
+    )
+    return latest_snapshot(ev, ["user_id"], "ts", "event_id").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        "event_id",
+        "event_type",
+        "value_scaled",
+    )
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-priority dedup: MinHash near-dup clusters, then per
     cluster keep the highest-n_chars member (ties -> min doc_id) — the
@@ -1789,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "salted_aggregate": _q_salted_aggregate,
         "hopping_window": _q_hopping_window,
+        "latest_snapshot": _q_latest_snapshot,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -3165,6 +3194,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events, (VALUES (0), (1), (2)) AS i(i)
             WHERE ts IS NOT NULL
             GROUP BY event_type, 2
+        """,
+        # Snapshot replay: row_number is FINE in the oracle (DuckDB runs
+        # once, no skew contract) — ORDER BY ts DESC, event_id DESC is
+        # exactly the engine's (ts, tiebreak) struct order.
+        "latest_snapshot": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   ts,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   event_type,
+                   CAST(floor(value * 100) AS BIGINT) AS value_scaled
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+              ) AS rn
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            )
+            WHERE rn = 1
         """,
         # Rollup replay: the UNION ALL of per-granularity aggregations
         # IS the spec — grouping sets is the one-scan cost construction.
