@@ -1436,6 +1436,36 @@ def _q_latest_snapshot(spark, sf_dir):
     )
 
 
+def _q_profile_columns(spark, sf_dir):
+    """Long-form data-quality profile of the documents table: per column
+    the row count, null count, EXACT distinct count, and lexicographic
+    min/max string images — one aggregation statement, one explode, no
+    per-column unions. String images keep the profile engine-portable
+    (int/string columns only)."""
+    from word_sense_disambiguation_spark.operators.profiling import (
+        profile_columns,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_columns(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+def _q_table_checksum(spark, sf_dir):
+    """Anti-entropy fingerprint: per-source order-insensitive checksum
+    (sum of portable 60-bit md5 row hashes in DECIMAL, folded mod 2^62 —
+    BIGINT-sum overflow under ANSI is designed out). Equal (n, checksum)
+    <=> equal content regardless of row order, partitioning, or engine —
+    the verify-replication-without-moving-data primitive."""
+    from word_sense_disambiguation_spark.operators.profiling import (
+        table_checksum,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return table_checksum(
+        docs, ["doc_id", "lang", "source", "n_chars"], ["source"]
+    )
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-priority dedup: MinHash near-dup clusters, then per
     cluster keep the highest-n_chars member (ties -> min doc_id) — the
@@ -1818,6 +1848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_aggregate": _q_salted_aggregate,
         "hopping_window": _q_hopping_window,
         "latest_snapshot": _q_latest_snapshot,
+        "profile_columns": _q_profile_columns,
+        "table_checksum": _q_table_checksum,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -3212,6 +3244,51 @@ def oracle_sql() -> dict[str, str]:
               WHERE ts IS NOT NULL AND user_id IS NOT NULL
             )
             WHERE rn = 1
+        """,
+        # Profile replay: per-column UNION ALL of one-row aggregates
+        # (the union is the SPEC; the engine's single-statement Expand
+        # plan is the cost construction). String images via CAST.
+        "profile_columns": """
+            SELECT 'doc_id' AS column, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                   min(CAST(doc_id AS VARCHAR)) AS min_repr,
+                   max(CAST(doc_id AS VARCHAR)) AS max_repr
+            FROM documents
+            UNION ALL
+            SELECT 'lang', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT lang) AS BIGINT),
+                   min(CAST(lang AS VARCHAR)), max(CAST(lang AS VARCHAR))
+            FROM documents
+            UNION ALL
+            SELECT 'source', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT source) AS BIGINT),
+                   min(CAST(source AS VARCHAR)), max(CAST(source AS VARCHAR))
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT n_chars) AS BIGINT),
+                   min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR))
+            FROM documents
+        """,
+        # Checksum replay: same tagged-field row image (chr(1) separator,
+        # 'v'||value vs 'n' for NULL), same 60-bit md5->BIGINT, HUGEINT
+        # sum folded mod 2^62 and pinned to BIGINT.
+        "table_checksum": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(('0x' || substr(md5(concat_ws(chr(1),
+                     coalesce(concat('v', CAST(doc_id AS VARCHAR)), 'n'),
+                     coalesce(concat('v', CAST(lang AS VARCHAR)), 'n'),
+                     coalesce(concat('v', CAST(source AS VARCHAR)), 'n'),
+                     coalesce(concat('v', CAST(n_chars AS VARCHAR)), 'n')
+                   )), 1, 15)) AS BIGINT)) % 4611686018427387904 AS BIGINT)
+                     AS checksum
+            FROM documents
+            GROUP BY source
         """,
         # Rollup replay: the UNION ALL of per-granularity aggregations
         # IS the spec — grouping sets is the one-scan cost construction.

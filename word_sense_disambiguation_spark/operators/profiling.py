@@ -1,0 +1,129 @@
+"""Data-quality profiling and anti-entropy verification.
+
+Two operational primitives every 100 TB pipeline runs constantly but
+Spark has no named operator for:
+
+* :func:`profile_columns` — per-column profile (rows, nulls, exact
+  distincts, lexicographic min/max as strings) from ONE aggregation
+  statement. Spark plans the multi-column distincts via its Expand
+  rewrite (the audited sf0.01 plan: two parquet scans — one per
+  distinct-vs-plain aggregate family — and partial-combined exchanges of
+  1-row partials; no row ever reaches the driver). At 10^12 rows swap
+  exact distincts for the engine's ``sketches.hll_distinct`` per column,
+  same output shape. Output is long-form (one row per column, via one
+  explode — never a per-column union, which would re-plan the aggregate
+  subtree per column) so a new column never changes the schema of the
+  profile table downstream jobs read.
+* :func:`table_checksum` — ORDER-INSENSITIVE content fingerprint per
+  group: sum of portable 60-bit md5 row hashes (BIGINT, wraps are fine —
+  equality is what matters). Comparing checksums verifies a replicated /
+  re-partitioned / migrated table WITHOUT moving or sorting it: the sum
+  is commutative so ``local[1] == local[32] ==`` any cluster layout, and
+  per-group rows make the comparison incremental (only mismatched groups
+  re-sync — the Merkle-tree idea flattened one level). The same
+  construction the engine's CC convergence checksum uses internally
+  (``clustering.py:_checksum``), promoted to a public operator.
+
+Both are pure codegen single-aggregation plans (map-side partial
+combine); neither ever collects row data.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-form profile: (column, n, n_null, n_distinct, min_repr,
+    max_repr) per named column, from one scan.
+
+    min/max compare the STRING representation (portable across engines
+    and column types; the profile is for drift detection, not
+    arithmetic).
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i, c in enumerate(cols):
+        s = F.col(c).cast("string")
+        aggs.extend(
+            [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"_null_{i}"),
+                F.countDistinct(F.col(c)).cast("long").alias(f"_dist_{i}"),
+                F.min(s).alias(f"_min_{i}"),
+                F.max(s).alias(f"_max_{i}"),
+            ]
+        )
+    row = df.agg(*aggs)
+    # ONE explode over a struct array, not a per-column union of selects:
+    # a union re-plans (and re-scans) the aggregate subtree once per
+    # column — the fan-out re-evaluation trap (incremental_er lesson).
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_null_{i}").alias("n_null"),
+                F.col(f"_dist_{i}").alias("n_distinct"),
+                F.col(f"_min_{i}").alias("min_repr"),
+                F.col(f"_max_{i}").alias("max_repr"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return row.select(F.col("_n").alias("n"), F.explode(entries).alias("e")).select(
+        F.col("e.column").alias("column"),
+        "n",
+        F.col("e.n_null").alias("n_null"),
+        F.col("e.n_distinct").alias("n_distinct"),
+        F.col("e.min_repr").alias("min_repr"),
+        F.col("e.max_repr").alias("max_repr"),
+    )
+
+
+def _row_hash_sql(cols: list[str]) -> str:
+    """Portable 60-bit md5 of the row's string image. NULLs are encoded
+    as a sentinel distinct from any string value (concat_ws drops NULLs,
+    which would collide ('a', NULL) with ('a', '') — so each field is
+    coalesced to a tagged form first). Separator is chr(1), spelled as a
+    function call on both engines — never a backslash escape in an
+    F.expr string (the Java-vs-RE2 escape trap, CLAUDE.md). Restrict
+    ``cols`` to string/integer columns: float/timestamp string images
+    are not engine-portable.
+    """
+    fields = ", ".join(
+        f"coalesce(concat('v', CAST({c} AS STRING)), 'n')" for c in cols
+    )
+    return (
+        "CAST(conv(substr(md5(concat_ws(chr(1), "
+        + fields
+        + ")), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+CHECKSUM_MOD = 1 << 62
+
+
+def table_checksum(
+    df: DataFrame, cols: list[str], group_cols: list[str] | None = None
+) -> DataFrame:
+    """(group..., n, checksum): per-row portable hashes summed in
+    DECIMAL(38,0) (ANSI-safe — a BIGINT sum of 60-bit hashes overflows
+    after ~8 rows and Spark 4 ANSI mode would throw), folded to
+    ``mod 2**62`` BIGINT.
+
+    Equal content <=> equal (n, checksum) per group, independent of row
+    order, partitioning, or engine — the replication-verification
+    primitive. The oracle replays via DuckDB's HUGEINT sum with the same
+    mod.
+    """
+    h = F.expr(_row_hash_sql(cols)).cast("decimal(38,0)")
+    gb = df.groupBy(*(group_cols or []))
+    return gb.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(h) % F.lit(CHECKSUM_MOD).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("checksum"),
+    )
