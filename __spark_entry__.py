@@ -1287,6 +1287,22 @@ def _q_group_quantiles(spark, sf_dir):
     return group_quantiles(docs, ["source"], "n_chars")
 
 
+def _q_sampled_quantiles(spark, sf_dir):
+    """The scale path for group_quantiles made concrete: deterministic
+    1-in-4 md5 Bernoulli sample of documents (pure function of doc_id —
+    no rand()), then the same exact integer-rank order statistic on the
+    sample. The hot key's sort task shrinks 4x; the oracle replays the
+    sample predicate and ranks bit-for-bit."""
+    from word_sense_disambiguation_spark.operators.quantiles import (
+        sampled_group_quantiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampled_group_quantiles(
+        docs, ["source"], "n_chars", "doc_id", rate_den=4
+    )
+
+
 def _q_cms_heavy_hitters(spark, sf_dir):
     """Count-Min heavy hitters: users with estimated event count >= 75
     (guaranteed superset of the true heavy hitters — one-sided error).
@@ -1841,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": _q_time_rollup,
         "hll_distinct": _q_hll_distinct,
         "group_quantiles": _q_group_quantiles,
+        "sampled_quantiles": _q_sampled_quantiles,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "phonetic_blocking": _q_phonetic_blocking,
         "bloom_semijoin": _q_bloom_semijoin,
@@ -3095,6 +3112,37 @@ def oracle_sql() -> dict[str, str]:
         "group_quantiles": """
             WITH v AS (
               SELECT source, n_chars FROM documents WHERE n_chars IS NOT NULL
+            ),
+            r AS (
+              SELECT source, n_chars,
+                     CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars
+                     ) AS BIGINT) AS rr
+              FROM v
+            ),
+            n AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n
+              FROM v GROUP BY source
+            ),
+            t(quantile, num, den) AS (
+              VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)
+            )
+            SELECT r.source, t.quantile,
+                   CAST(greatest(1, (t.num * n.n + t.den - 1) // t.den)
+                        AS BIGINT) AS q_rank,
+                   CAST(r.n_chars AS BIGINT) AS q_value
+            FROM r
+            JOIN n ON r.source = n.source
+            JOIN t ON r.rr = greatest(1, (t.num * n.n + t.den - 1) // t.den)
+        """,
+        # Sampled-quantile replay: the SAME deterministic md5 Bernoulli
+        # predicate, then the exact integer-rank replay on the sample.
+        "sampled_quantiles": """
+            WITH v AS (
+              SELECT source, n_chars FROM documents
+              WHERE n_chars IS NOT NULL
+                AND CAST(('0x' || substr(md5('qs:' || CAST(doc_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 4 = 0
             ),
             r AS (
               SELECT source, n_chars,

@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from word_sense_disambiguation_spark.operators.quantiles import (
     DEFAULT_QUANTILES,
@@ -89,3 +90,33 @@ def test_quantiles_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("Window") == 1  # the one irreducible rank window
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_sampled_quantiles_deterministic_and_exact_on_sample(spark):
+    """The sample is a pure function of the id (parallelism/order
+    invariant) and the quantiles equal group_quantiles run on the
+    explicitly-filtered sample."""
+    from word_sense_disambiguation_spark.operators.quantiles import (
+        group_quantiles,
+        sampled_group_quantiles,
+    )
+
+    df = spark.range(0, 2000).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS g", "CAST((id * 37) % 1000 AS LONG) AS v"
+    )
+    s1 = sampled_group_quantiles(df, ["g"], "v", "id", rate_den=4)
+    s2 = sampled_group_quantiles(
+        df.repartition(11).orderBy(F.desc("v")), ["g"], "v", "id", rate_den=4
+    )
+    r1 = sorted(map(tuple, s1.collect()))
+    assert r1 == sorted(map(tuple, s2.collect()))
+
+    keep = F.expr(
+        "pmod(CAST(conv(substr(md5(concat('qs:', CAST(id AS STRING))), 1, 15),"
+        " 16, 10) AS BIGINT), 4) = 0"
+    )
+    exact_on_sample = group_quantiles(df.filter(keep), ["g"], "v")
+    assert r1 == sorted(map(tuple, exact_on_sample.collect()))
+    # ~1/4 of rows survive per group (binomial, loose bounds)
+    n = df.filter(keep).count()
+    assert 350 < n < 650

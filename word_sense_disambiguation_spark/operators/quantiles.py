@@ -108,3 +108,35 @@ def group_quantiles(
             F.col(value_col).alias("q_value"),
         )
     )
+
+
+def sampled_group_quantiles(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    sample_id_col: str,
+    rate_den: int,
+    quantiles: tuple[tuple[str, int, int], ...] = DEFAULT_QUANTILES,
+    salt: str = "qs",
+) -> DataFrame:
+    """The documented scale trade for :func:`group_quantiles`, made
+    concrete: a DETERMINISTIC 1-in-``rate_den`` Bernoulli sample
+    (portable md5 of ``sample_id_col``, never ``rand()``) followed by
+    the exact order statistic ON THE SAMPLE.
+
+    Why this is the 10^12-row path: the exact operator's hot-key sort
+    task shrinks by ``rate_den``x while the rank arithmetic (and the
+    whole oracle discipline) stays pure-integer-exact over the sampled
+    multiset — unlike ``percentile_approx``, whose t-digest output is
+    neither portable nor replayable. Sampling error is the standard
+    order-statistic bound (rank p +- ~sqrt(p(1-p)/m) quantile-scale for
+    sample size m); callers pick ``rate_den`` against their key sizes.
+    The sample is a pure function of the row id, so ``local[1] ==
+    local[32]`` and re-runs agree row-for-row.
+    """
+    keep = F.expr(
+        f"pmod(CAST(conv(substr(md5(concat('{salt}:', "
+        f"CAST({sample_id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT), "
+        f"{rate_den}) = 0"
+    )
+    return group_quantiles(df.filter(keep), key_cols, value_col, quantiles)
