@@ -1482,6 +1482,22 @@ def _q_table_checksum(spark, sf_dir):
     )
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Embedding/RAG prep: overlapping 32-token chunks (8 shared) per
+    document (sized so the driver testdata exercises multi-chunk docs) — row-local codegen (sequence + slice + array_join), ZERO
+    shuffle, integer-only start arithmetic; empty docs keep one empty
+    chunk (chunking is total). The oracle replays tokens, starts, spans,
+    and chunk text verbatim."""
+    from word_sense_disambiguation_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=32, overlap_tokens=8
+    )
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-priority dedup: MinHash near-dup clusters, then per
     cluster keep the highest-n_chars member (ties -> min doc_id) — the
@@ -1867,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot": _q_latest_snapshot,
         "profile_columns": _q_profile_columns,
         "table_checksum": _q_table_checksum,
+        "chunk_documents": _q_chunk_documents,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -3337,6 +3354,36 @@ def oracle_sql() -> dict[str, str]:
                      AS checksum
             FROM documents
             GROUP BY source
+        """,
+        # Chunk replay: same explicit-class token split (never \\s), same
+        # integer stride arithmetic (floor vs trunc div agree after the
+        # greatest(0,..) clamp), 1-based inclusive list_slice.
+        "chunk_documents": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN trim(coalesce(text, '')) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(
+                            trim(coalesce(text, '')), '[ \t\n\r\f\x0B]+')
+                     END AS toks
+              FROM documents
+            ),
+            n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d),
+            s AS (
+              SELECT doc_id, toks, n,
+                     CAST(unnest(generate_series(
+                       0, greatest(0, ((n - 8 - 1) // 24) * 24), 24
+                     )) AS BIGINT) AS st
+              FROM n
+            )
+            SELECT doc_id,
+                   CAST(st // 24 AS BIGINT) AS chunk_id,
+                   CAST(st AS BIGINT) AS token_start,
+                   CAST(least(st + 32, n) AS BIGINT) AS token_end,
+                   array_to_string(
+                     list_slice(toks, CAST(st + 1 AS BIGINT),
+                                CAST(st + 32 AS BIGINT)), ' ') AS chunk_text
+            FROM s
         """,
         # Rollup replay: the UNION ALL of per-granularity aggregations
         # IS the spec — grouping sets is the one-scan cost construction.

@@ -272,3 +272,45 @@ def test_repetition_stats(spark):
     assert abs(out[2].dup_ngram_char_frac - 18 / 19) < 1e-12
     assert out[3].top_ngram_char_frac == 0.0 and out[3].dup_ngram_char_frac == 0.0
     assert out[4].top_ngram_char_frac == 0.0 and out[4].dup_ngram_char_frac == 0.0
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from word_sense_disambiguation_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(300))),
+            (2, "a b c"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=128, overlap_tokens=32)
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.token_start, r.token_end) for r in out.collect())
+    )
+    assert rows == [
+        (1, 0, 0, 128),
+        (1, 1, 96, 224),
+        (1, 2, 192, 300),
+        (2, 0, 0, 3),
+        (3, 0, 0, 0),  # chunking is total: empty/null docs keep one row
+        (4, 0, 0, 0),
+    ]
+    got = {(r.doc_id, r.chunk_id): r.chunk_text for r in out.collect()}
+    # neighbouring chunks share exactly overlap_tokens tokens
+    a, b = got[(1, 0)].split(), got[(1, 1)].split()
+    assert a[96:] == b[:32]
+    assert got[(1, 2)].split()[-1] == "t299"  # tail covered
+    assert got[(3, 0)] == "" and got[(4, 0)] == ""
+
+    plan = out._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=32, overlap_tokens=32)

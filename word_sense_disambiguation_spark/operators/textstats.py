@@ -206,3 +206,61 @@ def repetition_stats(
             ).alias("dup_ngram_char_frac"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 32,
+) -> DataFrame:
+    """Overlapping token-window chunking — the embedding/RAG prep step:
+    every document becomes ceil(max(n - overlap, 1) / stride) chunks of
+    up to ``chunk_tokens`` whitespace tokens with ``overlap_tokens``
+    shared between neighbours, so no retrieval query can fall into a
+    chunk-boundary blind spot.
+
+    Pure codegen: ONE scan, tokens via the engine's explicit-class
+    whitespace split (never ``\\s`` — the Java/RE2 divergence rule),
+    chunk starts via ``sequence(0, n-1, stride)``, chunk text via
+    ``slice`` + ``array_join``. No shuffle at all — chunking is
+    row-local, and the output keeps (doc, chunk_id, token span) so a
+    downstream embedder (``similarity_search``) can key on it.
+    Empty/null text yields one empty chunk row (chunks are a total
+    function of the corpus — a doc that vanishes here would silently
+    drop from retrieval).
+
+    Chunk count per doc is bounded by n/stride + 1; stride =
+    ``chunk_tokens - overlap_tokens`` must be positive.
+    """
+    if not (0 <= overlap_tokens < chunk_tokens):
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.when(t == "", F.array()).otherwise(F.split(t, WS_CLASS + "+"))
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    )
+    # last start: the largest multiple of stride still beginning a chunk
+    # with new content; sequence is inclusive, so cap it explicitly.
+    # Pure integer arithmetic (div), no float rounding.
+    last = F.expr(
+        f"greatest(0L, ((_n - {overlap_tokens} - 1) div {stride}) * {stride})"
+    )
+    starts = F.sequence(F.lit(0).cast("long"), last, F.lit(stride).cast("long"))
+    return (
+        base.select(
+            F.col(id_col), "_toks", "_n", F.posexplode(starts).alias("chunk_id", "_s")
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("_s").alias("token_start"),
+            F.least(F.col("_s") + chunk_tokens, F.col("_n")).alias("token_end"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("_s").cast("int") + 1, chunk_tokens),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
