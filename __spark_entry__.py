@@ -1498,6 +1498,20 @@ def _q_chunk_documents(spark, sf_dir):
     )
 
 
+def _q_distinctive_terms(spark, sf_dir):
+    """Top-3 tf-idf terms per document with the integer-exact scaled idf
+    (tf * ((N * 10^6) div df) — strictly df-decreasing while df <=
+    sqrt(N*10^6), no log/float anywhere). One (doc, token) aggregate;
+    document frequency derives from that table; the top-k window is
+    doc-bounded. Ties: score desc, tf desc, token asc."""
+    from word_sense_disambiguation_spark.operators.textstats import (
+        distinctive_terms,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return distinctive_terms(docs, "doc_id", "text", top_k=3)
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-priority dedup: MinHash near-dup clusters, then per
     cluster keep the highest-n_chars member (ties -> min doc_id) — the
@@ -1884,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_columns": _q_profile_columns,
         "table_checksum": _q_table_checksum,
         "chunk_documents": _q_chunk_documents,
+        "distinctive_terms": _q_distinctive_terms,
         "incremental_dedup": _q_incremental_dedup,
         "blocklist_filter": _q_blocklist_filter,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -3384,6 +3399,40 @@ def oracle_sql() -> dict[str, str]:
                      list_slice(toks, CAST(st + 1 AS BIGINT),
                                 CAST(st + 32 AS BIGINT)), ' ') AS chunk_text
             FROM s
+        """,
+        # tf-idf replay: same token split, same BIGINT scaled-idf
+        # arithmetic, same (score desc, tf desc, token asc) window.
+        "distinctive_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(
+                       lower(trim(coalesce(text, ''))), '[ \t\n\r\f\x0B]+'
+                     )) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM toks WHERE token <> '' GROUP BY doc_id, token
+            ),
+            dfq AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY token
+            ),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+            ranked AS (
+              SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                     CAST(tf.tf * ((nd.n_docs * 1000000) // dfq.df)
+                          AS BIGINT) AS score_scaled,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ((nd.n_docs * 1000000) // dfq.df)
+                                DESC, tf.tf DESC, tf.token ASC
+                     ) AS rank
+              FROM tf JOIN dfq USING (token), nd
+            )
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df,
+                   score_scaled
+            FROM ranked WHERE rank <= 3
         """,
         # Rollup replay: the UNION ALL of per-granularity aggregations
         # IS the spec — grouping sets is the one-scan cost construction.

@@ -314,3 +314,28 @@ def test_chunk_documents_coverage_and_overlap(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=32, overlap_tokens=32)
+
+
+def test_distinctive_terms_ranking_and_determinism(spark):
+    from word_sense_disambiguation_spark.operators.textstats import (
+        distinctive_terms,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana banana dog"),
+            (3, "apple dog dog zebra"),
+        ],
+        "doc_id long, text string",
+    )
+    out = distinctive_terms(df, "doc_id", "text", top_k=2)
+    got = sorted(map(tuple, out.collect()))
+    # rare terms beat common ones; ties (equal score) break tf desc then token asc
+    assert (1, 1, "apple", 2, 2, 3000000) in got      # tf=2 wins the 3e6 tie
+    assert (1, 2, "cherry", 1, 1, 3000000) in got     # df=1 most distinctive
+    assert (2, 2, "dog", 1, 2, 1500000) in got        # df=2 halves the idf
+    assert len(got) == 6
+    # parallelism invariance
+    out2 = distinctive_terms(df.repartition(7), "doc_id", "text", top_k=2)
+    assert sorted(map(tuple, out2.collect())) == got

@@ -264,3 +264,62 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 5,
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k most distinctive terms per document — tf-idf with an
+    INTEGER-EXACT idf proxy: ``score = tf * ((N * idf_scale) div df)``
+    (N = corpus doc count, df = docs containing the term). The floored
+    scaled ratio is strictly decreasing in df while ``df <=
+    sqrt(N * idf_scale)`` (floor(a/df) separates consecutive df values
+    up to there), so within that regime the fixed-tf ranking equals the
+    classic log(N/df) one — and every number stays BIGINT (the engine's
+    oracle float discipline: no log, no float multiply). Size
+    ``idf_scale`` so ``N * idf_scale * max_tf < 2^63``.
+
+    Plan: tokens -> ONE (doc, token) count aggregate; document
+    frequency derives from THAT table (a second partial-combined
+    groupBy on token — never a countDistinct over the raw explode); N
+    rides a broadcast 1-row cross join; the final top-k is a
+    row_number window partitioned BY DOCUMENT — doc-bounded (a
+    document's distinct-token count), the same acceptable-window class
+    as repetition_stats' tie-break, not a corpus-keyed window.
+
+    Ties: (score desc, tf desc, token asc) — total order, deterministic
+    at any parallelism.
+    """
+    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = F.when(t == "", F.array()).otherwise(F.split(t, WS_CLASS + "+"))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).withColumn("_k", F.lit(1))
+    scored = (
+        tf.join(dfreq, on="token")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(n_docs), on="_k")
+        .drop("_k")
+        .withColumn(
+            "score_scaled", F.expr(f"tf * ((n_docs * {idf_scale}) div df)")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_scaled"), F.desc("tf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "rank", "token", "tf", "df", "score_scaled")
+    )
