@@ -847,9 +847,29 @@ def _q_entity_span_candidates(spark, sf_dir):
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 8)
     )
-    w = Window.orderBy(F.desc("c"), F.asc("span_key"))
-    inv = bigrams.select(
-        "span_key", F.row_number().over(w).cast("long").alias("entity_id")
+    # entity_id = row_number over (desc c, asc span_key), built WITHOUT a
+    # global single-task window: offset(c) = #bigrams with larger c (a
+    # window over the aggregated per-count table, one row per distinct
+    # count) + row_number within each count (window partitioned by c).
+    # Identical output; worst window input is the largest tie group, not
+    # the whole inventory.
+    per_c = bigrams.groupBy("c").agg(F.count("*").alias("n_at_c"))
+    w_off = (
+        Window.orderBy(F.desc("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = per_c.select(
+        "c", (F.sum("n_at_c").over(w_off) - F.col("n_at_c")).alias("rank_offset")
+    )
+    w_in = Window.partitionBy("c").orderBy(F.asc("span_key"))
+    inv = (
+        bigrams.join(F.broadcast(offsets), on="c")
+        .select(
+            "span_key",
+            (F.col("rank_offset") + F.row_number().over(w_in))
+            .cast("long")
+            .alias("entity_id"),
+        )
     )
     return spans.join(F.broadcast(inv), on="span_key").select(
         "doc_id", "start_token", "end_token", "span_key", "entity_id"
@@ -887,13 +907,17 @@ def _q_entity_linking(spark, sf_dir):
     # match table (835k rows, 3k overlap-resolution steps in one doc at
     # sf0.01) without exercising anything new; this sizing keeps ~6k
     # matches and a ~34-deep greedy — still plenty of real overlaps.
+    # The top-40 goes through orderBy().limit() (TakeOrderedAndProject —
+    # per-partition heaps, no global window over the full inventory); the
+    # unpartitioned row_number then ranks exactly 40 rows.
     inventory = (
-        bigrams.select(
+        bigrams.orderBy(F.desc("c"), F.asc("span_key"))
+        .limit(40)
+        .select(
             F.row_number().over(w).cast("long").alias("entity_id"),
             F.col("span_key").alias("name"),
             F.concat(F.lit("entity for "), F.col("span_key")).alias("description"),
         )
-        .filter(F.col("entity_id") <= 40)
         .select(
             "entity_id",
             "name",
@@ -1335,6 +1359,55 @@ def _q_phonetic_blocking(spark, sf_dir):
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         "phonetic_key",
+    )
+
+
+def _q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood (merge/purge) blocking over part names: each
+    part pairs with its next 3 neighbors in (p_name, p_partkey) order.
+    The Spark side builds the global rank WITHOUT a single-task window
+    (two-level: one-row-per-bucket running offsets + per-bucket
+    row_number — exact, not approximate), then pairs via a chunked
+    equi-join; the oracle's single global row_number replays it exactly."""
+    from word_sense_disambiguation_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    return sorted_neighborhood_pairs(
+        part, "p_partkey", "p_name", window=4, bucket_len=2
+    )
+
+
+def _q_golden_record(spark, sf_dir):
+    """ER data fusion under the full hash gate: MinHash near-dup clusters
+    over documents (the minhash_dedup_clusters pipeline verbatim) -> one
+    golden record per cluster via per-attribute survivorship rules
+    (count / min / sum / argmax-by-length / mode). The oracle replays the
+    clustering with exact Jaccard + a recursive-CTE transitive closure
+    and the fusion with row_number windows using the same pinned
+    tie-breaks (argmax ties -> largest value, mode ties -> smallest)."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        minhash_near_duplicate_clusters,
+    )
+    from word_sense_disambiguation_spark.operators.fusion import golden_record
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = minhash_near_duplicate_clusters(
+        docs, "doc_id", "text", threshold=0.7
+    )
+    members = docs.join(clusters, on="doc_id")
+    return golden_record(
+        members,
+        "cluster_id",
+        {
+            "n_members": ("count",),
+            "rep_doc": ("min", "doc_id"),
+            "longest_doc": ("argmax", "doc_id", "n_chars"),
+            "total_chars": ("sum", "n_chars"),
+            "lang_mode": ("mode", "lang"),
+            "source_mode": ("mode", "source"),
+        },
     )
 
 
@@ -1916,6 +1989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (er_clusters_derived / prompt_path_assignments_derived /
         # decode_probabilities cover all previously-unhashed layers).
         "minhash_dedup_clusters": _q_minhash_clusters,
+        "sorted_neighborhood": _q_sorted_neighborhood,
+        "golden_record": _q_golden_record,
         "er_clusters_synthetic": _q_er_clusters_synthetic,
         "er_clusters_derived": _q_er_clusters_derived,
         "incremental_er_attach": _q_incremental_er_attach,
@@ -2883,6 +2958,99 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
             FROM reach GROUP BY a
+        """,
+        # The Spark side's two-level rank (bucketed offsets + per-bucket
+        # row_number) equals this single global row_number by construction
+        # (prefix buckets are contiguous under lexicographic order); pairs
+        # are all (a, b) within rank distance < window. ASCII-only key, so
+        # binary collations agree on both engines.
+        "sorted_neighborhood": """
+            WITH ranked AS (
+              SELECT p_partkey AS id,
+                     row_number() OVER (ORDER BY p_name, p_partkey) AS r
+              FROM part WHERE p_name IS NOT NULL
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(b.r - a.r AS BIGINT) AS rank_gap
+            FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 3
+        """,
+        # Clustering replayed exactly as minhash_dedup_clusters (exact
+        # Jaccard + recursive-CTE closure certifies the LSH recall), then
+        # each survivorship rule as a window/aggregate with the SAME pinned
+        # tie-breaks as the Spark ordering structs: argmax -> (order DESC,
+        # value DESC), mode -> (count DESC, value ASC). Integer aggregates
+        # pinned to BIGINT (HUGEINT->float64 pandas trap).
+        "golden_record": r"""
+            WITH RECURSIVE g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(0, len(toks) - 2),
+                                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
+                          ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS toks
+                    FROM documents)
+            ),
+            e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+                    / greatest(CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 1.0)
+                    >= 0.7
+            ),
+            sym AS (SELECT src, dst FROM e
+                    UNION SELECT dst AS src, src AS dst FROM e),
+            nodes AS (SELECT doc_id AS n FROM documents),
+            reach(a, b) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+            ),
+            clusters AS (
+              SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY a
+            ),
+            members AS (
+              SELECT c.cluster_id, d.doc_id, d.lang, d.source, d.n_chars
+              FROM clusters c JOIN documents d USING (doc_id)
+            ),
+            base AS (
+              SELECT cluster_id,
+                     CAST(count(*) AS BIGINT) AS n_members,
+                     CAST(min(doc_id) AS BIGINT) AS rep_doc,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars
+              FROM members GROUP BY cluster_id
+            ),
+            longest AS (
+              SELECT cluster_id, doc_id AS longest_doc FROM (
+                SELECT cluster_id, doc_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY n_chars DESC, doc_id DESC) AS rn
+                FROM members) WHERE rn = 1
+            ),
+            lmode AS (
+              SELECT cluster_id, lang AS lang_mode FROM (
+                SELECT cluster_id, lang,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY c DESC, lang ASC) AS rn
+                FROM (SELECT cluster_id, lang, count(*) AS c
+                      FROM members GROUP BY cluster_id, lang)) WHERE rn = 1
+            ),
+            smode AS (
+              SELECT cluster_id, source AS source_mode FROM (
+                SELECT cluster_id, source,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY c DESC, source ASC) AS rn
+                FROM (SELECT cluster_id, source, count(*) AS c
+                      FROM members GROUP BY cluster_id, source)) WHERE rn = 1
+            )
+            SELECT b.cluster_id, b.n_members, b.rep_doc, longest.longest_doc,
+                   b.total_chars, lmode.lang_mode, smode.source_mode
+            FROM base b
+            JOIN longest USING (cluster_id)
+            JOIN lmode USING (cluster_id)
+            JOIN smode USING (cluster_id)
         """,
         # Same gram construction (concat_ws of token slices), same
         # (count desc, gram asc) argmax, same overlap-naive char-coverage

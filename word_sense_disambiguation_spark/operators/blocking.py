@@ -50,7 +50,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from word_sense_disambiguation_spark.functions.hashing import (
@@ -363,3 +363,96 @@ def phonetic_key_pairs(
         F.col(id_col), soundex_col(name_expr).alias("phonetic_key")
     ).filter(F.col("phonetic_key").isNotNull())
     return _pairs_within_blocks(keyed, id_col, ["phonetic_key"], max_block_size)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_expr: str,
+    window: int = 4,
+    bucket_len: int = 4,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (merge/purge, Hernández & Stolfo 1995):
+    sort all records by a key and pair each record with the next
+    ``window - 1`` records in global sort order — the fourth member of the
+    blocking family (equi-key / MinHash-LSH / phonetic / sorted
+    neighborhood), catching near-misses that straddle *different* equi-key
+    or phonetic blocks but sort adjacently ("Smith, J" / "Smith, Jo").
+    No reference analogue (the reference blocks only on the ``(lemma,
+    pos)`` lookup key, ``/root/reference/wsd/word_sense_disambiguation.py:384-387``);
+    semantics per the classic formulation.
+
+    Scale shape — the naive construction is a single-task global
+    ``row_number`` window (the exact plan this engine bans); this one is a
+    TWO-LEVEL rank that equals the global rank exactly:
+
+    1. bucket = the key's leading ``bucket_len`` chars — prefix grouping is
+       contiguous under lexicographic order, so ranks compose;
+    2. level 1: per-bucket counts -> running-sum offsets. The window input
+       is ONE ROW PER BUCKET (aggregate-before-the-hot-window, the
+       ``boilerplate_dedup`` discipline), never row data;
+    3. level 2: ``row_number`` partitioned by bucket (worst task = hottest
+       bucket, tuned by ``bucket_len``), ordered by ``(key, id)`` — a total
+       order, so ranks are unique and the output is parallelism-invariant
+       bit-for-bit regardless of where bucket boundaries land.
+
+    Pairing is then an equi-join on ``floor((rank-1)/g)`` chunks with the
+    probe side exploded to its own and the next chunk (``g = window - 1``;
+    a neighbor at gap <= g lives in one of exactly those two chunks, and in
+    only one, so no dedup shuffle) — output is n*(window-1) rows, linear.
+
+    Rows with a NULL sort key never pair (a NULL key is a non-key — the
+    ``phonetic_key_pairs`` / ``canonical_url`` consumer contract). The key
+    should be ASCII-normalized upstream: Spark and any UTF-8-byte-collating
+    oracle agree on binary ASCII order (the ``levenshtein`` pin,
+    CLAUDE.md). Returns ``(id_a, id_b, rank_gap)`` with ``rank_a < rank_b``.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2 (a record plus >=1 neighbor)")
+    g = window - 1
+    keyed = df.select(
+        F.col(id_col).alias("_snb_id"), F.expr(key_expr).alias("_k")
+    ).filter(F.col("_k").isNotNull())
+    keyed = keyed.withColumn("_b", F.substring(F.col("_k"), 1, bucket_len))
+
+    counts = keyed.groupBy("_b").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "_b", (F.sum("_n").over(w_off) - F.col("_n")).alias("_off")
+    )
+    w_in = Window.partitionBy("_b").orderBy("_k", "_snb_id")
+    ranked = (
+        keyed.join(F.broadcast(offsets), on="_b")
+        .select(
+            "_snb_id",
+            (F.col("_off") + F.row_number().over(w_in)).alias("_r"),
+        )
+    )
+    probe = ranked.select(
+        F.col("_snb_id").alias("id_a"),
+        F.col("_r").alias("_ra"),
+        F.explode(
+            F.array(
+                F.floor((F.col("_r") - 1) / g),
+                F.floor((F.col("_r") - 1) / g) + 1,
+            )
+        ).alias("_chunk"),
+    )
+    build = ranked.select(
+        F.col("_snb_id").alias("id_b"),
+        F.col("_r").alias("_rb"),
+        F.floor((F.col("_r") - 1) / g).alias("_chunk"),
+    )
+    return (
+        probe.join(build, on="_chunk")
+        .filter(
+            (F.col("_rb") > F.col("_ra")) & (F.col("_rb") <= F.col("_ra") + g)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_rb") - F.col("_ra")).cast("long").alias("rank_gap"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Cluster-level data fusion (survivorship): one golden record per ER cluster.
+
+The last stage of the entity-resolution canon — after blocking
+(``operators/blocking.py``), pair scoring (``operators/pairs.py``) and
+connected components (``operators/clustering.py``) decide WHICH rows are the
+same entity, fusion decides what the merged entity's attributes ARE, one
+survivorship rule per attribute (Bleiholder & Naumann, "Data Fusion", ACM
+CS 2008). It complements ``dedup.cluster_representatives``, which picks one
+whole ROW per cluster; fusion merges column-by-column, so the golden record
+can take its canonical id from one member and its most-trusted attribute
+from another.
+
+Reference parity: the reference resolves each mention to ONE sense by an
+argmax over candidate scores (``/root/reference/wsd/word_sense_disambiguation.py:194-217``);
+fusion is the cluster-level generalization of that decision — an argmax /
+mode / extremum per attribute over the cluster's members.
+
+Scale shape: every rule compiles to an AGGREGATE with map-side partial
+combine (the ``assign_senses`` invariant — never a sort window, which ships
+every member row through the shuffle; the aggregate ships one buffer per
+map partition per cluster). ``mode`` pre-aggregates ``(cluster, value)``
+counts BEFORE the per-cluster argmax, so a hot value (10^8 identical
+``lang='en'`` rows in one crawl cluster) collapses map-side to one row per
+partition. All joins are equi-joins on the cluster key — one exchange,
+reused across the mode sub-aggregates.
+
+Determinism: ties are broken inside the ordering struct by the value
+itself, so ``max_by``/``min_by`` never see a non-unique ordering key (with
+a duplicated ordering value Spark's ``max_by`` may return ANY associated
+value; embedding the value makes the pick total). ``argmax`` resolves equal
+``order_col`` to the LARGEST value, ``argmin`` and ``mode`` to the
+SMALLEST — pinned so a SQL oracle can replay with ``row_number`` windows.
+NULL handling follows Spark aggregate semantics (``min``/``max``/``sum``
+skip NULLs; a NULL group key is its own cluster) — callers coalesce
+upstream if they need different behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SIMPLE = {"min": F.min, "max": F.max, "sum": F.sum}
+
+
+def golden_record(
+    records: DataFrame,
+    cluster_col: str,
+    rules: dict[str, tuple],
+) -> DataFrame:
+    """Fuse ``records`` into one row per ``cluster_col`` value.
+
+    ``rules`` maps each output column name to a survivorship rule:
+
+    * ``("count",)``              — cluster size (bigint);
+    * ``("min", col)`` / ``("max", col)`` / ``("sum", col)``;
+    * ``("argmax", col, order)``  — ``col`` from the row maximizing
+      ``(order, col)`` (ties -> largest ``col``), e.g. the url of the
+      longest member;
+    * ``("argmin", col, order)``  — ``col`` from the row minimizing
+      ``(order, col)`` (ties -> smallest ``col``);
+    * ``("mode", col)``           — most frequent value, ties -> smallest
+      value (the ``mode_per_group`` tie rule).
+    """
+    if not rules:
+        raise ValueError("rules must contain at least one survivorship rule")
+    aggs = []
+    modes: list[tuple[str, str]] = []
+    for out, rule in rules.items():
+        kind = rule[0]
+        if kind == "count":
+            aggs.append(F.count("*").alias(out))
+        elif kind in _SIMPLE:
+            aggs.append(_SIMPLE[kind](F.col(rule[1])).alias(out))
+        elif kind == "argmax":
+            _, val, order = rule
+            aggs.append(
+                F.max_by(F.col(val), F.struct(F.col(order), F.col(val))).alias(out)
+            )
+        elif kind == "argmin":
+            _, val, order = rule
+            aggs.append(
+                F.min_by(F.col(val), F.struct(F.col(order), F.col(val))).alias(out)
+            )
+        elif kind == "mode":
+            modes.append((out, rule[1]))
+        else:
+            raise ValueError(f"unknown survivorship rule kind: {kind!r}")
+
+    if aggs:
+        fused = records.groupBy(cluster_col).agg(*aggs)
+    else:
+        fused = records.select(cluster_col).distinct()
+    for out, val in modes:
+        counts = records.groupBy(cluster_col, val).agg(F.count("*").alias("_c"))
+        pick = counts.groupBy(cluster_col).agg(
+            F.min_by(
+                F.col(val), F.struct((-F.col("_c")).alias("_nc"), F.col(val))
+            ).alias(out)
+        )
+        fused = fused.join(pick, on=cluster_col)
+    return fused
