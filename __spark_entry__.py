@@ -1411,6 +1411,27 @@ def _q_golden_record(spark, sf_dir):
     )
 
 
+def _q_cluster_split(spark, sf_dir):
+    """Leakage-free corpus split: near-duplicate documents must never
+    straddle a train/val/test boundary (or the held-out set leaks into
+    training — the failure contamination_check detects after the fact),
+    so the split key is the minhash near-dup CLUSTER, not the document:
+    T17's portable-md5 disjoint_split applied to the dedup pipeline's
+    cluster ids. Every member of a cluster lands in the same bucket by
+    construction; the oracle replays clustering (exact Jaccard +
+    recursive-CTE closure) and the identical md5 bucket arithmetic."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        minhash_near_duplicate_clusters,
+    )
+    from word_sense_disambiguation_spark.operators.evaluation import disjoint_split
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = minhash_near_duplicate_clusters(
+        docs, "doc_id", "text", threshold=0.7
+    )
+    return disjoint_split(clusters, key="cluster_id", n_buckets=10, seed=42)
+
+
 def _q_bloom_semijoin(spark, sf_dir):
     """Bloom-pruned exact semi-join: lineitem rows whose part is size 1.
     A portable md5 Bloom filter of the qualifying part keys (m=2^14, k=4
@@ -1991,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_clusters": _q_minhash_clusters,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "golden_record": _q_golden_record,
+        "cluster_split": _q_cluster_split,
         "er_clusters_synthetic": _q_er_clusters_synthetic,
         "er_clusters_derived": _q_er_clusters_derived,
         "incremental_er_attach": _q_incremental_er_attach,
@@ -3051,6 +3073,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN longest USING (cluster_id)
             JOIN lmode USING (cluster_id)
             JOIN smode USING (cluster_id)
+        """,
+        # Clustering replayed as in minhash_dedup_clusters, then the SAME
+        # portable md5 bucket arithmetic as disjoint_split_buckets over the
+        # cluster id — leakage-freedom (one bucket per cluster) holds by
+        # construction on both engines.
+        "cluster_split": r"""
+            WITH RECURSIVE g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(0, len(toks) - 2),
+                                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
+                          ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS toks
+                    FROM documents)
+            ),
+            e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+                    / greatest(CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 1.0)
+                    >= 0.7
+            ),
+            sym AS (SELECT src, dst FROM e
+                    UNION SELECT dst AS src, src AS dst FROM e),
+            nodes AS (SELECT doc_id AS n FROM documents),
+            reach(a, b) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+            ),
+            clusters AS (
+              SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY a
+            )
+            SELECT doc_id, cluster_id,
+                   CAST(CAST(('0x' || substr(md5('42:' || CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS INT) AS bucket
+            FROM clusters
         """,
         # Same gram construction (concat_ws of token slices), same
         # (count desc, gram asc) argmax, same overlap-naive char-coverage
