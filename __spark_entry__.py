@@ -761,6 +761,45 @@ def _q_er_clusters_derived(spark, sf_dir):
     return _derived_er_cluster(mentions, assignments)
 
 
+def _q_er_eval_pairwise(spark, sf_dir):
+    """Pairwise P/R/F1 of the derived-world ER clustering against its
+    GENERATIVE gold — the standard record-linkage evaluation (pair
+    decision surface), computed from cluster-size combinatorics with no
+    pair materialization (``evaluation.pairwise_cluster_metrics``).
+
+    Gold for mention (doc, pos) is the planted identity
+    ``base_token : (doc+pos)%3`` — the token BEFORE the every-13th-slot
+    out-of-inventory suffix, so OOV mentions are gold-linked to their
+    in-inventory twins but predicted apart (real FN pairs), junk-context
+    slots (every 7th) land in NOTA fallback singletons (more FNs), and
+    the planted-k >= n_senses all-tie fallback collapses distinct gold
+    senses onto sense_rank 0 (real FP pairs). Every count is
+    BIGINT-exact; P/R/F1 are single IEEE divisions — DuckDB replays the
+    whole composition (closure + contingency combinatorics) exactly.
+    Reference parity anchor: the prediction-equality match rule of
+    /root/reference/wsd/benchmark.py:126 lifted to the pair surface."""
+    from word_sense_disambiguation_spark.operators.evaluation import (
+        pairwise_cluster_metrics,
+    )
+
+    mentions, assignments = _derived_er_corpus(spark, sf_dir)
+    cc = _derived_er_cluster(mentions, assignments)
+    slot = F.col("url").cast("long") + F.col("position")
+    base_tok = F.when(
+        slot % 13 == 0, F.expr("substring(surface, 1, length(surface) - 1)")
+    ).otherwise(F.col("surface"))
+    gold = F.concat(base_tok, F.lit(":"), (slot % 3).cast("string"))
+    labeled = (
+        mentions.select("mention_id", "url", "position", "surface")
+        .join(cc, on="mention_id", how="left")
+        .select(
+            F.coalesce(F.col("entity_id"), F.col("mention_id")).alias("pred"),
+            gold.alias("gold"),
+        )
+    )
+    return pairwise_cluster_metrics(labeled)
+
+
 def _q_incremental_er_attach(spark, sf_dir):
     """Incremental ER under the full hash gate: the derived corpus is split
     into a frozen base (even doc_ids, clustered with the REAL snapshot
@@ -2015,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split": _q_cluster_split,
         "er_clusters_synthetic": _q_er_clusters_synthetic,
         "er_clusters_derived": _q_er_clusters_derived,
+        "er_eval_pairwise": _q_er_eval_pairwise,
         "incremental_er_attach": _q_incremental_er_attach,
         "entity_linking": _q_entity_linking,
         "eval_examples": _q_eval_examples,
@@ -2023,6 +2063,137 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prompt_path_assignments": _q_prompt_path_assignments,
         "prompt_path_assignments_derived": _q_prompt_path_derived,
     }
+
+
+_ER_DERIVED_CC_SQL = r"""
+            WITH RECURSIVE
+            lemmas AS (
+              SELECT lemma FROM (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+')) AS lemma
+                FROM documents)
+              WHERE regexp_matches(lemma, '^[a-z]+$') AND length(lemma) > 3
+              GROUP BY lemma HAVING count(*) >= 5
+            ),
+            sdef AS (
+              SELECT lemma, k,
+                     lemma || '-s' || CAST(k AS VARCHAR) AS sense_id,
+                     list_filter(
+                       list_distinct([lemma, 'as', 'sense', CAST(k AS VARCHAR),
+                                      'about',
+                                      substr(md5('t:' || lemma || CAST(k AS VARCHAR)), 1, 6),
+                                      'any', 'involving',
+                                      substr(md5('a:' || lemma || CAST(k AS VARCHAR)), 1, 6)]),
+                       w -> w <> 'as' AND w <> 'about' AND w <> 'any'
+                            AND w <> lemma) AS profile
+              FROM (
+                SELECT lemma,
+                       unnest(range(CAST(CAST(('0x' || substr(md5('ns:' || lemma), 1, 8)) AS BIGINT) % 3 + 1 AS INTEGER))) AS k
+                FROM lemmas)
+            ),
+            docsplit AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS toks
+              FROM documents
+            ),
+            m AS (
+              SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)
+                       AS mention_id,
+                     CASE WHEN (doc_id + i) % 13 = 0 THEN tok || 'q'
+                          ELSE tok END AS lemma,
+                     CASE WHEN (doc_id + i) % 7 = 0 THEN ['zzzz']
+                          ELSE ['sense', CAST((doc_id + i) % 3 AS VARCHAR),
+                                substr(md5('t:' || tok
+                                           || CAST((doc_id + i) % 3 AS VARCHAR)),
+                                       1, 6)]
+                     END AS ctx
+              FROM (
+                SELECT doc_id, i, toks[i + 1] AS tok
+                FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
+                      FROM docsplit)
+                WHERE regexp_matches(toks[i + 1], '^[a-z]+$')
+                  AND length(toks[i + 1]) > 3
+                  AND (doc_id + i) % 23 = 0)
+            ),
+            ranked AS (
+              SELECT m.mention_id, m.lemma, s.sense_id, s.k,
+                     CASE WHEN s.lemma IS NULL THEN NULL
+                          ELSE len(list_intersect(m.ctx, s.profile)) END
+                       AS overlap,
+                     row_number() OVER (
+                       PARTITION BY m.mention_id
+                       ORDER BY (CASE WHEN s.lemma IS NULL THEN NULL
+                                      ELSE len(list_intersect(m.ctx, s.profile))
+                                 END) DESC NULLS LAST,
+                                s.k ASC NULLS LAST) AS rn
+              FROM m LEFT JOIN sdef s ON m.lemma = s.lemma
+            ),
+            dec AS (
+              SELECT mention_id, lemma,
+                     CASE WHEN overlap IS NULL THEN 'no_definitions'
+                          WHEN overlap = 0 THEN 'nota'
+                          ELSE 'assigned' END AS decision,
+                     CASE WHEN overlap > 0 THEN sense_id END AS pred_sense_id
+              FROM ranked WHERE rn = 1
+            ),
+            bsize AS (SELECT lemma, count(*) AS bs FROM m GROUP BY lemma),
+            smallp AS (
+              SELECT a.mention_id AS id_a, b.mention_id AS id_b
+              FROM m a
+              JOIN m b ON a.lemma = b.lemma AND a.mention_id < b.mention_id
+              JOIN bsize s ON s.lemma = a.lemma
+              WHERE s.bs <= 40
+            ),
+            mem AS (
+              SELECT m.mention_id, m.lemma, d.decision, d.pred_sense_id
+              FROM m
+              JOIN bsize s ON s.lemma = m.lemma AND s.bs > 40
+              JOIN dec d ON d.mention_id = m.mention_id
+            ),
+            canopye AS (
+              SELECT hub AS id_a, mention_id AS id_b FROM (
+                SELECT mention_id,
+                       min(mention_id) OVER (PARTITION BY lemma, pred_sense_id)
+                         AS hub
+                FROM mem WHERE decision = 'assigned')
+              WHERE mention_id <> hub
+            ),
+            fallbe AS (
+              SELECT hub AS id_a, mention_id AS id_b FROM (
+                SELECT mention_id,
+                       min(mention_id) OVER (PARTITION BY lemma) AS hub
+                FROM mem WHERE decision <> 'assigned')
+              WHERE mention_id <> hub
+            ),
+            allp AS (
+              SELECT DISTINCT id_a, id_b FROM (
+                SELECT id_a, id_b FROM smallp
+                UNION ALL SELECT id_a, id_b FROM canopye
+                UNION ALL SELECT id_a, id_b FROM fallbe)
+            ),
+            edges AS (
+              SELECT p.id_a, p.id_b,
+                     (da.decision = 'assigned' AND db.decision = 'assigned'
+                      AND da.pred_sense_id = db.pred_sense_id) AS is_match
+              FROM allp p
+              JOIN dec da ON da.mention_id = p.id_a
+              JOIN dec db ON db.mention_id = p.id_b
+            ),
+            nodes AS (
+              SELECT DISTINCT n FROM (
+                SELECT id_a AS n FROM allp UNION ALL SELECT id_b FROM allp)
+            ),
+            sym AS (
+              SELECT id_a AS src, id_b AS dst FROM edges WHERE is_match
+              UNION SELECT id_b AS src, id_a AS dst FROM edges WHERE is_match
+            ),
+            reach(a, b) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+            )
+            SELECT a AS mention_id, min(b) AS entity_id
+            FROM reach GROUP BY a
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4095,134 +4266,68 @@ def oracle_sql() -> dict[str, str]:
         # overlap), same <=40 all-pairs / >40 canopy+fallback star
         # blocking, sense-equality match edges, and min-label components
         # via recursive transitive closure over pair-member nodes only.
-        "er_clusters_derived": r"""
-            WITH RECURSIVE
-            lemmas AS (
-              SELECT lemma FROM (
-                SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+')) AS lemma
-                FROM documents)
-              WHERE regexp_matches(lemma, '^[a-z]+$') AND length(lemma) > 3
-              GROUP BY lemma HAVING count(*) >= 5
-            ),
-            sdef AS (
-              SELECT lemma, k,
-                     lemma || '-s' || CAST(k AS VARCHAR) AS sense_id,
-                     list_filter(
-                       list_distinct([lemma, 'as', 'sense', CAST(k AS VARCHAR),
-                                      'about',
-                                      substr(md5('t:' || lemma || CAST(k AS VARCHAR)), 1, 6),
-                                      'any', 'involving',
-                                      substr(md5('a:' || lemma || CAST(k AS VARCHAR)), 1, 6)]),
-                       w -> w <> 'as' AND w <> 'about' AND w <> 'any'
-                            AND w <> lemma) AS profile
-              FROM (
-                SELECT lemma,
-                       unnest(range(CAST(CAST(('0x' || substr(md5('ns:' || lemma), 1, 8)) AS BIGINT) % 3 + 1 AS INTEGER))) AS k
-                FROM lemmas)
-            ),
-            docsplit AS (
+        "er_clusters_derived": _ER_DERIVED_CC_SQL,
+        # pairwise clustering metrics: contingency-cell combinatorics over
+        # the SAME derived-world closure (embedded as pred_cc) vs the
+        # generative gold identity base_token:(doc+pos)%3. Counts BIGINT;
+        # P/R/F1 single IEEE divisions of exact integers (tp2/sp2, tp2/sg2,
+        # 2*tp2/(sp2+sg2)) — bit-identical to the Spark expressions.
+        "er_eval_pairwise": f"""
+            WITH pred_cc AS ({_ER_DERIVED_CC_SQL}),
+            docsplit2 AS (
               SELECT doc_id,
                      regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS toks
               FROM documents
             ),
-            m AS (
+            mg AS (
               SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)
                        AS mention_id,
-                     CASE WHEN (doc_id + i) % 13 = 0 THEN tok || 'q'
-                          ELSE tok END AS lemma,
-                     CASE WHEN (doc_id + i) % 7 = 0 THEN ['zzzz']
-                          ELSE ['sense', CAST((doc_id + i) % 3 AS VARCHAR),
-                                substr(md5('t:' || tok
-                                           || CAST((doc_id + i) % 3 AS VARCHAR)),
-                                       1, 6)]
-                     END AS ctx
+                     tok || ':' || CAST((doc_id + i) % 3 AS VARCHAR) AS gold
               FROM (
                 SELECT doc_id, i, toks[i + 1] AS tok
                 FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
-                      FROM docsplit)
+                      FROM docsplit2)
                 WHERE regexp_matches(toks[i + 1], '^[a-z]+$')
                   AND length(toks[i + 1]) > 3
                   AND (doc_id + i) % 23 = 0)
             ),
-            ranked AS (
-              SELECT m.mention_id, m.lemma, s.sense_id, s.k,
-                     CASE WHEN s.lemma IS NULL THEN NULL
-                          ELSE len(list_intersect(m.ctx, s.profile)) END
-                       AS overlap,
-                     row_number() OVER (
-                       PARTITION BY m.mention_id
-                       ORDER BY (CASE WHEN s.lemma IS NULL THEN NULL
-                                      ELSE len(list_intersect(m.ctx, s.profile))
-                                 END) DESC NULLS LAST,
-                                s.k ASC NULLS LAST) AS rn
-              FROM m LEFT JOIN sdef s ON m.lemma = s.lemma
+            lab AS (
+              SELECT COALESCE(p.entity_id, mg.mention_id) AS pred, mg.gold
+              FROM mg LEFT JOIN pred_cc p ON p.mention_id = mg.mention_id
             ),
-            dec AS (
-              SELECT mention_id, lemma,
-                     CASE WHEN overlap IS NULL THEN 'no_definitions'
-                          WHEN overlap = 0 THEN 'nota'
-                          ELSE 'assigned' END AS decision,
-                     CASE WHEN overlap > 0 THEN sense_id END AS pred_sense_id
-              FROM ranked WHERE rn = 1
+            cells AS (
+              SELECT pred, gold, CAST(count(*) AS BIGINT) AS c
+              FROM lab GROUP BY pred, gold
             ),
-            bsize AS (SELECT lemma, count(*) AS bs FROM m GROUP BY lemma),
-            smallp AS (
-              SELECT a.mention_id AS id_a, b.mention_id AS id_b
-              FROM m a
-              JOIN m b ON a.lemma = b.lemma AND a.mention_id < b.mention_id
-              JOIN bsize s ON s.lemma = a.lemma
-              WHERE s.bs <= 40
+            tot AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n_records,
+                     CAST(sum(c * (c - 1)) AS BIGINT) AS tp2
+              FROM cells
             ),
-            mem AS (
-              SELECT m.mention_id, m.lemma, d.decision, d.pred_sense_id
-              FROM m
-              JOIN bsize s ON s.lemma = m.lemma AND s.bs > 40
-              JOIN dec d ON d.mention_id = m.mention_id
+            sp AS (
+              SELECT CAST(sum(np * (np - 1)) AS BIGINT) AS sp2
+              FROM (SELECT CAST(sum(c) AS BIGINT) AS np
+                    FROM cells GROUP BY pred)
             ),
-            canopye AS (
-              SELECT hub AS id_a, mention_id AS id_b FROM (
-                SELECT mention_id,
-                       min(mention_id) OVER (PARTITION BY lemma, pred_sense_id)
-                         AS hub
-                FROM mem WHERE decision = 'assigned')
-              WHERE mention_id <> hub
-            ),
-            fallbe AS (
-              SELECT hub AS id_a, mention_id AS id_b FROM (
-                SELECT mention_id,
-                       min(mention_id) OVER (PARTITION BY lemma) AS hub
-                FROM mem WHERE decision <> 'assigned')
-              WHERE mention_id <> hub
-            ),
-            allp AS (
-              SELECT DISTINCT id_a, id_b FROM (
-                SELECT id_a, id_b FROM smallp
-                UNION ALL SELECT id_a, id_b FROM canopye
-                UNION ALL SELECT id_a, id_b FROM fallbe)
-            ),
-            edges AS (
-              SELECT p.id_a, p.id_b,
-                     (da.decision = 'assigned' AND db.decision = 'assigned'
-                      AND da.pred_sense_id = db.pred_sense_id) AS is_match
-              FROM allp p
-              JOIN dec da ON da.mention_id = p.id_a
-              JOIN dec db ON db.mention_id = p.id_b
-            ),
-            nodes AS (
-              SELECT DISTINCT n FROM (
-                SELECT id_a AS n FROM allp UNION ALL SELECT id_b FROM allp)
-            ),
-            sym AS (
-              SELECT id_a AS src, id_b AS dst FROM edges WHERE is_match
-              UNION SELECT id_b AS src, id_a AS dst FROM edges WHERE is_match
-            ),
-            reach(a, b) AS (
-              SELECT n, n FROM nodes
-              UNION
-              SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+            sg AS (
+              SELECT CAST(sum(ng * (ng - 1)) AS BIGINT) AS sg2
+              FROM (SELECT CAST(sum(c) AS BIGINT) AS ng
+                    FROM cells GROUP BY gold)
             )
-            SELECT a AS mention_id, min(b) AS entity_id
-            FROM reach GROUP BY a
+            SELECT n_records,
+                   tp2 // 2 AS tp_pairs,
+                   (sp2 - tp2) // 2 AS fp_pairs,
+                   (sg2 - tp2) // 2 AS fn_pairs,
+                   CASE WHEN sp2 = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE CAST(tp2 AS DOUBLE) / CAST(sp2 AS DOUBLE)
+                   END AS precision_pw,
+                   CASE WHEN sg2 = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE CAST(tp2 AS DOUBLE) / CAST(sg2 AS DOUBLE)
+                   END AS recall_pw,
+                   CASE WHEN sp2 + sg2 = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE CAST(2 * tp2 AS DOUBLE) / CAST(sp2 + sg2 AS DOUBLE)
+                   END AS f1_pw
+            FROM tot, sp, sg
         """,
         # Incremental ER: the same derived world split by doc parity. Base
         # (even doc_ids) is clustered with the er_clusters_derived closure

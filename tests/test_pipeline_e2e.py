@@ -9,6 +9,7 @@ import pytest
 from word_sense_disambiguation_spark.operators.evaluation import (
     accuracy,
     disjoint_split,
+    pairwise_cluster_metrics,
     pairwise_f1,
 )
 from word_sense_disambiguation_spark.operators.tokenize import (
@@ -204,3 +205,49 @@ def test_parallelism_invariance(spark, world):
     cols = ["mention_id", "decision", "pred_sense_id"]
     assert one.select(cols).exceptAll(many.select(cols)).count() == 0
     assert many.select(cols).exceptAll(one.select(cols)).count() == 0
+
+
+def test_pairwise_cluster_metrics_hand_example(spark):
+    """Hand-computable contingency: pred A={1,2,3} B={4,5} C={6} vs gold
+    X={1,2,4} Y={3,5,6} -> SP=4, SG=6, TP=1 (the (A,X) cell), so
+    FP=3, FN=5, P=1/4, R=1/6, F1=2/10."""
+    rows = [("A", "X"), ("A", "X"), ("A", "Y"),
+            ("B", "X"), ("B", "Y"), ("C", "Y")]
+    df = spark.createDataFrame(rows, "pred string, gold string")
+    out = pairwise_cluster_metrics(df, materialize=False).collect()[0]
+    assert (out.n_records, out.tp_pairs, out.fp_pairs, out.fn_pairs) == (
+        6, 1, 3, 5)
+    assert out.precision_pw == 0.25
+    assert out.recall_pw == 2.0 / 12.0
+    assert out.f1_pw == 0.2
+
+
+def test_pairwise_cluster_metrics_perfect_and_invariance(spark):
+    """A prediction identical to gold scores exactly 1.0 on all three,
+    and the metric is partitioning-invariant (materialized or lazy)."""
+    rows = [("A", "X")] * 2 + [("B", "Y")] * 3 + [("C", "Z")]
+    df = spark.createDataFrame(rows, "pred string, gold string")
+    out = pairwise_cluster_metrics(df, materialize=False).collect()[0]
+    assert (out.tp_pairs, out.fp_pairs, out.fn_pairs) == (4, 0, 0)
+    assert out.precision_pw == 1.0 == out.recall_pw == out.f1_pw
+    lazy = pairwise_cluster_metrics(
+        df.repartition(7), materialize=False
+    ).collect()[0]
+    mat = pairwise_cluster_metrics(df.coalesce(1), materialize=True).collect()[0]
+    assert lazy == out == mat
+
+
+def test_pairwise_cluster_metrics_no_pair_join(spark):
+    """The metric must come from cluster-size combinatorics, never a pair
+    self-join: the only joins in the plan are the 1-row scalar combines
+    (BroadcastNestedLoop over single-row aggregates) — no SortMergeJoin,
+    no shuffled hash join, no cartesian over the input."""
+    rows = [("A", "X")] * 4 + [("B", "Y")] * 4
+    df = spark.createDataFrame(rows, "pred string, gold string")
+    plan = (
+        pairwise_cluster_metrics(df, materialize=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -95,6 +95,87 @@ def pairwise_f1(assignments: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
+def pairwise_cluster_metrics(
+    labeled: DataFrame,
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+    materialize: bool = True,
+) -> DataFrame:
+    """Pairwise precision/recall/F1 of a predicted clustering vs gold labels,
+    from cluster-size combinatorics — NEVER by materializing pairs.
+
+    ``pairwise_f1`` above self-joins on the blocking key (fine for a labeled
+    eval sample); this is the form that survives 10^12 records: one
+    partial-combined ``groupBy(pred, gold)`` contracts the input to its
+    contingency cells, and every pair count is a sum of C(n,2) terms over
+    those cells —
+
+    * pairs predicted together  SP = sum over pred clusters of C(n_p, 2)
+    * pairs gold together       SG = sum over gold classes   of C(n_g, 2)
+    * true-positive pairs       TP = sum over (pred, gold) cells of C(c, 2)
+    * FP = SP - TP, FN = SG - TP
+
+    so the shuffled volume is one row per record (map-side combined) and the
+    three follow-up aggregates run on the tiny cell table. All counts are
+    BIGINT-exact (the doubled forms ``c*(c-1)`` halve evenly by
+    construction); precision/recall/F1 are each ONE IEEE division of exact
+    integers (tp2/sp2, tp2/sg2, 2*tp2/(sp2+sg2)) so any engine replays them
+    bit-for-bit. Denominator 0 -> NULL (explicit CASE on both engines).
+
+    ``materialize=True`` eagerly localCheckpoints the contracted cell table
+    before fanning it out to the three aggregates (the multi-consumer rule:
+    without it, one action recomputes the caller's — possibly very
+    expensive — upstream once per branch; the cells are tiny, the upstream
+    is not). Pass ``False`` to stay fully lazy when composing plans.
+
+    Reference parity anchor: the prediction-equality match rule of
+    /root/reference/wsd/benchmark.py:126, lifted from mention-level accuracy
+    to the clustering's pair decision surface (Menestrina et al.'s pairwise
+    merge distance family).
+    """
+    cells = labeled.groupBy(
+        F.col(pred_col).alias("pred"), F.col(gold_col).alias("gold")
+    ).agg(F.count("*").cast("long").alias("c"))
+    if materialize:
+        cells = cells.localCheckpoint(eager=True)
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n_records"),
+        F.sum(F.col("c") * (F.col("c") - F.lit(1))).cast("long").alias("tp2"),
+    )
+    sp = (
+        cells.groupBy("pred")
+        .agg(F.sum("c").cast("long").alias("np"))
+        .agg(F.sum(F.col("np") * (F.col("np") - F.lit(1))).cast("long").alias("sp2"))
+    )
+    sg = (
+        cells.groupBy("gold")
+        .agg(F.sum("c").cast("long").alias("ng"))
+        .agg(F.sum(F.col("ng") * (F.col("ng") - F.lit(1))).cast("long").alias("sg2"))
+    )
+    return (
+        tot.crossJoin(sp)
+        .crossJoin(sg)
+        .select(
+            "n_records",
+            F.expr("tp2 DIV 2").alias("tp_pairs"),
+            F.expr("(sp2 - tp2) DIV 2").alias("fp_pairs"),
+            F.expr("(sg2 - tp2) DIV 2").alias("fn_pairs"),
+            F.expr(
+                "CASE WHEN sp2 = 0 THEN CAST(NULL AS DOUBLE)"
+                " ELSE CAST(tp2 AS DOUBLE) / CAST(sp2 AS DOUBLE) END"
+            ).alias("precision_pw"),
+            F.expr(
+                "CASE WHEN sg2 = 0 THEN CAST(NULL AS DOUBLE)"
+                " ELSE CAST(tp2 AS DOUBLE) / CAST(sg2 AS DOUBLE) END"
+            ).alias("recall_pw"),
+            F.expr(
+                "CASE WHEN sp2 + sg2 = 0 THEN CAST(NULL AS DOUBLE)"
+                " ELSE CAST(2 * tp2 AS DOUBLE) / CAST(sp2 + sg2 AS DOUBLE) END"
+            ).alias("f1_pw"),
+        )
+    )
+
+
 def eval_examples_from_corpus(
     corpus: DataFrame,
     senses: DataFrame,
