@@ -4326,7 +4326,18 @@ def oracle_sql() -> dict[str, str]:
                    END AS recall_pw,
                    CASE WHEN sp2 + sg2 = 0 THEN CAST(NULL AS DOUBLE)
                         ELSE CAST(2 * tp2 AS DOUBLE) / CAST(sp2 + sg2 AS DOUBLE)
-                   END AS f1_pw
+                   END AS f1_pw,
+                   CASE WHEN CAST(n_records AS DOUBLE) * (CAST(n_records AS DOUBLE) - 1.0)
+                               * (CAST(sp2 AS DOUBLE) + CAST(sg2 AS DOUBLE))
+                             - 2.0 * CAST(sp2 AS DOUBLE) * CAST(sg2 AS DOUBLE) = 0.0
+                        THEN CAST(NULL AS DOUBLE)
+                        ELSE (2.0 * (CAST(n_records AS DOUBLE) * (CAST(n_records AS DOUBLE) - 1.0)
+                                       * CAST(tp2 AS DOUBLE)
+                                     - CAST(sp2 AS DOUBLE) * CAST(sg2 AS DOUBLE)))
+                             / (CAST(n_records AS DOUBLE) * (CAST(n_records AS DOUBLE) - 1.0)
+                                  * (CAST(sp2 AS DOUBLE) + CAST(sg2 AS DOUBLE))
+                                - 2.0 * CAST(sp2 AS DOUBLE) * CAST(sg2 AS DOUBLE))
+                   END AS adjusted_rand
             FROM tot, sp, sg
         """,
         # Incremental ER: the same derived world split by doc parity. Base

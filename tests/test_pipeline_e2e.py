@@ -220,6 +220,12 @@ def test_pairwise_cluster_metrics_hand_example(spark):
     assert out.precision_pw == 0.25
     assert out.recall_pw == 2.0 / 12.0
     assert out.f1_pw == 0.2
+    # ARI from the doubled counts (t2=30, tp2=2, sp2=8, sg2=12), same
+    # IEEE expression tree the engine evaluates
+    td = 6.0 * (6.0 - 1.0)
+    assert out.adjusted_rand == (
+        2.0 * (td * 2.0 - 8.0 * 12.0)
+    ) / (td * (8.0 + 12.0) - 2.0 * 8.0 * 12.0)
 
 
 def test_pairwise_cluster_metrics_perfect_and_invariance(spark):
@@ -230,6 +236,7 @@ def test_pairwise_cluster_metrics_perfect_and_invariance(spark):
     out = pairwise_cluster_metrics(df, materialize=False).collect()[0]
     assert (out.tp_pairs, out.fp_pairs, out.fn_pairs) == (4, 0, 0)
     assert out.precision_pw == 1.0 == out.recall_pw == out.f1_pw
+    assert out.adjusted_rand == 1.0
     lazy = pairwise_cluster_metrics(
         df.repartition(7), materialize=False
     ).collect()[0]

@@ -172,6 +172,27 @@ def pairwise_cluster_metrics(
                 "CASE WHEN sp2 + sg2 = 0 THEN CAST(NULL AS DOUBLE)"
                 " ELSE CAST(2 * tp2 AS DOUBLE) / CAST(sp2 + sg2 AS DOUBLE) END"
             ).alias("f1_pw"),
+            # Adjusted Rand Index from the same doubled pair counts:
+            #   ARI = (TP - SP*SG/T) / ((SP+SG)/2 - SP*SG/T),  T = C(n,2)
+            # in doubled form 2*(t2*tp2 - sp2*sg2) / (t2*(sp2+sg2) - 2*sp2*sg2).
+            # The products overflow BIGINT near n ~ 10^6 clustered pairs, so
+            # every input converts to DOUBLE FIRST and the tree below is a
+            # fixed IEEE expression — deterministic and engine-portable as
+            # long as the oracle spells the identical parenthesization
+            # (floats only diverge across engines under reassociation or
+            # aggregation-order changes; there is neither here).
+            F.expr(
+                "CASE WHEN CAST(n_records AS DOUBLE) * (CAST(n_records AS DOUBLE) - 1.0D)"
+                "            * (CAST(sp2 AS DOUBLE) + CAST(sg2 AS DOUBLE))"
+                "          - 2.0D * CAST(sp2 AS DOUBLE) * CAST(sg2 AS DOUBLE) = 0.0D"
+                " THEN CAST(NULL AS DOUBLE)"
+                " ELSE (2.0D * (CAST(n_records AS DOUBLE) * (CAST(n_records AS DOUBLE) - 1.0D)"
+                "                 * CAST(tp2 AS DOUBLE)"
+                "               - CAST(sp2 AS DOUBLE) * CAST(sg2 AS DOUBLE)))"
+                "      / (CAST(n_records AS DOUBLE) * (CAST(n_records AS DOUBLE) - 1.0D)"
+                "           * (CAST(sp2 AS DOUBLE) + CAST(sg2 AS DOUBLE))"
+                "         - 2.0D * CAST(sp2 AS DOUBLE) * CAST(sg2 AS DOUBLE)) END"
+            ).alias("adjusted_rand"),
         )
     )
 
