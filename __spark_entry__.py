@@ -782,6 +782,13 @@ def _q_er_eval_pairwise(spark, sf_dir):
         pairwise_cluster_metrics,
     )
 
+    return pairwise_cluster_metrics(_derived_er_labeled(spark, sf_dir))
+
+
+def _derived_er_labeled(spark, sf_dir):
+    """(pred, gold) per derived-world mention: predicted entity (CC
+    output, own id for unclustered) vs the planted generative identity
+    — shared by the pairwise and B-cubed evaluation queries."""
     mentions, assignments = _derived_er_corpus(spark, sf_dir)
     cc = _derived_er_cluster(mentions, assignments)
     slot = F.col("url").cast("long") + F.col("position")
@@ -789,7 +796,7 @@ def _q_er_eval_pairwise(spark, sf_dir):
         slot % 13 == 0, F.expr("substring(surface, 1, length(surface) - 1)")
     ).otherwise(F.col("surface"))
     gold = F.concat(base_tok, F.lit(":"), (slot % 3).cast("string"))
-    labeled = (
+    return (
         mentions.select("mention_id", "url", "position", "surface")
         .join(cc, on="mention_id", how="left")
         .select(
@@ -797,7 +804,43 @@ def _q_er_eval_pairwise(spark, sf_dir):
             gold.alias("gold"),
         )
     )
-    return pairwise_cluster_metrics(labeled)
+
+
+def _q_er_eval_bcubed(spark, sf_dir):
+    """B-cubed P/R/F1 of the same derived-world clustering vs the same
+    generative gold as ``er_eval_pairwise`` — the per-MENTION metric
+    family (Bagga & Baldwin; Amigó et al. 2009), where a mega-cluster
+    counts once per member instead of quadratically. One partial-combined
+    contingency groupBy; per-cell contributions are INTEGER
+    ``c*((c*10⁹) DIV n)`` (the scaled-DIV discipline — no order-dependent
+    float sum), summed as DECIMAL(38,0); each metric is one fixed IEEE
+    expression DuckDB replays bit-for-bit (numerators < 2^53 at oracle
+    scale, so even the final casts are exact). Reference parity anchor:
+    wsd/benchmark.py:126 lifted to the per-mention B³ surface."""
+    from word_sense_disambiguation_spark.operators.evaluation import (
+        b_cubed_metrics,
+    )
+
+    return b_cubed_metrics(_derived_er_labeled(spark, sf_dir))
+
+
+def _q_mutual_best_match(spark, sf_dir):
+    """One-to-one record linkage over the Fellegi-Sunter corrupted-
+    customer world: the SAME nation-blocked, three-field FS-scored pair
+    table as ``fellegi_sunter``, resolved to at-most-one partner per
+    side by ``mutual_best_match`` (argmax both ways — two partial-
+    combined max_by aggregates + one contracted equi-join, never a
+    row_number window). Integer milli scores make the argmax tie rule
+    (score DESC, partner id ASC) exactly replayable; min_score=0 drops
+    the clear non-matches before the argmax, so a record whose true
+    partner scored below zero simply goes unmatched (no forced pair)."""
+    from word_sense_disambiguation_spark.operators.pairs import (
+        mutual_best_match,
+    )
+
+    return mutual_best_match(
+        _fs_scored_customers(spark, sf_dir), score_col="total_milli", min_score=0
+    ).select("id_a", "id_b", F.col("score").cast("long").alias("score"))
 
 
 def _q_incremental_er_attach(spark, sf_dir):
@@ -1193,6 +1236,15 @@ def _q_fellegi_sunter(spark, sf_dir):
     index integer milli log-weights, the exact BIGINT total drives the
     classic match / possible / non_match three-zone decision; clear
     non-matches are dropped."""
+    return _fs_scored_customers(spark, sf_dir).filter(
+        F.col("decision") != "non_match"
+    )
+
+
+def _fs_scored_customers(spark, sf_dir):
+    """The FS corrupted-customer world (nation-blocked pairs, three
+    Levenshtein agreement levels, integer milli log-weights) — shared by
+    ``fellegi_sunter`` and ``mutual_best_match``."""
     from word_sense_disambiguation_spark.operators.pairs import (
         fellegi_sunter_scores,
     )
@@ -1228,7 +1280,7 @@ def _q_fellegi_sunter(spark, sf_dir):
     ]
     return fellegi_sunter_scores(
         pairs, comps, match_milli=3000, review_milli=0
-    ).filter(F.col("decision") != "non_match")
+    )
 
 
 def _q_blocking_quality(spark, sf_dir):
@@ -2014,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_span_dedup": _q_substring_span_dedup,
         "quality_classifier": _q_quality_classifier,
         "fellegi_sunter": _q_fellegi_sunter,
+        "mutual_best_match": _q_mutual_best_match,
         "blocking_quality": _q_blocking_quality,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -2055,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_clusters_synthetic": _q_er_clusters_synthetic,
         "er_clusters_derived": _q_er_clusters_derived,
         "er_eval_pairwise": _q_er_eval_pairwise,
+        "er_eval_bcubed": _q_er_eval_bcubed,
         "incremental_er_attach": _q_incremental_er_attach,
         "entity_linking": _q_entity_linking,
         "eval_examples": _q_eval_examples,
@@ -4012,6 +4066,62 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             WHERE total_milli >= 0
         """,
+        # One-to-one linkage replay: same FS-scored world, argmax both
+        # ways spelled as row_number windows (fine in the skew-free
+        # oracle; the operator uses partial-combined max_by aggregates)
+        # with the operator's exact tie rule (score DESC, partner ASC).
+        "mutual_best_match": r"""
+            WITH orig AS (
+              SELECT c_custkey AS id_a, c_nationkey AS nk,
+                     c_name AS name_a, c_mktsegment AS seg_a,
+                     substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) AS code_a
+              FROM customer
+            ),
+            corrupt AS (
+              SELECT c_custkey AS id_b, c_nationkey AS nk,
+                     CASE c_custkey % 4
+                       WHEN 1 THEN replace(c_name, 'Customer', 'Custmr')
+                       WHEN 2 THEN substr(c_name, 2, 1000)
+                       WHEN 3 THEN c_name || 'x'
+                       ELSE c_name END AS name_b,
+                     CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
+                          ELSE c_mktsegment END AS seg_b,
+                     CASE WHEN c_custkey % 6 = 0
+                          THEN 'z' || substr(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6), 2, 5)
+                          ELSE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) END AS code_b
+              FROM customer
+            ),
+            p AS (SELECT * FROM orig JOIN corrupt USING (nk)),
+            t AS (
+              SELECT id_a, id_b,
+                     CAST(CASE WHEN levenshtein(name_a, name_b) = 0 THEN 1500
+                               WHEN levenshtein(name_a, name_b) <= 3 THEN 600
+                               ELSE -1200 END
+                        + CASE WHEN levenshtein(seg_a, seg_b) = 0 THEN 800
+                               ELSE -800 END
+                        + CASE WHEN levenshtein(code_a, code_b) = 0 THEN 2500
+                               WHEN levenshtein(code_a, code_b) <= 2 THEN 1000
+                               ELSE -2000 END
+                        AS BIGINT) AS total_milli
+              FROM p
+            ),
+            s AS (SELECT id_a, id_b, total_milli FROM t WHERE total_milli >= 0),
+            ra AS (
+              SELECT id_a, id_b, total_milli,
+                     row_number() OVER (PARTITION BY id_a
+                                        ORDER BY total_milli DESC, id_b ASC) AS rk
+              FROM s
+            ),
+            rb AS (
+              SELECT id_a, id_b,
+                     row_number() OVER (PARTITION BY id_b
+                                        ORDER BY total_milli DESC, id_a ASC) AS rk
+              FROM s
+            )
+            SELECT ra.id_a, ra.id_b, CAST(ra.total_milli AS BIGINT) AS score
+            FROM ra JOIN rb ON ra.id_a = rb.id_a AND ra.id_b = rb.id_b
+            WHERE ra.rk = 1 AND rb.rk = 1
+        """,
         # Linear-classifier replay: integer milli-weights ((60-bit md5
         # prefix mod 2001) - 1000), exact BIGINT logit sum (association-
         # free), one IEEE division with an exact double denominator.
@@ -4339,6 +4449,80 @@ def oracle_sql() -> dict[str, str]:
                                 - 2.0 * CAST(sp2 AS DOUBLE) * CAST(sg2 AS DOUBLE))
                    END AS adjusted_rand
             FROM tot, sp, sg
+        """,
+        # B-cubed replay: same labeled construction, per-cell INTEGER
+        # scaled-DIV contributions (c*((c*10^9)//n)) summed as HUGEINT
+        # (Spark sums DECIMAL(38,0) — both exact, both < 2^53 at oracle
+        # scale so the final DOUBLE casts are exact), then the operator's
+        # fixed IEEE expressions spelled with identical parenthesization.
+        "er_eval_bcubed": f"""
+            WITH pred_cc AS ({_ER_DERIVED_CC_SQL}),
+            docsplit2 AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS toks
+              FROM documents
+            ),
+            mg AS (
+              SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)
+                       AS mention_id,
+                     tok || ':' || CAST((doc_id + i) % 3 AS VARCHAR) AS gold
+              FROM (
+                SELECT doc_id, i, toks[i + 1] AS tok
+                FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
+                      FROM docsplit2)
+                WHERE regexp_matches(toks[i + 1], '^[a-z]+$')
+                  AND length(toks[i + 1]) > 3
+                  AND (doc_id + i) % 23 = 0)
+            ),
+            lab AS (
+              SELECT COALESCE(p.entity_id, mg.mention_id) AS pred, mg.gold
+              FROM mg LEFT JOIN pred_cc p ON p.mention_id = mg.mention_id
+            ),
+            cells AS (
+              SELECT pred, gold, CAST(count(*) AS BIGINT) AS c
+              FROM lab GROUP BY pred, gold
+            ),
+            np AS (
+              SELECT pred, CAST(sum(c) AS BIGINT) AS np FROM cells GROUP BY pred
+            ),
+            ng AS (
+              SELECT gold, CAST(sum(c) AS BIGINT) AS ng FROM cells GROUP BY gold
+            ),
+            j AS (
+              SELECT c, np.np AS np, ng.ng AS ng
+              FROM cells JOIN np USING (pred) JOIN ng USING (gold)
+            ),
+            agg AS (
+              SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_records,
+                     sum(CAST((c * CAST(1000000000 AS BIGINT) // np) * c AS HUGEINT)) AS p_num,
+                     sum(CAST((c * CAST(1000000000 AS BIGINT) // ng) * c AS HUGEINT)) AS r_num
+              FROM j
+            )
+            SELECT n_records,
+                   CASE WHEN n_records = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE CAST(p_num AS DOUBLE)
+                             / (CAST(n_records AS DOUBLE) * 1000000000.0)
+                   END AS b3_precision,
+                   CASE WHEN n_records = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE CAST(r_num AS DOUBLE)
+                             / (CAST(n_records AS DOUBLE) * 1000000000.0)
+                   END AS b3_recall,
+                   CASE WHEN n_records = 0
+                          OR (CAST(p_num AS DOUBLE)
+                              / (CAST(n_records AS DOUBLE) * 1000000000.0))
+                             + (CAST(r_num AS DOUBLE)
+                                / (CAST(n_records AS DOUBLE) * 1000000000.0)) = 0.0
+                        THEN CAST(NULL AS DOUBLE)
+                        ELSE (2.0 * (CAST(p_num AS DOUBLE)
+                                     / (CAST(n_records AS DOUBLE) * 1000000000.0))
+                                  * (CAST(r_num AS DOUBLE)
+                                     / (CAST(n_records AS DOUBLE) * 1000000000.0)))
+                             / ((CAST(p_num AS DOUBLE)
+                                 / (CAST(n_records AS DOUBLE) * 1000000000.0))
+                                + (CAST(r_num AS DOUBLE)
+                                   / (CAST(n_records AS DOUBLE) * 1000000000.0)))
+                   END AS b3_f1
+            FROM agg
         """,
         # Incremental ER: the same derived world split by doc parity. Base
         # (even doc_ids) is clustered with the er_clusters_derived closure

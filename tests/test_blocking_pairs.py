@@ -419,3 +419,79 @@ def test_blocking_quality_empty_gold_is_vacuously_complete(spark):
     r = blocking_quality(cand, gold, records).collect()[0]
     assert r["n_gold"] == 0 and r["n_hit"] == 0
     assert r["pair_completeness"] == 1.0
+
+
+def test_mutual_best_match_hand_example(spark):
+    """Argmax both ways with the pinned tie rule (score DESC, smallest
+    partner id): a1 ties b1/b2 -> picks b1, but b1 prefers a2 (7 > 5),
+    so only (a2, b1) is mutual; b2's best a1 is not reciprocated."""
+    from word_sense_disambiguation_spark.operators.pairs import (
+        mutual_best_match,
+    )
+
+    rows = [("a1", "b1", 5), ("a1", "b2", 5), ("a2", "b1", 7)]
+    df = spark.createDataFrame(rows, "id_a string, id_b string, score long")
+    got = sorted(
+        (r.id_a, r.id_b, r.score) for r in mutual_best_match(df).collect()
+    )
+    assert got == [("a2", "b1", 7)]
+    # remove the competitor: the tie pair (a1, b1) becomes mutual
+    got2 = sorted(
+        (r.id_a, r.id_b, r.score)
+        for r in mutual_best_match(
+            df.filter(F.col("id_a") != "a2")
+        ).collect()
+    )
+    assert got2 == [("a1", "b1", 5)]
+
+
+def test_mutual_best_match_one_to_one_and_invariance(spark):
+    """Output is one-to-one by construction (each id appears at most
+    once per side), min_score drops sub-threshold candidates BEFORE the
+    argmax, and integer scores make the result partitioning-invariant."""
+    from word_sense_disambiguation_spark.operators.pairs import (
+        mutual_best_match,
+    )
+
+    rows = [
+        (a, b, (a * 7 + b * 3) % 11)
+        for a in range(1, 9)
+        for b in range(1, 9)
+        if (a + b) % 3 != 0
+    ]
+    df = spark.createDataFrame(rows, "id_a long, id_b long, score long")
+    out = mutual_best_match(df).collect()
+    assert len({r.id_a for r in out}) == len(out)
+    assert len({r.id_b for r in out}) == len(out)
+    lo = mutual_best_match(df, min_score=9).collect()
+    assert lo and all(r.score >= 9 for r in lo)
+    # every surviving pair is still each side's global best
+    best = {}
+    for a, b, s in rows:
+        if s >= 9:
+            if a not in best or (-s, b) < best[a][0]:
+                best[a] = ((-s, b), b)
+    assert all(best[r.id_a][1] == r.id_b for r in lo)
+    one = sorted(map(tuple, mutual_best_match(df.coalesce(1)).collect()))
+    many = sorted(map(tuple, mutual_best_match(df.repartition(7)).collect()))
+    assert one == many == sorted(map(tuple, out))
+
+
+def test_mutual_best_match_aggregate_not_window(spark):
+    """The argmax must be the partial-combined max_by AGGREGATE, never a
+    row_number window (a hot record's candidate list would sort-buffer
+    in one task): no Window node in the physical plan."""
+    from word_sense_disambiguation_spark.operators.pairs import (
+        mutual_best_match,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, 3)], "id_a long, id_b long, score long"
+    )
+    plan = (
+        mutual_best_match(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan[:1500]

@@ -244,6 +244,77 @@ def test_pairwise_cluster_metrics_perfect_and_invariance(spark):
     assert lazy == out == mat
 
 
+def test_b_cubed_hand_example(spark):
+    """Same contingency as the pairwise hand example. Exact fractions:
+    B3P = (4/3 + 1/3 + 1/2 + 1/2 + 1)/6 = 11/18, B3R = (4/3 + 4*1/3)/6
+    = 4/9. The operator's scaled-DIV integer arithmetic is mirrored here
+    exactly, and bounded against the true fractions by 1/scale per
+    record."""
+    from word_sense_disambiguation_spark.operators.evaluation import (
+        b_cubed_metrics,
+    )
+
+    rows = [("A", "X"), ("A", "X"), ("A", "Y"),
+            ("B", "X"), ("B", "Y"), ("C", "Y")]
+    df = spark.createDataFrame(rows, "pred string, gold string")
+    out = b_cubed_metrics(df, materialize=False).collect()[0]
+    S = 1_000_000_000
+    # cells (c, np, ng): (A,X):(2,3,3) (A,Y):(1,3,3) (B,X):(1,2,3)
+    # (B,Y):(1,2,3) (C,Y):(1,1,3)
+    cells = [(2, 3, 3), (1, 3, 3), (1, 2, 3), (1, 2, 3), (1, 1, 3)]
+    p_num = sum((c * S // n_p) * c for c, n_p, _ in cells)
+    r_num = sum((c * S // n_g) * c for c, _, n_g in cells)
+    exp_p = p_num / (6.0 * S)
+    exp_r = r_num / (6.0 * S)
+    assert out.n_records == 6
+    assert out.b3_precision == exp_p
+    assert out.b3_recall == exp_r
+    assert out.b3_f1 == (2.0 * exp_p * exp_r) / (exp_p + exp_r)
+    assert abs(out.b3_precision - 11.0 / 18.0) < 1.0 / S
+    assert abs(out.b3_recall - 4.0 / 9.0) < 1.0 / S
+
+
+def test_b_cubed_perfect_and_invariance(spark):
+    """Perfect clustering is EXACTLY 1.0 on all three (c == n makes the
+    scaled quotient exactly `scale` — no truncation), and the integer
+    sums make the metric bit-identical across partitionings and the
+    materialize flag."""
+    from word_sense_disambiguation_spark.operators.evaluation import (
+        b_cubed_metrics,
+    )
+
+    rows = [("A", "X")] * 2 + [("B", "Y")] * 3 + [("C", "Z")]
+    df = spark.createDataFrame(rows, "pred string, gold string")
+    out = b_cubed_metrics(df, materialize=False).collect()[0]
+    assert out.b3_precision == 1.0 == out.b3_recall == out.b3_f1
+    lazy = b_cubed_metrics(df.repartition(7), materialize=False).collect()[0]
+    mat = b_cubed_metrics(df.coalesce(1), materialize=True).collect()[0]
+    assert lazy == out == mat
+    # mega-cluster sanity: everything merged into one predicted cluster
+    # keeps R = 1 but P = mean class share — (2*2 + 3*3 + 1)/6/6 = 14/36
+    one = df.select(F.lit("ALL").alias("pred"), "gold")
+    m = b_cubed_metrics(one, materialize=False).collect()[0]
+    assert m.b3_recall == 1.0
+    assert abs(m.b3_precision - 14.0 / 36.0) < 1e-9
+
+
+def test_b_cubed_no_window_no_cartesian(spark):
+    """The metric is aggregate+contracted-join shaped: no Window, no
+    cartesian product anywhere in the physical plan."""
+    from word_sense_disambiguation_spark.operators.evaluation import (
+        b_cubed_metrics,
+    )
+
+    rows = [("A", "X")] * 4 + [("B", "Y")] * 4
+    df = spark.createDataFrame(rows, "pred string, gold string")
+    plan = (
+        b_cubed_metrics(df, materialize=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pairwise_cluster_metrics_no_pair_join(spark):
     """The metric must come from cluster-size combinatorics, never a pair
     self-join: the only joins in the plan are the 1-row scalar combines

@@ -197,6 +197,96 @@ def pairwise_cluster_metrics(
     )
 
 
+def b_cubed_metrics(
+    labeled: DataFrame,
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+    materialize: bool = True,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) of a predicted
+    clustering vs gold labels — the per-MENTION complement to
+    ``pairwise_cluster_metrics``' per-PAIR view (B³ weights every record
+    equally, so a mega-cluster can't dominate the score the way it
+    dominates pair counts; Amigó et al. 2009 showed it is the member of
+    this metric family that satisfies all four clustering-metric axioms).
+
+    Per record m in predicted cluster C with gold class L:
+    ``precision(m) = |C ∩ L| / |C|``, ``recall(m) = |C ∩ L| / |L|``;
+    B³P / B³R are the means over records. Grouped by contingency cell
+    that is ``Σ_cells c²/n_p / N`` and ``Σ_cells c²/n_g / N`` — so like
+    the pairwise form it needs ONE partial-combined ``groupBy(pred,
+    gold)`` over the input and everything downstream runs on the tiny
+    cell table (joined to the even tinier per-cluster / per-class size
+    tables; no pair materialization, no window).
+
+    Portability discipline (the ``distinctive_terms`` scaled-DIV trick,
+    not a float sum): a sum of per-cell IEEE quotients would depend on
+    aggregation order, so each cell contributes the INTEGER
+    ``c * ((c * scale) DIV n)`` instead — exact, associative, engine-
+    portable — summed as DECIMAL(38,0) (overflow designed out; the
+    BIGINT per-cell product needs ``c * scale < 2^63``, i.e. cells up to
+    ~9.2e9 records at the default milli-micro scale — lower ``scale``
+    beyond that). Each output metric is then a single fixed-shape IEEE
+    expression over exact integers (one division for P and R; the F1
+    harmonic mean spells its parenthesization, mirrored in the oracle).
+    Per-record truncation error is < 1/scale (1e-9 default). Empty input
+    -> one row of NULL metrics (explicit CASE, never a crash).
+
+    ``materialize`` eagerly localCheckpoints the contracted cells before
+    the 3-consumer fan-out (same multi-consumer rule as
+    ``pairwise_cluster_metrics``). Reference parity anchor: the
+    prediction-equality match rule of /root/reference/wsd/benchmark.py:126
+    lifted to the per-mention B³ surface.
+    """
+    scale = int(scale)
+    cells = labeled.groupBy(
+        F.col(pred_col).alias("pred"), F.col(gold_col).alias("gold")
+    ).agg(F.count("*").cast("long").alias("c"))
+    if materialize:
+        cells = cells.localCheckpoint(eager=True)
+    np_tbl = cells.groupBy("pred").agg(F.sum("c").cast("long").alias("np"))
+    ng_tbl = cells.groupBy("gold").agg(F.sum("c").cast("long").alias("ng"))
+    j = cells.join(np_tbl, on="pred").join(ng_tbl, on="gold")
+    agg = j.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_records"),
+        F.sum(
+            F.expr(f"CAST((c * {scale}L DIV np) * c AS DECIMAL(38,0))")
+        ).alias("p_num"),
+        F.sum(
+            F.expr(f"CAST((c * {scale}L DIV ng) * c AS DECIMAL(38,0))")
+        ).alias("r_num"),
+    )
+    prec = (
+        f"CAST(p_num AS DOUBLE)"
+        f" / (CAST(n_records AS DOUBLE) * CAST({scale}L AS DOUBLE))"
+    )
+    rec = (
+        f"CAST(r_num AS DOUBLE)"
+        f" / (CAST(n_records AS DOUBLE) * CAST({scale}L AS DOUBLE))"
+    )
+    return agg.select(
+        "n_records",
+        F.expr(
+            f"CASE WHEN n_records = 0 THEN CAST(NULL AS DOUBLE)"
+            f" ELSE {prec} END"
+        ).alias("b3_precision"),
+        F.expr(
+            f"CASE WHEN n_records = 0 THEN CAST(NULL AS DOUBLE)"
+            f" ELSE {rec} END"
+        ).alias("b3_recall"),
+        # harmonic mean of the two quotients above, spelled as ONE fixed
+        # IEEE tree (2*P*R/(P+R)) so the oracle replays it bit-for-bit;
+        # P+R = 0 (both-empty-overlap is impossible here since every
+        # cell has c >= 1, but spelled anyway) and empty input -> NULL.
+        F.expr(
+            f"CASE WHEN n_records = 0 OR ({prec}) + ({rec}) = 0.0D"
+            f" THEN CAST(NULL AS DOUBLE)"
+            f" ELSE (2.0D * ({prec}) * ({rec})) / (({prec}) + ({rec})) END"
+        ).alias("b3_f1"),
+    )
+
+
 def eval_examples_from_corpus(
     corpus: DataFrame,
     senses: DataFrame,

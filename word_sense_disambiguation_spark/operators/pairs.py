@@ -203,3 +203,65 @@ def fellegi_sunter_scores(
         .otherwise(F.lit("non_match"))
         .alias("decision"),
     )
+
+
+def mutual_best_match(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score",
+    min_score=None,
+) -> DataFrame:
+    """One-to-one bipartite record linkage over a scored pair table: keep
+    ``(a, b)`` iff b is a's highest-scoring candidate AND a is b's — the
+    standard parallel relaxation of greedy one-to-one assignment (each
+    survivor is a local optimum for BOTH sides; the truly-sequential
+    greedy matching is inherently serial and does not exist at 10^12
+    pairs). Classic use: deduplicating one source AGAINST another where
+    each left record has at most one true right counterpart (customer
+    file vs CRM, page vs canonical page).
+
+    Scale shape: two partial-combined ``max_by`` AGGREGATES (one row out
+    per distinct a / per distinct b — a hot record with 10^6 candidates
+    contributes one combiner row per map partition), never a
+    ``row_number`` window (which would sort-buffer the hot record's full
+    candidate list in one task — the CDC ``latest_snapshot`` rule), then
+    one equi-join of the two contracted best-tables on the (a, b)
+    composite. Argmax tie rule is total and portable: highest score,
+    then SMALLEST partner id (``min_by`` over ``(-score, partner)``) —
+    callers feed integer scores (e.g. ``fellegi_sunter_scores``'
+    ``total_milli``) when the result must hash-replay.
+
+    ``min_score`` pre-filters candidates (an FS match threshold); rows
+    where ``score_col`` is NULL never survive it (explicit predicate).
+    Output: ``(id_a, id_b, score)`` — the mutual pairs only.
+
+    Reference parity anchor: the per-mention argmax + threshold-reject
+    decision of /root/reference/wsd/word_sense_disambiguation.py:194-217,
+    applied symmetrically to both sides of a linkage.
+    """
+    p = pairs.select(
+        F.col(id_a).alias("id_a"),
+        F.col(id_b).alias("id_b"),
+        F.col(score_col).alias("score"),
+    )
+    if min_score is not None:
+        p = p.filter(F.col("score") >= F.lit(min_score))
+    best_b = p.groupBy("id_a").agg(
+        F.min_by(
+            F.struct("id_b", "score"), F.struct(F.negate(F.col("score")), F.col("id_b"))
+        ).alias("s")
+    )
+    best_a = p.groupBy("id_b").agg(
+        F.min_by(
+            F.struct("id_a", "score"), F.struct(F.negate(F.col("score")), F.col("id_a"))
+        ).alias("s")
+    )
+    return (
+        best_b.select("id_a", F.col("s.id_b").alias("id_b"), F.col("s.score").alias("score"))
+        .join(
+            best_a.select(F.col("s.id_a").alias("id_a"), "id_b"),
+            on=["id_a", "id_b"],
+        )
+        .select("id_a", "id_b", "score")
+    )
