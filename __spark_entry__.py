@@ -1242,13 +1242,20 @@ def _q_fellegi_sunter(spark, sf_dir):
 
 
 def _fs_scored_customers(spark, sf_dir):
-    """The FS corrupted-customer world (nation-blocked pairs, three
-    Levenshtein agreement levels, integer milli log-weights) — shared by
+    """The FS corrupted-customer world, scored — shared by
     ``fellegi_sunter`` and ``mutual_best_match``."""
     from word_sense_disambiguation_spark.operators.pairs import (
         fellegi_sunter_scores,
     )
 
+    pairs, comps = _fs_customer_pairs(spark, sf_dir)
+    return fellegi_sunter_scores(pairs, comps, match_milli=3000, review_milli=0)
+
+
+def _fs_customer_pairs(spark, sf_dir):
+    """The raw FS corrupted-customer pair world (nation-blocked pairs +
+    the three comparison specs) — shared by ``fellegi_sunter``,
+    ``mutual_best_match`` and ``fs_pattern_counts``."""
     cust = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
     code = F.substring(F.md5(k.cast("string")), 1, 6)
@@ -1278,9 +1285,23 @@ def _fs_scored_customers(spark, sf_dir):
         {"name": "segment", "left": "seg_a", "right": "seg_b", "close": 0, "w": (800, 0, -800)},
         {"name": "code", "left": "code_a", "right": "code_b", "close": 2, "w": (2500, 1000, -2000)},
     ]
-    return fellegi_sunter_scores(
-        pairs, comps, match_milli=3000, review_milli=0
+    return pairs, comps
+
+
+def _q_fs_pattern_counts(spark, sf_dir):
+    """The Splink-style EM contraction under the hash gate: the FS
+    customer pair world collapsed to its agreement-pattern table (one
+    partial-combined groupBy over the per-field three-level vector,
+    <= 3^F rows out). This is the distributed half of
+    ``estimate_fs_weights`` — the EM itself runs driver-side on these
+    exact-integer counts (float recovery is pytest-gated on planted
+    corruption rates; the counts it consumes hash-replay here)."""
+    from word_sense_disambiguation_spark.operators.pairs import (
+        fs_agreement_patterns,
     )
+
+    pairs, comps = _fs_customer_pairs(spark, sf_dir)
+    return fs_agreement_patterns(pairs, comps)
 
 
 def _q_blocking_quality(spark, sf_dir):
@@ -2067,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "fellegi_sunter": _q_fellegi_sunter,
         "mutual_best_match": _q_mutual_best_match,
+        "fs_pattern_counts": _q_fs_pattern_counts,
         "blocking_quality": _q_blocking_quality,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -4121,6 +4143,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT ra.id_a, ra.id_b, CAST(ra.total_milli AS BIGINT) AS score
             FROM ra JOIN rb ON ra.id_a = rb.id_a AND ra.id_b = rb.id_b
             WHERE ra.rk = 1 AND rb.rk = 1
+        """,
+        # EM contraction replay: same corrupted-customer pair world and
+        # agreement levels, grouped to pattern counts.
+        "fs_pattern_counts": r"""
+            WITH orig AS (
+              SELECT c_custkey AS id_a, c_nationkey AS nk,
+                     c_name AS name_a, c_mktsegment AS seg_a,
+                     substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) AS code_a
+              FROM customer
+            ),
+            corrupt AS (
+              SELECT c_custkey AS id_b, c_nationkey AS nk,
+                     CASE c_custkey % 4
+                       WHEN 1 THEN replace(c_name, 'Customer', 'Custmr')
+                       WHEN 2 THEN substr(c_name, 2, 1000)
+                       WHEN 3 THEN c_name || 'x'
+                       ELSE c_name END AS name_b,
+                     CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
+                          ELSE c_mktsegment END AS seg_b,
+                     CASE WHEN c_custkey % 6 = 0
+                          THEN 'z' || substr(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6), 2, 5)
+                          ELSE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) END AS code_b
+              FROM customer
+            ),
+            p AS (SELECT * FROM orig JOIN corrupt USING (nk)),
+            lv AS (
+              SELECT CASE WHEN levenshtein(name_a, name_b) = 0 THEN 2
+                          WHEN levenshtein(name_a, name_b) <= 3 THEN 1
+                          ELSE 0 END AS lvl_name,
+                     CASE WHEN levenshtein(seg_a, seg_b) = 0 THEN 2
+                          ELSE 0 END AS lvl_segment,
+                     CASE WHEN levenshtein(code_a, code_b) = 0 THEN 2
+                          WHEN levenshtein(code_a, code_b) <= 2 THEN 1
+                          ELSE 0 END AS lvl_code
+              FROM p
+            )
+            SELECT lvl_name, lvl_segment, lvl_code,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM lv
+            GROUP BY lvl_name, lvl_segment, lvl_code
         """,
         # Linear-classifier replay: integer milli-weights ((60-bit md5
         # prefix mod 2001) - 1000), exact BIGINT logit sum (association-

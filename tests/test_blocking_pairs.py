@@ -495,3 +495,96 @@ def test_mutual_best_match_aggregate_not_window(spark):
         .toString()
     )
     assert "Window" not in plan, plan[:1500]
+
+
+def test_fs_agreement_patterns_hand_counts(spark):
+    """Pattern contraction counts exactly: 2 exact-exact pairs, 1
+    close-exact, 1 diff-diff."""
+    from word_sense_disambiguation_spark.operators.pairs import (
+        fs_agreement_patterns,
+    )
+
+    rows = [
+        ("alice", "alice", "k1", "k1"),
+        ("bob", "bob", "k2", "k2"),
+        ("carol", "caro", "k3", "k3"),
+        ("dave", "zzzzzzzz", "k4", "qqqq"),
+    ]
+    df = spark.createDataFrame(
+        rows, "name_a string, name_b string, code_a string, code_b string"
+    )
+    comps = [
+        {"name": "name", "left": "name_a", "right": "name_b", "close": 1, "w": (0, 0, 0)},
+        {"name": "code", "left": "code_a", "right": "code_b", "close": 0, "w": (0, 0, 0)},
+    ]
+    got = {
+        (r.lvl_name, r.lvl_code): r.n_pairs
+        for r in fs_agreement_patterns(df, comps).collect()
+    }
+    assert got == {(2, 2): 2, (1, 2): 1, (0, 0): 1}
+
+
+def _planted_em_world(spark):
+    """600 latent matches + 3000 latent non-matches over two fields with
+    planted agreement rates (matches: name exact 80% / close 15% / diff
+    5%, code exact 90% / diff 10%; non-matches: name exact 2% / close 8%
+    / diff 90%, code exact 5% / diff 95%) — all by index modulo, fully
+    deterministic."""
+    rows = []
+    for i in range(600):
+        nm = "match%05d" % i
+        name_b = nm if i % 20 < 16 else (nm[:-1] + "x" if i % 20 < 19 else "zz%05dyy" % i)
+        code_b = ("c%04d" % i) if i % 10 < 9 else ("x%04d" % (i + 7000))
+        rows.append((nm, name_b, "c%04d" % i, code_b))
+    for i in range(3000):
+        nm = "rand%06d" % i
+        name_b = nm if i % 50 < 1 else (nm[:-1] + "q" if i % 50 < 5 else "ww%06dvv" % i)
+        code_b = ("d%05d" % i) if i % 20 < 1 else ("y%05d" % (i + 90000))
+        rows.append((nm, name_b, "d%05d" % i, code_b))
+    df = spark.createDataFrame(
+        rows, "name_a string, name_b string, code_a string, code_b string"
+    )
+    comps = [
+        {"name": "name", "left": "name_a", "right": "name_b", "close": 1, "w": (0, 0, 0)},
+        {"name": "code", "left": "code_a", "right": "code_b", "close": 0, "w": (0, 0, 0)},
+    ]
+    return df, comps
+
+
+def test_estimate_fs_weights_recovers_planted_rates(spark):
+    """EM on the planted two-class world recovers lambda and the m/u
+    agreement rates within loose-but-meaningful tolerance, and the
+    learned milli weights separate the classes: exact-exact patterns
+    score strongly positive, diff-diff strongly negative."""
+    from word_sense_disambiguation_spark.operators.pairs import (
+        estimate_fs_weights,
+    )
+
+    df, comps = _planted_em_world(spark)
+    est = estimate_fs_weights(df, comps, iters=50)
+    assert abs(est["lambda"] - 600 / 3600) < 0.05
+    assert abs(est["m"]["name"][2] - 0.80) < 0.08
+    assert abs(est["m"]["code"][2] - 0.90) < 0.08
+    assert abs(est["u"]["name"][2] - 0.02) < 0.03
+    assert abs(est["u"]["code"][2] - 0.05) < 0.05
+    w_name, w_code = est["w"]["name"], est["w"]["code"]
+    assert w_name[0] > 0 > w_name[2]
+    assert w_code[0] > 0 > w_code[2]
+    # separation: the all-exact pattern beats match_milli=0 by a wide
+    # margin, the all-different pattern sits far below it
+    assert w_name[0] + w_code[0] > 3000
+    assert w_name[2] + w_code[2] < -3000
+
+
+def test_estimate_fs_weights_deterministic_across_partitionings(spark):
+    """The distributed half is exact-integer pattern counts; the
+    driver-side EM iterates patterns in sorted order — so the whole
+    estimate is bit-identical however the pairs were partitioned."""
+    from word_sense_disambiguation_spark.operators.pairs import (
+        estimate_fs_weights,
+    )
+
+    df, comps = _planted_em_world(spark)
+    a = estimate_fs_weights(df.coalesce(1), comps, iters=25)
+    b = estimate_fs_weights(df.repartition(13), comps, iters=25)
+    assert a == b
