@@ -1288,6 +1288,44 @@ def _fs_customer_pairs(spark, sf_dir):
     return pairs, comps
 
 
+def _q_cluster_cohesion(spark, sf_dir):
+    """Per-cluster cohesion audit over a deterministic customer world:
+    clusters are (nation, segment) groups, candidate edges link same-
+    nation customers with close keys (so some edges cross segment
+    boundaries and must be excluded as inter-cluster), and a keyed
+    modulus picks which edges 'matched'. Exact doubled-integer counts,
+    one IEEE division; singletons -> NULL cohesion. The operator is the
+    CC loop-closer: it measures how far a transitive closure stepped
+    beyond its edge evidence (over-merge chains score low)."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        cluster_cohesion,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    members = cust.select(
+        F.col("c_custkey").alias("mention_id"),
+        F.concat(
+            F.col("c_nationkey").cast("string"), F.lit("|"), F.col("c_mktsegment")
+        ).alias("entity_id"),
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("ka"), F.col("c_nationkey").alias("nk")
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("kb"), F.col("c_nationkey").alias("nk")
+    )
+    edges = (
+        a.join(b, on="nk")
+        .filter((F.col("ka") < F.col("kb")) & (F.col("kb") - F.col("ka") <= 3))
+        .select(
+            F.col("ka").alias("id_a"),
+            F.col("kb").alias("id_b"),
+            ((F.col("ka") + F.col("kb")) % 4 != 0).alias("is_match"),
+        )
+    )
+    return cluster_cohesion(members, edges)
+
+
 def _q_fs_pattern_counts(spark, sf_dir):
     """The Splink-style EM contraction under the hash gate: the FS
     customer pair world collapsed to its agreement-pattern table (one
@@ -2089,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fellegi_sunter": _q_fellegi_sunter,
         "mutual_best_match": _q_mutual_best_match,
         "fs_pattern_counts": _q_fs_pattern_counts,
+        "cluster_cohesion": _q_cluster_cohesion,
         "blocking_quality": _q_blocking_quality,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -4183,6 +4222,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pairs
             FROM lv
             GROUP BY lvl_name, lvl_segment, lvl_code
+        """,
+        # Cohesion replay: same (nation, segment) clusters + close-key
+        # same-nation match edges; doubled-integer counts, one IEEE
+        # division, NULL for singletons.
+        "cluster_cohesion": r"""
+            WITH mem AS (
+              SELECT c_custkey AS id,
+                     CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS cl
+              FROM customer
+            ),
+            e AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+              FROM customer a
+              JOIN customer b ON a.c_nationkey = b.c_nationkey
+              WHERE a.c_custkey < b.c_custkey
+                AND b.c_custkey - a.c_custkey <= 3
+                AND (a.c_custkey + b.c_custkey) % 4 <> 0
+            ),
+            intra AS (
+              SELECT ma.cl AS cl, CAST(count(*) AS BIGINT) AS m
+              FROM (SELECT DISTINCT id_a, id_b FROM e) e2
+              JOIN mem ma ON ma.id = e2.id_a
+              JOIN mem mb ON mb.id = e2.id_b
+              WHERE ma.cl = mb.cl
+              GROUP BY ma.cl
+            ),
+            sz AS (
+              SELECT cl, CAST(count(*) AS BIGINT) AS n FROM mem GROUP BY cl
+            )
+            SELECT sz.cl AS entity_id,
+                   sz.n AS n_members,
+                   (sz.n * (sz.n - 1)) // 2 AS n_pairs_possible,
+                   CAST(COALESCE(intra.m, 0) AS BIGINT) AS n_match_edges,
+                   CASE WHEN sz.n * (sz.n - 1) = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE CAST(2 * COALESCE(intra.m, 0) AS DOUBLE)
+                             / CAST(sz.n * (sz.n - 1) AS DOUBLE)
+                   END AS cohesion
+            FROM sz LEFT JOIN intra ON intra.cl = sz.cl
         """,
         # Linear-classifier replay: integer milli-weights ((60-bit md5
         # prefix mod 2001) - 1000), exact BIGINT logit sum (association-

@@ -212,3 +212,84 @@ def test_cluster_mentions_releases_edge_cache(spark):
     assert n_persistent() == base + 1, "edge cache must be released"
     out.unpersist(blocking=True)
     assert n_persistent() == base
+
+
+def test_cluster_cohesion_hand_example(spark):
+    """Chain cluster A = {1,2,3,4} with 3 edges -> cohesion 3/6; perfect
+    pair B = {5,6} -> 1.0; singleton C = {7} -> NULL; a cross-cluster
+    edge and a non-match edge count for nothing; reversed/duplicate
+    edges count ONCE."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        cluster_cohesion,
+    )
+
+    members = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "A"), (5, "B"), (6, "B"), (7, "C")],
+        "mention_id long, entity_id string",
+    )
+    edges = spark.createDataFrame(
+        [
+            (1, 2, True), (2, 3, True), (3, 4, True),   # the chain
+            (2, 1, True),                                # reversed dup
+            (1, 4, False),                               # scored non-match
+            (5, 6, True), (6, 5, True),                  # dup pair
+            (4, 5, True),                                # cross-cluster
+            (6, 6, True),                                # self loop
+        ],
+        "id_a long, id_b long, is_match boolean",
+    )
+    rows = {r.entity_id: r for r in cluster_cohesion(members, edges).collect()}
+    a, b, c = rows["A"], rows["B"], rows["C"]
+    assert (a.n_members, a.n_pairs_possible, a.n_match_edges) == (4, 6, 3)
+    assert a.cohesion == 0.5
+    assert (b.n_members, b.n_pairs_possible, b.n_match_edges) == (2, 1, 1)
+    assert b.cohesion == 1.0
+    assert (c.n_members, c.n_pairs_possible, c.n_match_edges) == (1, 0, 0)
+    assert c.cohesion is None
+
+
+def test_cluster_cohesion_closes_the_cc_loop(spark):
+    """Feed cluster_mentions' own output back through the audit: a
+    planted 5-chain clusters into one entity whose cohesion is exactly
+    4/10, while a planted triangle scores 1.0 — the over-merge signal
+    the operator exists for. Also partitioning-invariant."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        cluster_cohesion,
+        cluster_mentions,
+    )
+
+    edges = spark.createDataFrame(
+        [("c%d" % i, "c%d" % (i + 1), True) for i in range(4)]
+        + [("t1", "t2", True), ("t2", "t3", True), ("t1", "t3", True)],
+        "id_a string, id_b string, is_match boolean",
+    )
+    cc = cluster_mentions(edges)
+    out = {
+        r.entity_id: r
+        for r in cluster_cohesion(cc, edges.repartition(5)).collect()
+    }
+    cc.unpersist(blocking=False)
+    chain = out[min(k for k in out if k.startswith("c"))]
+    tri = out[min(k for k in out if k.startswith("t"))]
+    assert (chain.n_members, chain.n_match_edges) == (5, 4)
+    assert chain.cohesion == 0.4
+    assert tri.cohesion == 1.0
+
+
+def test_cluster_cohesion_plan_shape(spark):
+    """Aggregate/join shaped: no Window, no CartesianProduct in the
+    physical plan."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        cluster_cohesion,
+    )
+
+    members = spark.createDataFrame([(1, "A")], "mention_id long, entity_id string")
+    edges = spark.createDataFrame([(1, 1, True)], "id_a long, id_b long, is_match boolean")
+    plan = (
+        cluster_cohesion(members, edges)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

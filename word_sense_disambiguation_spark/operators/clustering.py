@@ -299,3 +299,92 @@ def cluster_mentions(match_edges: DataFrame) -> DataFrame:
     out.count()  # materialize the result, then release the edge cache
     me.unpersist(blocking=False)
     return out
+
+
+def cluster_cohesion(
+    members: DataFrame,
+    edges: DataFrame,
+    id_col: str = "mention_id",
+    cluster_col: str = "entity_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    match_col: str = "is_match",
+) -> DataFrame:
+    """Per-cluster cohesion audit: what fraction of each predicted
+    cluster's member pairs is backed by an actual scored match edge?
+    Connected components merges TRANSITIVELY — a chain a-b-c-d collapses
+    into one entity on 3 edges where cohesion would want 6 — so low
+    cohesion is the standard production signal for over-merged chains
+    (the pathology threshold-CC is known for; Hassanzadeh et al.'s
+    clustering-quality framing of record linkage).
+
+    Output per cluster: ``(entity_id, n_members, n_pairs_possible
+    = C(n,2), n_match_edges, cohesion = n_match_edges / C(n,2))``.
+    Singletons have no pairs to audit -> NULL cohesion (explicit CASE,
+    never 0/0).
+
+    Scale shape: two hash joins attach each edge endpoint's cluster
+    (edges are blocked-pair scale, members one row per record), the
+    intra-cluster filter drops cross-cluster edges BEFORE any
+    aggregation, duplicate/reversed edges are normalized
+    (least/greatest) and deduped by a partial-combined groupBy per
+    (cluster, pair) — never a distinct over the raw edge table — and
+    the count contracts to one row per cluster. Counts are BIGINT-exact
+    doubled forms (n*(n-1) halves evenly); cohesion is ONE IEEE division
+    of exact integers. No windows, no cartesian products, no collects.
+
+    Reference parity anchor: the engine's own CC construction above
+    (``cluster_mentions``); the audit closes its loop — edges in,
+    clusters out, cohesion says how far the transitive closure stepped
+    beyond the evidence.
+    """
+    sizes = members.groupBy(F.col(cluster_col).alias("entity_id")).agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    mm = members.select(
+        F.col(id_col).alias("_node"), F.col(cluster_col).alias("_cl")
+    )
+    e = (
+        edges.filter(F.col(match_col))
+        .select(
+            F.least(F.col(id_a), F.col(id_b)).alias("_lid"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("_gid"),
+        )
+        .filter(F.col("_lid") != F.col("_gid"))
+    )
+    intra = (
+        e.join(mm.withColumnRenamed("_cl", "_cl_a"), e["_lid"] == mm["_node"])
+        .drop("_node")
+        .join(
+            mm.withColumnRenamed("_cl", "_cl_b").withColumnRenamed(
+                "_node", "_node_b"
+            ),
+            F.col("_gid") == F.col("_node_b"),
+        )
+        .filter(F.col("_cl_a") == F.col("_cl_b"))
+        .groupBy(
+            F.col("_cl_a").alias("entity_id"), "_lid", "_gid"
+        )
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("entity_id")
+        .agg(F.count("*").cast("long").alias("n_match_edges"))
+    )
+    return (
+        sizes.join(intra, on="entity_id", how="left")
+        .select(
+            "entity_id",
+            "n_members",
+            F.expr("n_members * (n_members - 1L) DIV 2").alias(
+                "n_pairs_possible"
+            ),
+            F.coalesce(F.col("n_match_edges"), F.lit(0))
+            .cast("long")
+            .alias("n_match_edges"),
+            F.expr(
+                "CASE WHEN n_members * (n_members - 1L) = 0"
+                " THEN CAST(NULL AS DOUBLE)"
+                " ELSE CAST(2L * coalesce(n_match_edges, 0L) AS DOUBLE)"
+                "      / CAST(n_members * (n_members - 1L) AS DOUBLE) END"
+            ).alias("cohesion"),
+        )
+    )
