@@ -1288,6 +1288,31 @@ def _fs_customer_pairs(spark, sf_dir):
     return pairs, comps
 
 
+def _q_tfidf_cosine(spark, sf_dir):
+    """TF-IDF cosine pair verification over adjacent-id document pairs
+    (a deterministic stand-in for a blocker's candidates): integer
+    scaled-DIV idf weights, DECIMAL-exact dot/norm sums, cos^2 as one
+    fixed IEEE tree — no sqrt anywhere, so DuckDB replays it
+    bit-for-bit. threshold=0.75 so the squared bound (0.5625) is an
+    exact dyadic rational on both engines."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    pairs = (
+        ids.select("id_a", (F.col("id_a") + 1).alias("id_b"))
+        .unionByName(ids.select("id_a", (F.col("id_a") + 2).alias("id_b")))
+        .join(
+            docs.select(F.col("doc_id").alias("id_b")),
+            on="id_b",
+            how="left_semi",
+        )
+    )
+    return tfidf_cosine_pairs(docs, "doc_id", "text", pairs, threshold=0.75)
+
+
 def _q_cluster_cohesion(spark, sf_dir):
     """Per-cluster cohesion audit over a deterministic customer world:
     clusters are (nation, segment) groups, candidate edges link same-
@@ -2128,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_best_match": _q_mutual_best_match,
         "fs_pattern_counts": _q_fs_pattern_counts,
         "cluster_cohesion": _q_cluster_cohesion,
+        "tfidf_cosine": _q_tfidf_cosine,
         "blocking_quality": _q_blocking_quality,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -4222,6 +4248,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pairs
             FROM lv
             GROUP BY lvl_name, lvl_segment, lvl_code
+        """,
+        # TF-IDF cosine replay: same integer scaled-DIV weights, HUGEINT
+        # dot/norm sums (Spark sums DECIMAL(38,0) — both exact), same
+        # fixed IEEE cos^2 tree and exact-dyadic 0.5625 threshold.
+        "tfidf_cosine": r"""
+            WITH toks AS (
+              SELECT doc_id AS did,
+                     unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))), '[ \t\n\r\f\x0B]+')) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT did, token, CAST(count(*) AS BIGINT) AS tf
+              FROM toks WHERE token <> '' GROUP BY did, token
+            ),
+            dfr AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS dfr
+              FROM tf GROUP BY token
+            ),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+            w AS (
+              SELECT tf.did, tf.token,
+                     tf.tf * ((nd.n_docs * 1000) // dfr.dfr) AS w
+              FROM tf JOIN dfr ON dfr.token = tf.token CROSS JOIN nd
+            ),
+            norms AS (
+              SELECT did, sum(CAST(w * w AS HUGEINT)) AS norm2
+              FROM w GROUP BY did
+            ),
+            p AS (
+              SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+              UNION ALL
+              SELECT doc_id, doc_id + 2 FROM documents
+            ),
+            pp AS (
+              SELECT p.id_a, p.id_b
+              FROM p JOIN documents d ON d.doc_id = p.id_b
+            ),
+            dots AS (
+              SELECT pp.id_a, pp.id_b,
+                     sum(CAST(wa.w * wb.w AS HUGEINT)) AS dot,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM pp
+              JOIN w wa ON wa.did = pp.id_a
+              JOIN w wb ON wb.did = pp.id_b AND wb.token = wa.token
+              GROUP BY pp.id_a, pp.id_b
+            ),
+            fin AS (
+              SELECT pp.id_a, pp.id_b,
+                     CAST(COALESCE(dots.n_common, 0) AS BIGINT) AS n_common,
+                     CASE WHEN na.norm2 IS NULL OR nb.norm2 IS NULL
+                            OR na.norm2 = 0 OR nb.norm2 = 0
+                          THEN CAST(NULL AS DOUBLE)
+                          ELSE (CAST(COALESCE(dots.dot, 0) AS DOUBLE)
+                                * CAST(COALESCE(dots.dot, 0) AS DOUBLE))
+                               / (CAST(na.norm2 AS DOUBLE)
+                                  * CAST(nb.norm2 AS DOUBLE))
+                     END AS cos2
+              FROM pp
+              LEFT JOIN dots ON dots.id_a = pp.id_a AND dots.id_b = pp.id_b
+              LEFT JOIN norms na ON na.did = pp.id_a
+              LEFT JOIN norms nb ON nb.did = pp.id_b
+            )
+            SELECT id_a, id_b, n_common, cos2,
+                   CASE WHEN cos2 IS NULL THEN false
+                        ELSE cos2 >= 0.5625 END AS is_match
+            FROM fin
         """,
         # Cohesion replay: same (nation, segment) clusters + close-key
         # same-nation match edges; doubled-integer counts, one IEEE

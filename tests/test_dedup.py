@@ -433,3 +433,103 @@ def test_duplicate_span_stats_intra_doc_overlap_merges(spark):
     assert row["n_dup_windows"] == 12
     assert row["n_spans"] == 1
     assert row["dup_tokens"] == 19
+
+
+def test_tfidf_cosine_hand_example(spark):
+    """Exact arithmetic on a 4-doc world: shared-token pair scores
+    cos2 = 0.9 exactly (integer weights mirror-computed here), disjoint
+    pair scores 0, empty doc -> NULL cos2 / never-match."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple banana"),
+         (3, "cherry durian"), (4, "")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4)], "id_a long, id_b long"
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in tfidf_cosine_pairs(
+            docs, "doc_id", "text", pairs, threshold=0.75
+        ).collect()
+    }
+    # mirror integer arithmetic: N=4, idf_scale=1000
+    # df: apple 2, banana 2, cherry 1, durian 1 -> unit = (4000 // df)
+    w1 = {"apple": 2 * 2000, "banana": 1 * 2000}
+    w2 = {"apple": 2000, "banana": 2000}
+    dot = sum(w1[t] * w2[t] for t in w1)
+    n1 = sum(v * v for v in w1.values())
+    n2 = sum(v * v for v in w2.values())
+    r12 = out[(1, 2)]
+    assert r12.n_common == 2
+    assert r12.cos2 == (float(dot) * float(dot)) / (float(n1) * float(n2))
+    assert r12.cos2 == 0.9
+    assert r12.is_match
+    r23 = out[(2, 3)]
+    assert (r23.n_common, r23.cos2, r23.is_match) == (0, 0.0, False)
+    r14 = out[(1, 4)]
+    assert r14.cos2 is None and r14.is_match is False
+
+
+def test_tfidf_cosine_idf_damps_boilerplate(spark):
+    """Two pairs with ONE shared token each: the pair sharing a rare
+    token outranks the pair sharing a token present in every document —
+    the reason this beats raw Jaccard on template-heavy web text."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "nav rarex alpha"), (2, "nav rarex beta"),
+         (3, "nav gamma delta"), (4, "nav epsilon zeta")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    out = {
+        (r.id_a, r.id_b): r.cos2
+        for r in tfidf_cosine_pairs(
+            docs, "doc_id", "text", pairs, threshold=0.75
+        ).collect()
+    }
+    assert out[(1, 2)] > out[(3, 4)]
+
+
+def test_tfidf_cosine_invariance_and_plan(spark):
+    """Partitioning-invariant (exact integer sums; the one IEEE tree is
+    fixed) and aggregate/equi-join shaped: no Window, no cartesian."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok%d common fill%d" % (i % 5, i % 3)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "id_a long, id_b long"
+    )
+    one = sorted(
+        map(tuple, tfidf_cosine_pairs(
+            docs.coalesce(1), "doc_id", "text", pairs.coalesce(1)
+        ).collect())
+    )
+    many = sorted(
+        map(tuple, tfidf_cosine_pairs(
+            docs.repartition(7), "doc_id", "text", pairs.repartition(5)
+        ).collect())
+    )
+    assert one == many
+    plan = (
+        tfidf_cosine_pairs(docs, "doc_id", "text", pairs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

@@ -701,3 +701,121 @@ def duplicate_span_stats(
             .alias("dup_fraction"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame,
+    threshold: float = 0.8,
+    idf_scale: int = 1_000,
+) -> DataFrame:
+    """TF-IDF cosine over blocked candidate pairs — the classic token-
+    weighted record-linkage/near-dup measure (Cohen, Ravikumar &
+    Fienberg 2003's TF-IDF family): shared RARE tokens count, shared
+    boilerplate ('the', nav chrome) is idf-damped to noise, which is
+    exactly what raw Jaccard gets wrong on template-heavy web text.
+
+    Float discipline (the ``distinctive_terms`` idf + ``er_eval_bcubed``
+    sum rules): weights are INTEGER ``w = tf * ((N * idf_scale) DIV
+    df)``; dot products and squared norms are DECIMAL(38,0) sums of
+    integer products (exact, associative — never an order-dependent
+    float sum); the output is ``cos2 = dot^2 / (norm2_a * norm2_b)``
+    computed as ONE fixed IEEE tree over DOUBLE casts of those exact
+    integers. cos2 is monotone in cosine (weights are nonnegative), so
+    thresholding/ranking on it is thresholding on cosine with the bound
+    squared — ``is_match = cos2 >= threshold^2`` — and no sqrt ever
+    enters (sqrt is where cross-engine float replay usually dies).
+    Either side empty (zero norm) -> NULL cos2, never-match (CASE).
+    Size ``idf_scale`` so ``N * idf_scale * max_tf < 2^63``; the
+    DECIMAL(38,0) sums absorb the squares.
+
+    Plan shape: ONE (doc, token) tf aggregate; df derives from the tf
+    table (second partial-combined groupBy — never countDistinct over
+    the raw explode); norms contract to one row per doc; the dot
+    product attaches pair ids to side-a weights, equi-joins side-b on
+    (doc, token), and contracts per pair — all equi-joins and combined
+    aggregates, pair-token linear, no window, no cartesian. ``pairs``
+    is the caller's blocking (LSH/SimHash candidates); never feed a
+    cross join. Reference parity anchor: the weighted-overlap scoring
+    family of ``score_mention_pairs``
+    (/root/reference/wsd/word_sense_disambiguation.py:194-217), lifted
+    to corpus-frequency weights.
+    """
+    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = F.when(t == "", F.array()).otherwise(F.split(t, WS_CLASS + "+"))
+    tf = (
+        df.select(F.col(id_col).alias("did"), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("did", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("dfr"))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).withColumn("_k", F.lit(1))
+    w = (
+        tf.join(dfreq, on="token")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(n_docs), on="_k")
+        .select(
+            "did",
+            "token",
+            F.expr(f"tf * ((n_docs * {int(idf_scale)}) DIV dfr)").alias("w"),
+        )
+    )
+    norms = w.groupBy("did").agg(
+        F.sum(F.expr("CAST(w * w AS DECIMAL(38,0))")).alias("norm2")
+    )
+    pa = pairs.select("id_a", "id_b")
+    left = pa.join(w.withColumnRenamed("did", "id_a"), on="id_a").select(
+        "id_a", "id_b", "token", F.col("w").alias("wa")
+    )
+    dots = (
+        left.join(
+            w.select(
+                F.col("did").alias("id_b"),
+                "token",
+                F.col("w").alias("wb"),
+            ),
+            on=["id_b", "token"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.expr("CAST(wa * wb AS DECIMAL(38,0))")).alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+        )
+    )
+    cos2 = (
+        "CASE WHEN norm2_a IS NULL OR norm2_b IS NULL"
+        " OR norm2_a = 0 OR norm2_b = 0 THEN CAST(NULL AS DOUBLE)"
+        " ELSE (CAST(coalesce(dot, 0) AS DOUBLE) * CAST(coalesce(dot, 0) AS DOUBLE))"
+        "      / (CAST(norm2_a AS DOUBLE) * CAST(norm2_b AS DOUBLE)) END"
+    )
+    thr2 = float(threshold) * float(threshold)
+    return (
+        pa.join(dots, on=["id_a", "id_b"], how="left")
+        .join(
+            norms.select(F.col("did").alias("id_a"), F.col("norm2").alias("norm2_a")),
+            on="id_a",
+            how="left",
+        )
+        .join(
+            norms.select(F.col("did").alias("id_b"), F.col("norm2").alias("norm2_b")),
+            on="id_b",
+            how="left",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+            F.expr(cos2).alias("cos2"),
+        )
+        .withColumn(
+            "is_match",
+            F.when(F.col("cos2").isNull(), F.lit(False)).otherwise(
+                F.col("cos2") >= F.lit(thr2)
+            ),
+        )
+    )
