@@ -1288,6 +1288,40 @@ def _fs_customer_pairs(spark, sf_dir):
     return pairs, comps
 
 
+def _q_ngram_containment(spark, sf_dir):
+    """Asymmetric 3-gram containment over the same capped (lang, source)
+    blocks as ``ngram_jaccard_block`` — the subset-duplicate catch
+    (short doc quoted inside a long one scores 1.0 on its own side where
+    Jaccard dilutes). Exact integer set sizes, one IEEE division per
+    side, dyadic 0.75 threshold."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") < 200)
+    toks = F.split(F.lower(F.trim("text")), _WS + "+")
+    g = docs.filter(F.size(toks) >= 3).select("doc_id", "lang", "source")
+    ok_blocks = (
+        g.groupBy("lang", "source")
+        .agg(F.count("*").alias("bs"))
+        .filter(F.col("bs") <= 64)
+        .select("lang", "source")
+    )
+    g = g.join(F.broadcast(ok_blocks), on=["lang", "source"], how="left_semi")
+    pairs = (
+        g.select(F.col("doc_id").alias("id_a"), "lang", "source")
+        .join(
+            g.select(F.col("doc_id").alias("id_b"), "lang", "source"),
+            on=["lang", "source"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return ngram_containment_pairs(
+        docs, "doc_id", "text", threshold=0.75, pairs=pairs
+    )
+
+
 def _q_tfidf_cosine(spark, sf_dir):
     """TF-IDF cosine pair verification over adjacent-id document pairs
     (a deterministic stand-in for a blocker's candidates): integer
@@ -2154,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_pattern_counts": _q_fs_pattern_counts,
         "cluster_cohesion": _q_cluster_cohesion,
         "tfidf_cosine": _q_tfidf_cosine,
+        "ngram_containment": _q_ngram_containment,
         "blocking_quality": _q_blocking_quality,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -2504,6 +2539,34 @@ def oracle_sql() -> dict[str, str]:
                  AND a.doc_id < b.doc_id
             WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
                   / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) > 0.0
+        """,
+        # Containment replay: same gram/block construction as
+        # ngram_jaccard_block, per-side divisions, dyadic 0.75 threshold.
+        "ngram_containment": """
+            WITH g AS (
+              SELECT doc_id, lang, source,
+                     list_distinct(list_transform(
+                       range(0, len(toks) - 2),
+                       i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS grams
+              FROM (SELECT doc_id, lang, source,
+                           regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS toks
+                    FROM documents WHERE n_chars < 200)
+              WHERE len(toks) >= 3),
+            ok AS (
+              SELECT lang, source FROM g GROUP BY lang, source
+              HAVING count(*) <= 64),
+            fin AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+                     / CAST(greatest(len(a.grams), 1) AS DOUBLE) AS cont_a,
+                     CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+                     / CAST(greatest(len(b.grams), 1) AS DOUBLE) AS cont_b
+              FROM g a JOIN ok ON a.lang = ok.lang AND a.source = ok.source
+                   JOIN g b ON a.lang = b.lang AND a.source = b.source
+                   AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, cont_a, cont_b,
+                   greatest(cont_a, cont_b) >= 0.75 AS is_match
+            FROM fin
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec

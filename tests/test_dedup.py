@@ -533,3 +533,53 @@ def test_tfidf_cosine_invariance_and_plan(spark):
     )
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_containment_catches_subset_duplicates(spark):
+    """A short doc fully quoted inside a long one: containment = 1.0 on
+    the short side (match at 0.75) while symmetric Jaccard on the same
+    pair dilutes to |short|/|long| and misses — the operator's reason to
+    exist. Exact division arithmetic checked both sides."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta"
+    longer = short + " " + " ".join("filler%d" % i for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, short), (2, longer)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    c = ngram_containment_pairs(
+        docs, "doc_id", "text", threshold=0.75, pairs=pairs
+    ).collect()[0]
+    # short side: 2 distinct 3-grams, both inside the long doc
+    assert c.cont_a == 1.0
+    assert c.cont_b == 2.0 / 22.0
+    assert c.is_match
+    j = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.75, pairs=pairs
+    ).collect()[0]
+    assert j.jaccard == 2.0 / 22.0 and not j.is_match
+
+
+def test_ngram_containment_invariance(spark):
+    from word_sense_disambiguation_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w%d x%d y z q%d r s" % (i % 4, i % 3, i % 5)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)], "id_a long, id_b long"
+    )
+    one = sorted(map(tuple, ngram_containment_pairs(
+        docs.coalesce(1), "doc_id", "text", pairs=pairs
+    ).collect()))
+    many = sorted(map(tuple, ngram_containment_pairs(
+        docs.repartition(7), "doc_id", "text", pairs=pairs.repartition(3)
+    ).collect()))
+    assert one == many

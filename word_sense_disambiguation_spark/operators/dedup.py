@@ -102,6 +102,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment over candidate pairs: ``cont_a =
+    |A∩B| / |A|`` and ``cont_b = |A∩B| / |B|`` (Broder 1997's
+    containment, the RefinedWeb/quote-inclusion catch). A short document
+    fully embedded in a long one scores 1.0 on its own side while
+    symmetric Jaccard dilutes toward ``|short|/|long|`` and sails under
+    any threshold — containment is how subset duplicates (quoted
+    articles, boilerplate-wrapped bodies, partial mirrors) get caught.
+    ``is_match`` fires when EITHER side's containment clears the
+    threshold.
+
+    Same JVM array-math shape as ``ngram_jaccard_pairs`` (one grams
+    projection, two hash joins onto the blocked pair table, per-row
+    codegen set ops); each containment is one IEEE division of exact
+    integer sizes, divide-by-zero guarded via greatest(|·|, 1) (the
+    degenerate short-text gram array is never empty by construction).
+    """
+    if pairs is None:
+        pairs, _ = minhash_lsh_pairs(df, id_col, text_col)
+    grams = df.select(
+        F.col(id_col).alias("gid"), _token_ngrams(F.col(text_col), n).alias("grams")
+    )
+    a = grams.select(F.col("gid").alias("id_a"), F.col("grams").alias("grams_a"))
+    b = grams.select(F.col("gid").alias("id_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    ca = inter / F.greatest(F.size("grams_a").cast("double"), F.lit(1.0))
+    cb = inter / F.greatest(F.size("grams_b").cast("double"), F.lit(1.0))
+    return (
+        pairs.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select("id_a", "id_b", ca.alias("cont_a"), cb.alias("cont_b"))
+        .withColumn(
+            "is_match",
+            F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold,
+        )
+    )
+
+
 def contamination_check(
     eval_docs: DataFrame,
     train_docs: DataFrame,
