@@ -1288,6 +1288,43 @@ def _fs_customer_pairs(spark, sf_dir):
     return pairs, comps
 
 
+def _q_degree_pruned_edges(spark, sf_dir):
+    """Pre-CC degree capping over the same close-key customer edge world
+    as ``cluster_cohesion``: edges touching nodes with degree > 4 are
+    dropped and the hubs surfaced (no silent caps) — the hygiene step
+    that stops one hub surface key welding the match graph into a
+    mega-cluster. Both outputs ride one tagged union: ('edge', id_a,
+    id_b) for kept edges, ('hub', node, degree) for the exclusions."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        prune_high_degree_edges,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("ka"), F.col("c_nationkey").alias("nk")
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("kb"), F.col("c_nationkey").alias("nk")
+    )
+    edges = (
+        a.join(b, on="nk")
+        .filter((F.col("ka") < F.col("kb")) & (F.col("kb") - F.col("ka") <= 3))
+        .select(F.col("ka").alias("id_a"), F.col("kb").alias("id_b"))
+    )
+    kept, hubs = prune_high_degree_edges(edges, max_degree=4)
+    return kept.select(
+        F.lit("edge").alias("kind"),
+        F.col("id_a").alias("x"),
+        F.col("id_b").alias("y"),
+    ).unionByName(
+        hubs.select(
+            F.lit("hub").alias("kind"),
+            F.col("node").alias("x"),
+            F.col("degree").alias("y"),
+        )
+    )
+
+
 def _q_ngram_containment(spark, sf_dir):
     """Asymmetric 3-gram containment over the same capped (lang, source)
     blocks as ``ngram_jaccard_block`` — the subset-duplicate catch
@@ -2189,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_cohesion": _q_cluster_cohesion,
         "tfidf_cosine": _q_tfidf_cosine,
         "ngram_containment": _q_ngram_containment,
+        "degree_pruned_edges": _q_degree_pruned_edges,
         "blocking_quality": _q_blocking_quality,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -2539,6 +2577,34 @@ def oracle_sql() -> dict[str, str]:
                  AND a.doc_id < b.doc_id
             WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
                   / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) > 0.0
+        """,
+        # Degree-cap replay: same close-key edge world, symmetrized
+        # endpoint counts, hub exclusion via NOT IN, tagged union.
+        "degree_pruned_edges": r"""
+            WITH e AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+              FROM customer a
+              JOIN customer b ON a.c_nationkey = b.c_nationkey
+              WHERE a.c_custkey < b.c_custkey
+                AND b.c_custkey - a.c_custkey <= 3
+            ),
+            ends AS (
+              SELECT id_a AS node FROM e
+              UNION ALL SELECT id_b FROM e
+            ),
+            deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS degree
+              FROM ends GROUP BY node
+            ),
+            hubs AS (SELECT node, degree FROM deg WHERE degree > 4),
+            kept AS (
+              SELECT id_a, id_b FROM e
+              WHERE id_a NOT IN (SELECT node FROM hubs)
+                AND id_b NOT IN (SELECT node FROM hubs)
+            )
+            SELECT 'edge' AS kind, id_a AS x, id_b AS y FROM kept
+            UNION ALL
+            SELECT 'hub' AS kind, node AS x, degree AS y FROM hubs
         """,
         # Containment replay: same gram/block construction as
         # ngram_jaccard_block, per-side divisions, dyadic 0.75 threshold.

@@ -293,3 +293,63 @@ def test_cluster_cohesion_plan_shape(spark):
     )
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prune_high_degree_edges_hand_example(spark):
+    """Star hub h touches 5 edges (degree 5 > cap 3) -> all its edges
+    drop and h lands in the hub table; the disjoint pair survives;
+    self-loops never survive."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        prune_high_degree_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [("h", "a%d" % i) for i in range(5)]
+        + [("x", "y"), ("z", "z")],
+        "id_a string, id_b string",
+    )
+    kept, hubs = prune_high_degree_edges(edges, max_degree=3)
+    assert sorted(map(tuple, kept.collect())) == [("x", "y")]
+    hub_rows = {(r.node, r.degree) for r in hubs.collect()}
+    assert hub_rows == {("h", 5)}
+
+
+def test_prune_high_degree_bounds_cc_megacluster(spark):
+    """The pathology the operator exists for: a hub welding two genuine
+    clusters into one. With the cap, CC recovers the two real clusters
+    and the hub is quarantined; without it, everything is one entity."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        cluster_mentions,
+        prune_high_degree_edges,
+    )
+    import pyspark.sql.functions as F
+
+    real = [("a1", "a2"), ("a2", "a3"), ("b1", "b2"), ("b2", "b3")]
+    hub = [("HUB", n) for n in ("a1", "a2", "a3", "b1", "b2", "b3")]
+    edges = spark.createDataFrame(
+        real + hub, "id_a string, id_b string"
+    ).withColumn("is_match", F.lit(True))
+    cc_all = cluster_mentions(edges)
+    n_all = cc_all.select("entity_id").distinct().count()
+    cc_all.unpersist(blocking=False)
+    assert n_all == 1  # the weld
+    kept, hubs = prune_high_degree_edges(edges, max_degree=4)
+    cc = cluster_mentions(kept.withColumn("is_match", F.lit(True)))
+    n_pruned = cc.select("entity_id").distinct().count()
+    cc.unpersist(blocking=False)
+    assert n_pruned == 2
+    assert [r.node for r in hubs.collect()] == ["HUB"]
+
+
+def test_prune_high_degree_plan_no_window(spark):
+    """Degree is a partial-combined aggregate over exploded endpoints,
+    exclusion is two anti-joins: no Window in the plan."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        prune_high_degree_edges,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    kept, _hubs = prune_high_degree_edges(edges, max_degree=2)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

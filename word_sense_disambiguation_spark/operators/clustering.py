@@ -388,3 +388,51 @@ def cluster_cohesion(
             ).alias("cohesion"),
         )
     )
+
+
+def prune_high_degree_edges(
+    edges: DataFrame,
+    max_degree: int = 64,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> tuple[DataFrame, DataFrame]:
+    """Pre-CC graph hygiene: drop every edge that touches a node whose
+    degree exceeds ``max_degree``, and surface those hub nodes in a side
+    table — never silently. Hubs are where threshold-CC goes pathological
+    at crawl scale (one 'John Smith' surface key or boilerplate page
+    matching 10^6 others welds the graph into a mega-cluster); capping
+    degree BEFORE the closure bounds any component's growth rate to
+    ``max_degree`` per hop and keeps the contraction rounds balanced.
+    Same no-silent-caps contract as ``surface_key_pairs``' oversized
+    side table: the caller decides whether hubs get star recovery,
+    manual review, or the bin.
+
+    Scale shape: degree is ONE partial-combined groupBy over the
+    symmetrized endpoint list (explode to (node), count — a hot node's
+    count combines map-side); hubs broadcast back as two left_semi-
+    style exclusion joins (left_anti on each endpoint). No window — a
+    10^6-degree hub costs one combiner row per partition, not a sorted
+    window buffer. Self-loops count once per side (degree 2 total, the
+    standard convention) but are dropped from the kept set regardless —
+    CC derives nothing from them.
+
+    Returns ``(kept_edges, hubs)`` where hubs is ``(node, degree)``.
+    Reference parity anchor: the block-size cap + oversized-table
+    pattern of ``operators/blocking.py:surface_key_pairs`` (same
+    philosophy one graph layer later).
+    """
+    ends = edges.select(F.col(id_a).alias("node")).unionAll(
+        edges.select(F.col(id_b).alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count("*").cast("long").alias("degree"))
+    hubs = deg.filter(F.col("degree") > int(max_degree))
+    # no broadcast hint on purpose: the hub table is bounded by
+    # 2|E|/max_degree, which can still be large at crawl scale — AQE
+    # picks broadcast when it actually fits
+    kept = (
+        edges.filter(F.col(id_a) != F.col(id_b))
+        .join(hubs.select(F.col("node").alias(id_a)), on=id_a, how="left_anti")
+        .join(hubs.select(F.col("node").alias(id_b)), on=id_b, how="left_anti")
+        .select(*edges.columns)  # anti-joins move their key first; restore
+    )
+    return kept, hubs
