@@ -1288,6 +1288,28 @@ def _fs_customer_pairs(spark, sf_dir):
     return pairs, comps
 
 
+def _q_fs_match_probability(spark, sf_dir):
+    """FS posterior decode over the corrupted-customer pair world with
+    documented prior m/u literals: P(match|pattern) as one fixed
+    left-associated IEEE tree of CASE-selected literals (the Splink
+    predict() layer; estimate_fs_weights supplies learned params in
+    real use). Non-dyadic literals are fine — literal parsing and each
+    multiply/divide are correctly rounded on both engines as long as the
+    oracle spells the identical parenthesization. Dyadic 0.5 threshold."""
+    from word_sense_disambiguation_spark.operators.pairs import (
+        fs_match_probability,
+    )
+
+    pairs, comps = _fs_customer_pairs(spark, sf_dir)
+    for spec, m, u in zip(
+        comps,
+        [(0.05, 0.15, 0.8), (0.1, 0.1, 0.8), (0.02, 0.08, 0.9)],
+        [(0.9, 0.07, 0.03), (0.25, 0.05, 0.7), (0.95, 0.04, 0.01)],
+    ):
+        spec["m"], spec["u"] = m, u
+    return fs_match_probability(pairs, comps, lam=0.1, threshold=0.5)
+
+
 def _q_degree_pruned_edges(spark, sf_dir):
     """Pre-CC degree capping over the same close-key customer edge world
     as ``cluster_cohesion``: edges touching nodes with degree > 4 are
@@ -2227,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine": _q_tfidf_cosine,
         "ngram_containment": _q_ngram_containment,
         "degree_pruned_edges": _q_degree_pruned_edges,
+        "fs_match_probability": _q_fs_match_probability,
         "blocking_quality": _q_blocking_quality,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -2577,6 +2600,72 @@ def oracle_sql() -> dict[str, str]:
                  AND a.doc_id < b.doc_id
             WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
                   / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) > 0.0
+        """,
+        # FS posterior replay: same agreement levels, identical literal
+        # products (left-associated) and one ratio; computing pm/pu in a
+        # CTE column changes nothing — values, not plans, are hashed.
+        "fs_match_probability": r"""
+            WITH orig AS (
+              SELECT c_custkey AS id_a, c_nationkey AS nk,
+                     c_name AS name_a, c_mktsegment AS seg_a,
+                     substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) AS code_a
+              FROM customer
+            ),
+            corrupt AS (
+              SELECT c_custkey AS id_b, c_nationkey AS nk,
+                     CASE c_custkey % 4
+                       WHEN 1 THEN replace(c_name, 'Customer', 'Custmr')
+                       WHEN 2 THEN substr(c_name, 2, 1000)
+                       WHEN 3 THEN c_name || 'x'
+                       ELSE c_name END AS name_b,
+                     CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
+                          ELSE c_mktsegment END AS seg_b,
+                     CASE WHEN c_custkey % 6 = 0
+                          THEN 'z' || substr(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6), 2, 5)
+                          ELSE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) END AS code_b
+              FROM customer
+            ),
+            p AS (SELECT * FROM orig JOIN corrupt USING (nk)),
+            lv AS (
+              SELECT id_a, id_b,
+                     CASE WHEN levenshtein(name_a, name_b) = 0 THEN 2
+                          WHEN levenshtein(name_a, name_b) <= 3 THEN 1
+                          ELSE 0 END AS lvl_name,
+                     CASE WHEN levenshtein(seg_a, seg_b) = 0 THEN 2
+                          ELSE 0 END AS lvl_segment,
+                     CASE WHEN levenshtein(code_a, code_b) = 0 THEN 2
+                          WHEN levenshtein(code_a, code_b) <= 2 THEN 1
+                          ELSE 0 END AS lvl_code
+              FROM p
+            ),
+            t AS (
+              SELECT id_a, id_b, lvl_name, lvl_segment, lvl_code,
+                     (((CAST(0.1 AS DOUBLE)
+                        * CASE lvl_name WHEN 2 THEN CAST(0.8 AS DOUBLE)
+                                        WHEN 1 THEN CAST(0.15 AS DOUBLE)
+                                        ELSE CAST(0.05 AS DOUBLE) END)
+                       * CASE lvl_segment WHEN 2 THEN CAST(0.8 AS DOUBLE)
+                                          WHEN 1 THEN CAST(0.1 AS DOUBLE)
+                                          ELSE CAST(0.1 AS DOUBLE) END)
+                      * CASE lvl_code WHEN 2 THEN CAST(0.9 AS DOUBLE)
+                                      WHEN 1 THEN CAST(0.08 AS DOUBLE)
+                                      ELSE CAST(0.02 AS DOUBLE) END) AS pm,
+                     ((((CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE))
+                        * CASE lvl_name WHEN 2 THEN CAST(0.03 AS DOUBLE)
+                                        WHEN 1 THEN CAST(0.07 AS DOUBLE)
+                                        ELSE CAST(0.9 AS DOUBLE) END)
+                       * CASE lvl_segment WHEN 2 THEN CAST(0.7 AS DOUBLE)
+                                          WHEN 1 THEN CAST(0.05 AS DOUBLE)
+                                          ELSE CAST(0.25 AS DOUBLE) END)
+                      * CASE lvl_code WHEN 2 THEN CAST(0.01 AS DOUBLE)
+                                      WHEN 1 THEN CAST(0.04 AS DOUBLE)
+                                      ELSE CAST(0.95 AS DOUBLE) END) AS pu
+              FROM lv
+            )
+            SELECT id_a, id_b, lvl_name, lvl_segment, lvl_code,
+                   pm / (pm + pu) AS p_match,
+                   pm / (pm + pu) >= CAST(0.5 AS DOUBLE) AS is_match
+            FROM t
         """,
         # Degree-cap replay: same close-key edge world, symmetrized
         # endpoint counts, hub exclusion via NOT IN, tagged union.

@@ -588,3 +588,95 @@ def test_estimate_fs_weights_deterministic_across_partitionings(spark):
     a = estimate_fs_weights(df.coalesce(1), comps, iters=25)
     b = estimate_fs_weights(df.repartition(13), comps, iters=25)
     assert a == b
+
+
+def test_fs_match_probability_hand_example(spark):
+    """Exact Bayes arithmetic on planted levels, mirrored in python with
+    the same left-associated float tree; all-agree pattern clears 0.5,
+    all-differ pattern lands near zero."""
+    from word_sense_disambiguation_spark.operators.pairs import (
+        fs_match_probability,
+    )
+
+    rows = [
+        (1, 1, "Alice", "Alice", "k111", "k111"),     # exact/exact
+        (2, 2, "Bobby", "Bobbz", "k222", "zzzz"),     # close/diff
+        (3, 3, "Cara", "Zzzzzzzz", "k333", "qqqq"),   # diff/diff
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id_a long, id_b long, name_a string, name_b string, code_a string, code_b string",
+    )
+    comps = [
+        {"name": "name", "left": "name_a", "right": "name_b", "close": 1,
+         "m": (0.05, 0.15, 0.8), "u": (0.9, 0.07, 0.03)},
+        {"name": "code", "left": "code_a", "right": "code_b", "close": 1,
+         "m": (0.02, 0.08, 0.9), "u": (0.95, 0.04, 0.01)},
+    ]
+    out = {
+        r.id_a: r
+        for r in fs_match_probability(df, comps, lam=0.1, threshold=0.5).collect()
+    }
+
+    def post(mlvls, ulvls):
+        pm = 0.1
+        pu = 1.0 - 0.1
+        for m, u in zip(mlvls, ulvls):
+            pm = pm * m
+            pu = pu * u
+        return pm / (pm + pu)
+
+    assert out[1].p_match == post([0.8, 0.9], [0.03, 0.01])
+    assert out[1].is_match
+    assert out[2].p_match == post([0.15, 0.02], [0.07, 0.95])
+    assert not out[2].is_match
+    assert out[3].p_match == post([0.05, 0.02], [0.9, 0.95])
+    assert out[3].p_match < 0.001
+
+
+def test_fs_match_probability_consumes_em_estimates(spark):
+    """The learned-slot handshake: estimate_fs_weights' m/u plug into
+    fs_match_probability and the posterior separates the planted classes
+    of the EM world (true-pair patterns high, random patterns low)."""
+    from word_sense_disambiguation_spark.operators.pairs import (
+        estimate_fs_weights,
+        fs_match_probability,
+    )
+
+    df, comps = _planted_em_world(spark)
+    est = estimate_fs_weights(df, comps, iters=40)
+    for spec in comps:
+        spec["m"] = tuple(est["m"][spec["name"]])
+        spec["u"] = tuple(est["u"][spec["name"]])
+    scored = fs_match_probability(
+        df.withColumn("id_a", F.col("name_a")).withColumn("id_b", F.col("name_b")),
+        comps,
+        lam=est["lambda"],
+    )
+    agg = scored.groupBy(
+        F.col("id_a").startswith("match").alias("is_true_pair")
+    ).agg(F.avg("p_match").alias("mean_p"))
+    means = {r.is_true_pair: r.mean_p for r in agg.collect()}
+    assert means[True] > 0.8
+    assert means[False] < 0.1
+
+
+def test_fs_match_probability_plan_pure_codegen(spark):
+    """Per-row decode over blocked pairs: no Exchange, no Python."""
+    from word_sense_disambiguation_spark.operators.pairs import (
+        fs_match_probability,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, "a", "b")], "id_a long, id_b long, name_a string, name_b string"
+    )
+    comps = [{"name": "name", "left": "name_a", "right": "name_b", "close": 1,
+              "m": (0.1, 0.2, 0.7), "u": (0.7, 0.2, 0.1)}]
+    plan = (
+        fs_match_probability(df, comps)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:1200]
+    assert "Python" not in plan, plan[:1200]

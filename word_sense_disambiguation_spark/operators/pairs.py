@@ -326,6 +326,69 @@ def estimate_fs_weights(
     return {"lambda": lam, "m": m, "u": u, "w": w, "n_pairs": n_total}
 
 
+def fs_match_probability(
+    pairs: DataFrame,
+    comparisons: list[dict],
+    lam: float = 0.1,
+    threshold: float = 0.5,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Posterior match probability under the Fellegi-Sunter conditional-
+    independence model: ``P(match | pattern) = lam*Πm / (lam*Πm +
+    (1-lam)*Πu)`` — the probability decode Splink calls ``predict()``,
+    downstream of ``estimate_fs_weights`` (whose ``m``/``u``/``lambda``
+    plug in directly) or of documented priors.
+
+    Each comparison spec carries ``"m": (m_diff, m_close, m_exact)`` and
+    ``"u": (u_diff, u_close, u_exact)`` probability literals indexed by
+    the agreement level. The whole posterior is ONE fixed per-row IEEE
+    expression — a left-associated product chain of CASE-selected
+    literals, then a single ratio — so any engine that spells the same
+    literals and parenthesization replays it bit-for-bit (the
+    ``decode_probabilities`` float discipline, without needing dyadic
+    inputs: literal parsing and each * / + / are correctly rounded
+    everywhere). Pure codegen over blocked pairs: zero shuffle, zero
+    UDF. ``is_match = p_match >= threshold`` (default 0.5, exact
+    dyadic).
+
+    Output: ``(id_a, id_b, lvl_<field>..., p_match, is_match)``.
+    Reference parity anchor: the softmax->top-1 + threshold decision of
+    /root/reference/wsd/word_sense_disambiguation.py:194-217, replayed
+    here as the exact Bayes posterior of the linkage model.
+    """
+    out = pairs
+    lvl_cols = []
+    pm = f"CAST({lam!r} AS DOUBLE)"
+    pu = f"(CAST(1.0 AS DOUBLE) - CAST({lam!r} AS DOUBLE))"
+    for spec in comparisons:
+        name = f"lvl_{spec['name']}"
+        out = out.withColumn(name, _agreement_level(spec))
+        lvl_cols.append(name)
+        m0, m1, m2 = (float(x) for x in spec["m"])
+        u0, u1, u2 = (float(x) for x in spec["u"])
+        pm = (
+            f"({pm} * CASE {name} WHEN 2 THEN CAST({m2!r} AS DOUBLE)"
+            f" WHEN 1 THEN CAST({m1!r} AS DOUBLE)"
+            f" ELSE CAST({m0!r} AS DOUBLE) END)"
+        )
+        pu = (
+            f"({pu} * CASE {name} WHEN 2 THEN CAST({u2!r} AS DOUBLE)"
+            f" WHEN 1 THEN CAST({u1!r} AS DOUBLE)"
+            f" ELSE CAST({u0!r} AS DOUBLE) END)"
+        )
+    p = f"({pm} / ({pm} + {pu}))"
+    return out.select(
+        id_a,
+        id_b,
+        *lvl_cols,
+        F.expr(p).alias("p_match"),
+        F.expr(f"{p} >= CAST({float(threshold)!r} AS DOUBLE)").alias(
+            "is_match"
+        ),
+    )
+
+
 def mutual_best_match(
     pairs: DataFrame,
     id_a: str = "id_a",
