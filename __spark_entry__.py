@@ -1288,6 +1288,21 @@ def _fs_customer_pairs(spark, sf_dir):
     return pairs, comps
 
 
+def _q_blocking_cost(spark, sf_dir):
+    """Pre-flight blocking cost audit of the (nation, segment) key over
+    customer: exact pair bill sum C(n,2), block skew facts, and the
+    oversized share a 64-cap would divert — the one-aggregate estimate
+    you run BEFORE materializing 10^12 candidate pairs."""
+    from word_sense_disambiguation_spark.operators.blocking import (
+        blocking_cost_estimate,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    return blocking_cost_estimate(
+        cust, ["c_nationkey", "c_mktsegment"], max_block_size=64
+    )
+
+
 def _q_fs_match_probability(spark, sf_dir):
     """FS posterior decode over the corrupted-customer pair world with
     documented prior m/u literals: P(match|pattern) as one fixed
@@ -2250,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": _q_ngram_containment,
         "degree_pruned_edges": _q_degree_pruned_edges,
         "fs_match_probability": _q_fs_match_probability,
+        "blocking_cost": _q_blocking_cost,
         "blocking_quality": _q_blocking_quality,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -2600,6 +2616,32 @@ def oracle_sql() -> dict[str, str]:
                  AND a.doc_id < b.doc_id
             WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
                   / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) > 0.0
+        """,
+        # Blocking-cost replay: one size aggregate, HUGEINT doubled sums
+        # (Spark sums DECIMAL(38,0)), one IEEE division for the share.
+        "blocking_cost": r"""
+            WITH sizes AS (
+              SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+              FROM customer GROUP BY c_nationkey, c_mktsegment
+            ),
+            agg AS (
+              SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_records,
+                     CAST(count(*) AS BIGINT) AS n_blocks,
+                     CAST(COALESCE(max(n), 0) AS BIGINT) AS max_block_size_obs,
+                     CAST(COALESCE(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_oversized_blocks,
+                     sum(CASE WHEN n > 64 THEN CAST(n * (n - 1) AS HUGEINT)
+                              ELSE CAST(0 AS HUGEINT) END) AS over2,
+                     sum(CAST(n * (n - 1) AS HUGEINT)) AS all2
+              FROM sizes
+            )
+            SELECT n_records, n_blocks,
+                   CAST(COALESCE(all2, 0) // 2 AS BIGINT) AS candidate_pairs,
+                   max_block_size_obs, n_oversized_blocks,
+                   CASE WHEN all2 IS NULL OR all2 = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE CAST(COALESCE(over2, 0) AS DOUBLE)
+                             / CAST(all2 AS DOUBLE) END AS oversized_pair_share
+            FROM agg
         """,
         # FS posterior replay: same agreement levels, identical literal
         # products (left-associated) and one ratio; computing pm/pu in a

@@ -680,3 +680,41 @@ def test_fs_match_probability_plan_pure_codegen(spark):
     )
     assert "Exchange" not in plan, plan[:1200]
     assert "Python" not in plan, plan[:1200]
+
+
+def test_blocking_cost_estimate_hand_example(spark):
+    """Blocks {5, 3, 1, 2xNULL-keyed}: exact pair bill 10+3+0+1 = 14,
+    NULL keys group as one real block (the monster-block catch), cap 3
+    flags one oversized block carrying 20/28 of the doubled bill."""
+    from word_sense_disambiguation_spark.operators.blocking import (
+        blocking_cost_estimate,
+    )
+
+    rows = (
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] + [(None,)] * 2
+    )
+    df = spark.createDataFrame(rows, "k string")
+    r = blocking_cost_estimate(df, ["k"], max_block_size=3).collect()[0]
+    assert r.n_records == 11
+    assert r.n_blocks == 4
+    assert r.candidate_pairs == 14
+    assert r.max_block_size_obs == 5
+    assert r.n_oversized_blocks == 1
+    assert r.oversized_pair_share == 20.0 / 28.0
+
+
+def test_blocking_cost_estimate_empty_and_invariance(spark):
+    from word_sense_disambiguation_spark.operators.blocking import (
+        blocking_cost_estimate,
+    )
+
+    empty = spark.createDataFrame([], "k string")
+    r = blocking_cost_estimate(empty, ["k"]).collect()[0]
+    assert (r.n_records, r.n_blocks, r.candidate_pairs) == (0, 0, 0)
+    assert r.oversized_pair_share is None
+    df = spark.createDataFrame(
+        [("k%d" % (i % 7),) for i in range(100)], "k string"
+    )
+    one = blocking_cost_estimate(df.coalesce(1), ["k"]).collect()
+    many = blocking_cost_estimate(df.repartition(9), ["k"]).collect()
+    assert one == many

@@ -456,3 +456,69 @@ def sorted_neighborhood_pairs(
             (F.col("_rb") - F.col("_ra")).cast("long").alias("rank_gap"),
         )
     )
+
+
+def blocking_cost_estimate(
+    records: DataFrame,
+    key_cols: list[str],
+    max_block_size: int = 64,
+) -> DataFrame:
+    """Pre-flight cost audit of a PROPOSED blocking key, before anyone
+    materializes a pair: one partial-combined groupBy over the key gives
+    the exact pair bill ``candidate_pairs = Σ_k C(n_k, 2)`` (the number
+    every blocked self-join will explode into), block-count/max-size
+    skew facts, and how many blocks an engine cap at ``max_block_size``
+    would divert to the oversized side table. Run it at 10^12 rows for
+    the price of one aggregate — THEN decide whether the key needs
+    another attribute, a cap, or canopies (Christen 2012 §7.2's quality/
+    cost framework, the cost half of ``blocking_quality`` above).
+
+    NULL key components count as a real block value on purpose
+    (groupBy's NULL-equality): a mostly-null proposed key shows up here
+    as one monster block — exactly the pathology the estimate exists to
+    catch (same NULL contract as ``canonical_url``'s documented
+    groupBy caveat). All BIGINT-exact doubled forms (DECIMAL(38,0) sum
+    for the pair bill: a 10^9 hot block contributes ~10^18 before the
+    halving); one row out.
+
+    Output: ``(n_records, n_blocks, candidate_pairs, max_block_size_obs,
+    n_oversized_blocks, oversized_pair_share)`` — the share is ONE IEEE
+    division of the exact doubled sums (NULL when there are no pairs).
+    """
+    sizes = records.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return sizes.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_records"),
+        F.count("*").cast("long").alias("n_blocks"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias(
+            "max_block_size_obs"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("n") > int(max_block_size), 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_oversized_blocks"),
+        F.sum(
+            F.when(
+                F.col("n") > int(max_block_size),
+                F.expr("CAST(n * (n - 1) AS DECIMAL(38,0))"),
+            ).otherwise(F.expr("CAST(0 AS DECIMAL(38,0))"))
+        ).alias("_over2"),
+        F.sum(F.expr("CAST(n * (n - 1) AS DECIMAL(38,0))")).alias("_all2"),
+    ).select(
+        "n_records",
+        "n_blocks",
+        # the doubled sum halves evenly; DIV on the exact DECIMAL stays
+        # integer-exact, then the BIGINT cast bounds output at 9.2e18
+        # pairs (an estimate that large has already made the decision)
+        F.expr("CAST(coalesce(_all2, 0) DIV 2 AS BIGINT)").alias(
+            "candidate_pairs"
+        ),
+        "max_block_size_obs",
+        "n_oversized_blocks",
+        F.expr(
+            "CASE WHEN _all2 IS NULL OR _all2 = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(coalesce(_over2, 0) AS DOUBLE)"
+            "      / CAST(_all2 AS DOUBLE) END"
+        ).alias("oversized_pair_share"),
+    )
