@@ -1288,6 +1288,18 @@ def _fs_customer_pairs(spark, sf_dir):
     return pairs, comps
 
 
+def _q_script_profile(spark, sf_dir):
+    """Per-document Unicode script composition over documents — literal
+    BMP range classes (never \\p{Script}: Java and RE2 disagree on
+    property classes), codepoint-deletion counts, fixed-priority
+    dominant pick, one IEEE division for the ratio."""
+    from word_sense_disambiguation_spark.operators.textstats import (
+        script_profile,
+    )
+
+    return script_profile(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def _q_blocking_cost(spark, sf_dir):
     """Pre-flight blocking cost audit of the (nation, segment) key over
     customer: exact pair bill sum C(n,2), block skew facts, and the
@@ -2266,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_pruned_edges": _q_degree_pruned_edges,
         "fs_match_probability": _q_fs_match_probability,
         "blocking_cost": _q_blocking_cost,
+        "script_profile": _q_script_profile,
         "blocking_quality": _q_blocking_quality,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -2616,6 +2629,49 @@ def oracle_sql() -> dict[str, str]:
                  AND a.doc_id < b.doc_id
             WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
                   / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) > 0.0
+        """,
+        # Script-composition replay: identical literal BMP ranges in RE2
+        # \x{...} syntax, global-flag regexp_replace deletion counts,
+        # same fixed-priority dominant CASE, one IEEE division.
+        "script_profile": r"""
+            WITH t AS (
+              SELECT doc_id, COALESCE(text, '') AS s FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                     CAST(length(s) AS BIGINT) AS n_chars,
+                     CAST(length(s) - length(regexp_replace(s,
+                       '[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]', '', 'g'))
+                       AS BIGINT) AS n_latin,
+                     CAST(length(s) - length(regexp_replace(s,
+                       '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+                     CAST(length(s) - length(regexp_replace(s,
+                       '[\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek,
+                     CAST(length(s) - length(regexp_replace(s,
+                       '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+                     CAST(length(s) - length(regexp_replace(s,
+                       '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7A3}]', '', 'g'))
+                       AS BIGINT) AS n_cjk
+              FROM t
+            )
+            SELECT doc_id, n_chars, n_latin, n_cyrillic, n_greek, n_arabic,
+                   n_cjk,
+                   CASE WHEN greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_cjk) = 0
+                          THEN 'none'
+                        WHEN n_latin = greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_cjk)
+                          THEN 'latin'
+                        WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_cjk)
+                          THEN 'cyrillic'
+                        WHEN n_greek = greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_cjk)
+                          THEN 'greek'
+                        WHEN n_arabic = greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_cjk)
+                          THEN 'arabic'
+                        ELSE 'cjk' END AS dominant_script,
+                   CASE WHEN n_chars = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE CAST(greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_cjk) AS DOUBLE)
+                             / CAST(n_chars AS DOUBLE)
+                   END AS dominant_ratio
+            FROM c
         """,
         # Blocking-cost replay: one size aggregate, HUGEINT doubled sums
         # (Spark sums DECIMAL(38,0)), one IEEE division for the share.

@@ -339,3 +339,70 @@ def test_distinctive_terms_ranking_and_determinism(spark):
     # parallelism invariance
     out2 = distinctive_terms(df.repartition(7), "doc_id", "text", top_k=2)
     assert sorted(map(tuple, out2.collect())) == got
+
+
+def test_script_profile_hand_example(spark):
+    """Known multi-script strings count exactly per codepoint range;
+    dominant pick follows the fixed priority; mixed-majority, tie, and
+    empty cases all pinned."""
+    from word_sense_disambiguation_spark.operators.textstats import (
+        script_profile,
+    )
+
+    rows = [
+        (1, "hello мир"),          # 5 latin + 3 cyrillic (space uncounted)
+        (2, "русский текст тут"),  # cyrillic dominant
+        (3, "日本語テスト"),         # cjk only
+        (4, "abc где"),            # 3 vs 3 tie -> latin (priority)
+        (5, ""),                   # empty
+        (6, "1234 !!"),            # chars but no script chars
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in script_profile(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert (r1.n_latin, r1.n_cyrillic, r1.n_chars) == (5, 3, 9)
+    assert r1.dominant_script == "latin"
+    assert r1.dominant_ratio == 5.0 / 9.0
+    assert out[2].dominant_script == "cyrillic"
+    r3 = out[3]
+    assert r3.n_cjk == 6 and r3.dominant_script == "cjk"
+    assert r3.dominant_ratio == 1.0
+    assert out[4].dominant_script == "latin"  # the tie rule
+    r5 = out[5]
+    assert r5.n_chars == 0 and r5.dominant_script == "none"
+    assert r5.dominant_ratio is None
+    r6 = out[6]
+    assert r6.dominant_script == "none" and r6.dominant_ratio == 0.0
+
+
+def test_script_profile_mislabeled_page_signal(spark):
+    """The routing use case: a page whose body is majority-CJK flags
+    cjk-dominant even when a wrapper sprinkles ASCII — the char-level
+    catch for token-level langid mislabels."""
+    from word_sense_disambiguation_spark.operators.textstats import (
+        script_profile,
+    )
+
+    body = "这是一个测试页面的正文内容很长" * 5
+    page = "<div id=x>" + body + "</div>"
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    r = script_profile(df, "doc_id", "text").collect()[0]
+    assert r.dominant_script == "cjk"
+    assert r.dominant_ratio > 0.7
+
+
+def test_script_profile_plan_no_shuffle(spark):
+    """One scan, pure codegen: no Exchange, no Python."""
+    from word_sense_disambiguation_spark.operators.textstats import (
+        script_profile,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (
+        script_profile(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan

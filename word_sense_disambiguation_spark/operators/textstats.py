@@ -323,3 +323,65 @@ def distinctive_terms(
         .filter(F.col("rank") <= top_k)
         .select(id_col, "rank", "token", "tf", "df", "score_scaled")
     )
+
+
+# Explicit BMP codepoint ranges, NOT \\p{Script} property classes: Java
+# regex (Spark) and RE2 (DuckDB/Go) disagree on property-class names and
+# membership across Unicode versions, but a literal range class denotes
+# the same codepoint set everywhere (the TOKEN_PATTERN \x0B-not-\v rule,
+# applied to scripts). U+00D7/U+00F7 (multiply/divide signs) are excluded
+# from the Latin letter ranges on purpose.
+_SCRIPT_RANGES = {
+    "latin": "A-Za-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u024F",
+    "cyrillic": "\u0400-\u04FF",
+    "greek": "\u0370-\u03FF",
+    "arabic": "\u0600-\u06FF",
+    "cjk": "\u4E00-\u9FFF\u3040-\u30FF\uAC00-\uD7A3",
+}
+# dominant-script tie priority = this listing order (stable, documented)
+_SCRIPT_ORDER = ["latin", "cyrillic", "greek", "arabic", "cjk"]
+
+
+def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Unicode SCRIPT composition — the char-level routing
+    signal under language ID (CommonCrawl/CCNet route pages to per-
+    language pipelines off exactly this; a 'lang=en' page that is 60%
+    CJK chars is a mislabel the token-level n-gram langid can miss).
+
+    Counts per script family by codepoint-range deletion:
+    ``n_x = length(t) - length(regexp_replace(t, '[ranges]', ''))`` —
+    pure JVM codegen, one scan, zero shuffle, and every count replays
+    on any engine because the classes are LITERAL BMP ranges, never
+    ``\\p{Script}`` properties (Java and RE2 disagree on those; same
+    trap family as ``\\s`` vs WS_CLASS). Dominant script = max count
+    with ties broken by the fixed family order, 'none' when no script
+    chars at all; ``dominant_ratio`` = dominant count / total chars
+    (ONE IEEE division, NULL on empty text).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: (
+            F.length(t) - F.length(F.regexp_replace(t, f"[{rng}]", ""))
+        ).cast("long")
+        for name, rng in _SCRIPT_RANGES.items()
+    }
+    out = df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        *[counts[n].alias(f"n_{n}") for n in _SCRIPT_ORDER],
+    )
+    best = F.greatest(*[F.col(f"n_{n}") for n in _SCRIPT_ORDER])
+    dom = F.lit("none")
+    for name in reversed(_SCRIPT_ORDER):
+        dom = F.when(
+            (F.col(f"n_{name}") == best) & (best > 0), F.lit(name)
+        ).otherwise(dom)
+    return out.select(
+        "*",
+        dom.alias("dominant_script"),
+        F.expr(
+            "CASE WHEN n_chars = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(greatest(n_latin, n_cyrillic, n_greek, n_arabic,"
+            " n_cjk) AS DOUBLE) / CAST(n_chars AS DOUBLE) END"
+        ).alias("dominant_ratio"),
+    )
