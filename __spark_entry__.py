@@ -1288,6 +1288,21 @@ def _fs_customer_pairs(spark, sf_dir):
     return pairs, comps
 
 
+def _q_vocabulary(spark, sf_dir):
+    """Corpus vocabulary over documents: min_count=5 floor, top-500 by
+    (count DESC, token ASC), contiguous 1-based ranks. The top-N is
+    TakeOrderedAndProject (bounded heaps, no full sort shuffle); the
+    rank window runs over the already-limited 500 rows."""
+    from word_sense_disambiguation_spark.operators.textstats import (
+        build_vocabulary,
+    )
+
+    return build_vocabulary(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        min_count=5, top_n=500,
+    )
+
+
 def _q_script_profile(spark, sf_dir):
     """Per-document Unicode script composition over documents — literal
     BMP range classes (never \\p{Script}: Java and RE2 disagree on
@@ -2279,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_match_probability": _q_fs_match_probability,
         "blocking_cost": _q_blocking_cost,
         "script_profile": _q_script_profile,
+        "vocabulary": _q_vocabulary,
         "blocking_quality": _q_blocking_quality,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -2629,6 +2645,27 @@ def oracle_sql() -> dict[str, str]:
                  AND a.doc_id < b.doc_id
             WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
                   / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) > 0.0
+        """,
+        # Vocabulary replay: same token counts, same total order, same
+        # floor and limit, row_number ranks.
+        "vocabulary": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))), '[ \t\n\r\f\x0B]+')) AS token
+              FROM documents
+            ),
+            c AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS count
+              FROM toks WHERE token <> ''
+              GROUP BY token HAVING count(*) >= 5
+            ),
+            r AS (
+              SELECT token, count,
+                     row_number() OVER (ORDER BY count DESC, token ASC)
+                       AS rank
+              FROM c
+            )
+            SELECT CAST(rank AS BIGINT) AS rank, token, count
+            FROM r WHERE rank <= 500
         """,
         # Script-composition replay: identical literal BMP ranges in RE2
         # \x{...} syntax, global-flag regexp_replace deletion counts,

@@ -406,3 +406,50 @@ def test_script_profile_plan_no_shuffle(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_build_vocabulary_semantics(spark):
+    """Exact counts, min-count floor, (count DESC, token ASC) total
+    order with contiguous ranks, boundary-tie determinism, and
+    partitioning invariance."""
+    from word_sense_disambiguation_spark.operators.textstats import (
+        build_vocabulary,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "aa bb dd dd"), (3, "aa cc dd")],
+        "doc_id long, text string",
+    )
+    out = [
+        (r["rank"], r["token"], r["count"])
+        for r in build_vocabulary(
+            docs, "doc_id", "text", min_count=2, top_n=3
+        ).collect()
+    ]
+    # counts: aa 4, dd 3, bb 2, cc 2 -> top 3 cuts at the bb/cc tie,
+    # token ASC keeps bb
+    assert out == [(1, "aa", 4), (2, "dd", 3), (3, "bb", 2)]
+    many = [
+        (r["rank"], r["token"], r["count"])
+        for r in build_vocabulary(
+            docs.repartition(7), "doc_id", "text", min_count=2, top_n=3
+        ).collect()
+    ]
+    assert many == out
+
+
+def test_build_vocabulary_plan_take_ordered(spark):
+    """The global top-N must be TakeOrderedAndProject (bounded heaps),
+    never a full Sort shuffle over the count table."""
+    from word_sense_disambiguation_spark.operators.textstats import (
+        build_vocabulary,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        build_vocabulary(docs, "doc_id", "text", min_count=1, top_n=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:1500]

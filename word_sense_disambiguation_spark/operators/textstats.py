@@ -385,3 +385,46 @@ def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             " n_cjk) AS DOUBLE) / CAST(n_chars AS DOUBLE) END"
         ).alias("dominant_ratio"),
     )
+
+
+def build_vocabulary(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    top_n: int = 50_000,
+) -> DataFrame:
+    """Tokenizer-prep vocabulary: corpus token counts -> min-count floor
+    -> global top-N by (count DESC, token ASC) with contiguous ranks —
+    the table a BPE/WordPiece trainer, an OOV filter, or a hash-free
+    embedding layer consumes.
+
+    Scale shape: ONE partial-combined token-count groupBy is the only
+    full-data shuffle (a 10^12-token corpus contracts map-side to its
+    distinct tokens); the global top-N is ``orderBy(...).limit(n)`` —
+    Spark's TakeOrderedAndProject keeps a bounded per-partition heap and
+    merges N rows, NEVER a full sort shuffle — and the final contiguous
+    rank is a row_number window over the ALREADY-LIMITED n rows (a
+    caller-sized bounded window, the ``distinctive_terms`` doc-bounded
+    class, not a corpus-keyed one). The (count DESC, token ASC) order is
+    total, so boundary ties resolve deterministically at any
+    parallelism. ``top_n`` sizes driver/task memory — it is the
+    vocabulary budget, a few 100k in practice.
+
+    Output: ``(rank, token, count)``, rank 1-based.
+    """
+    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = F.when(t == "", F.array()).otherwise(F.split(t, WS_CLASS + "+"))
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+        .filter(F.col("count") >= int(min_count))
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(int(top_n))
+    )
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    return counts.select(
+        F.row_number().over(w).cast("long").alias("rank"), "token", "count"
+    )
