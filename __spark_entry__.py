@@ -1288,6 +1288,21 @@ def _fs_customer_pairs(spark, sf_dir):
     return pairs, comps
 
 
+def _q_cooccurrence(spark, sf_dir):
+    """Skip-gram co-occurrence (window 2, min_count 5) over documents
+    with the exp-PMI association ratio — exact BIGINT counts, honest
+    pre-floor totals, one fixed IEEE tree for the ratio (log-free on
+    purpose: rank on the ratio IS ranking on PMI)."""
+    from word_sense_disambiguation_spark.operators.textstats import (
+        cooccurrence_counts,
+    )
+
+    return cooccurrence_counts(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        window=2, min_count=5,
+    )
+
+
 def _q_vocabulary(spark, sf_dir):
     """Corpus vocabulary over documents: min_count=5 floor, top-500 by
     (count DESC, token ASC), contiguous 1-based ranks. The top-N is
@@ -2295,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_cost": _q_blocking_cost,
         "script_profile": _q_script_profile,
         "vocabulary": _q_vocabulary,
+        "cooccurrence": _q_cooccurrence,
         "blocking_quality": _q_blocking_quality,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -2645,6 +2661,47 @@ def oracle_sql() -> dict[str, str]:
                  AND a.doc_id < b.doc_id
             WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
                   / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) > 0.0
+        """,
+        # Co-occurrence replay: same raw-index positions, same canonical
+        # least/greatest pairs, pre-floor totals, identical IEEE tree.
+        "cooccurrence": r"""
+            WITH docsplit AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(COALESCE(text, ''))), '[ \t\n\r\f\x0B]+') AS toks
+              FROM documents
+            ),
+            tp AS (
+              SELECT doc_id AS did, i AS pos, toks[i + 1] AS tok
+              FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
+                    FROM docsplit)
+              WHERE toks[i + 1] <> ''
+            ),
+            uni AS (
+              SELECT tok AS w, CAST(count(*) AS BIGINT) AS n_w
+              FROM tp GROUP BY tok
+            ),
+            tt AS (SELECT CAST(COALESCE(sum(n_w), 0) AS BIGINT) AS t_tok FROM uni),
+            pr AS (
+              SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2
+              FROM tp a
+              JOIN tp b ON a.did = b.did
+               AND (b.pos = a.pos + 1 OR b.pos = a.pos + 2)
+            ),
+            pc AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+              FROM pr GROUP BY w1, w2
+            ),
+            tpr AS (SELECT CAST(COALESCE(sum(n_pair), 0) AS BIGINT) AS t_pairs FROM pc)
+            SELECT pc.w1, pc.w2, pc.n_pair,
+                   (CAST(pc.n_pair AS DOUBLE) * (CAST(tt.t_tok AS DOUBLE)
+                                                 * CAST(tt.t_tok AS DOUBLE)))
+                   / ((CAST(tpr.t_pairs AS DOUBLE) * CAST(u1.n_w AS DOUBLE))
+                      * CAST(u2.n_w AS DOUBLE)) AS assoc_ratio
+            FROM pc
+            JOIN uni u1 ON u1.w = pc.w1
+            JOIN uni u2 ON u2.w = pc.w2
+            CROSS JOIN tt CROSS JOIN tpr
+            WHERE pc.n_pair >= 5
         """,
         # Vocabulary replay: same token counts, same total order, same
         # floor and limit, row_number ranks.

@@ -453,3 +453,83 @@ def test_build_vocabulary_plan_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_cooccurrence_hand_example(spark):
+    """'a b a b' with window 2: pairs (a,b) x3, (a,a), (b,b) — exact
+    counts, canonical orientation, and the exp-PMI ratio's exact
+    arithmetic (T_tok=4, T_pairs=5)."""
+    from word_sense_disambiguation_spark.operators.textstats import (
+        cooccurrence_counts,
+    )
+
+    docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    out = {
+        (r.w1, r.w2): r
+        for r in cooccurrence_counts(
+            docs, "doc_id", "text", window=2, min_count=1
+        ).collect()
+    }
+    assert out[("a", "b")].n_pair == 3
+    assert out[("a", "a")].n_pair == 1
+    assert out[("b", "b")].n_pair == 1
+    r = out[("a", "b")]
+    assert r.assoc_ratio == (3.0 * (4.0 * 4.0)) / ((5.0 * 2.0) * 2.0)
+
+
+def test_cooccurrence_window_and_floor(spark):
+    """Window 1 sees only adjacent pairs; min_count floors output pairs
+    but the totals stay pre-floor (the rare pair's ratio is unchanged by
+    flooring OTHER pairs out)."""
+    from word_sense_disambiguation_spark.operators.textstats import (
+        cooccurrence_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y z x y")], "doc_id long, text string"
+    )
+    w1 = {
+        (r.w1, r.w2): r.n_pair
+        for r in cooccurrence_counts(
+            docs, "doc_id", "text", window=1, min_count=1
+        ).collect()
+    }
+    assert w1 == {("x", "y"): 2, ("y", "z"): 1, ("x", "z"): 1}
+    floored = cooccurrence_counts(
+        docs, "doc_id", "text", window=1, min_count=2
+    ).collect()
+    assert len(floored) == 1 and floored[0].n_pair == 2
+    # same pair's ratio with and without the floor: totals are pre-floor
+    unfloored = {
+        (r.w1, r.w2): r.assoc_ratio
+        for r in cooccurrence_counts(
+            docs, "doc_id", "text", window=1, min_count=1
+        ).collect()
+    }
+    assert floored[0].assoc_ratio == unfloored[("x", "y")]
+
+
+def test_cooccurrence_invariance_and_plan(spark):
+    from word_sense_disambiguation_spark.operators.textstats import (
+        cooccurrence_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t%d u%d v w" % (i % 5, i % 3)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    one = sorted(map(tuple, cooccurrence_counts(
+        docs.coalesce(1), "doc_id", "text", min_count=2
+    ).collect()))
+    many = sorted(map(tuple, cooccurrence_counts(
+        docs.repartition(7), "doc_id", "text", min_count=2
+    ).collect()))
+    assert one == many
+    plan = (
+        cooccurrence_counts(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

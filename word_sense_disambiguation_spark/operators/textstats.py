@@ -428,3 +428,80 @@ def build_vocabulary(
     return counts.select(
         F.row_number().over(w).cast("long").alias("rank"), "token", "count"
     )
+
+
+def cooccurrence_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 2,
+    min_count: int = 5,
+) -> DataFrame:
+    """Skip-gram co-occurrence table — the word2vec/GloVe prep statistic:
+    unordered token pairs within ``window`` positions, with an EXP-PMI
+    association ratio ``(n_pair · T_tok²) / (T_pairs · n_w1 · n_w2)``
+    (exactly the quantity inside PMI's log — log-free because log is
+    where cross-engine replay dies, and the ratio is order-isomorphic to
+    PMI anyway: rank/threshold on it directly).
+
+    Scale shape: positions ride ONE posexplode; window membership is an
+    offset EXPLODE (1..window) + one equi-join on (doc, position+k) —
+    the ``hopping_window`` move, never an inequality/range join; pair
+    and unigram counts are partial-combined groupBys; the two corpus
+    totals ride a broadcast one-row join (``distinctive_terms``'s _k
+    trick). All counts BIGINT-exact; the ratio is one fixed IEEE tree
+    over DOUBLE casts. ``min_count`` floors the OUTPUT pairs only — the
+    totals T_pairs/T_tok are computed before flooring, so the
+    distribution stays honest. Pairs are canonical ``w1 <= w2``
+    (least/greatest); a token co-occurring with itself counts like any
+    other pair.
+
+    Output: ``(w1, w2, n_pair, assoc_ratio)``.
+    """
+    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = F.when(t == "", F.array()).otherwise(F.split(t, WS_CLASS + "+"))
+    tokpos = (
+        df.select(F.col(id_col).alias("did"), F.posexplode(toks).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+    )
+    uni = tokpos.groupBy(F.col("tok").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_w")
+    )
+    t_tok = uni.agg(
+        F.coalesce(F.sum("n_w"), F.lit(0)).cast("long").alias("t_tok")
+    ).withColumn("_k", F.lit(1))
+    left = tokpos.select(
+        "did",
+        F.col("tok").alias("w_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(window)))).alias("k"),
+        "pos",
+    ).select("did", "w_a", (F.col("pos") + F.col("k")).alias("pos_b"))
+    pairs = left.join(
+        tokpos.select("did", F.col("pos").alias("pos_b"), F.col("tok").alias("w_b")),
+        on=["did", "pos_b"],
+    )
+    pc = pairs.select(
+        F.least("w_a", "w_b").alias("w1"), F.greatest("w_a", "w_b").alias("w2")
+    ).groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    t_pairs = pc.agg(
+        F.coalesce(F.sum("n_pair"), F.lit(0)).cast("long").alias("t_pairs")
+    ).withColumn("_k", F.lit(1))
+    return (
+        pc.filter(F.col("n_pair") >= int(min_count))
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), on="w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), on="w2")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(t_tok), on="_k")
+        .join(F.broadcast(t_pairs), on="_k")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.expr(
+                "(CAST(n_pair AS DOUBLE) * (CAST(t_tok AS DOUBLE)"
+                " * CAST(t_tok AS DOUBLE)))"
+                " / ((CAST(t_pairs AS DOUBLE) * CAST(n_w1 AS DOUBLE))"
+                "    * CAST(n_w2 AS DOUBLE))"
+            ).alias("assoc_ratio"),
+        )
+    )
