@@ -245,3 +245,69 @@ def test_redact_pii_idempotent_and_lossless_on_clean(text):
     assert twice == once
     if not any(_re.search(p, text) for p in (EMAIL_RE, IPV4_RE, PHONE_RE)):
         assert once == text
+
+
+# --- B-cubed scaled-DIV algebra (mirrors operators/evaluation.py:
+# b_cubed_metrics; the Spark==mirror identity is pinned on a fixture in
+# test_pipeline_e2e.test_b_cubed_hand_example) ---
+
+_S = 1_000_000_000
+
+
+def _b3_mirror(labels):
+    """The operator's integer arithmetic, verbatim: contingency cells ->
+    c*((c*S) DIV n) sums -> one division per metric."""
+    from collections import Counter
+
+    cells = Counter(labels)
+    np_ = Counter()
+    ng_ = Counter()
+    for (p, g), c in cells.items():
+        np_[p] += c
+        ng_[g] += c
+    n = sum(cells.values())
+    p_num = sum((c * _S // np_[p]) * c for (p, g), c in cells.items())
+    r_num = sum((c * _S // ng_[g]) * c for (p, g), c in cells.items())
+    return n, p_num / (float(n) * float(_S)), r_num / (float(n) * float(_S))
+
+
+_label = st.integers(min_value=0, max_value=6)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(_label, _label), min_size=1, max_size=60))
+def test_bcubed_truncation_bound_property(labels):
+    """Scaled-DIV truncation stays within 1/scale per record of the
+    exact rational B-cubed, and both metrics live in (0, 1]."""
+    from fractions import Fraction
+    from collections import Counter
+
+    n, p, r = _b3_mirror(labels)
+    cells = Counter(labels)
+    np_ = Counter()
+    ng_ = Counter()
+    for (pp, gg), c in cells.items():
+        np_[pp] += c
+        ng_[gg] += c
+    exact_p = sum(Fraction(c * c, np_[pp]) for (pp, gg), c in cells.items()) / n
+    exact_r = sum(Fraction(c * c, ng_[gg]) for (pp, gg), c in cells.items()) / n
+    assert 0.0 < p <= 1.0 and 0.0 < r <= 1.0
+    assert abs(p - float(exact_p)) < 1.0 / _S
+    assert abs(r - float(exact_r)) < 1.0 / _S
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(_label, _label), min_size=1, max_size=60))
+def test_bcubed_refinement_extremes_property(labels):
+    """Axiomatic extremes, EXACT (no truncation when c == n): a
+    prediction that refines gold (pred key = (gold, extra)) has
+    precision exactly 1.0; a prediction gold refines (gold key =
+    (pred, extra)) has recall exactly 1.0; identity labeling is
+    exactly (1.0, 1.0)."""
+    refined = [((g, p), g) for p, g in labels]
+    assert _b3_mirror(refined)[1] == 1.0
+    coarse = [(p, (p, g)) for p, g in labels]
+    assert _b3_mirror(coarse)[2] == 1.0
+    ident = [(g, g) for _, g in labels]
+    n, p, r = _b3_mirror(ident)
+    assert p == 1.0 == r
