@@ -843,6 +843,20 @@ def _q_mutual_best_match(spark, sf_dir):
     ).select("id_a", "id_b", F.col("score").cast("long").alias("score"))
 
 
+def _q_er_size_stats(spark, sf_dir):
+    """One-row shape audit of the derived-world ER clustering (same
+    pred construction as er_eval_pairwise: CC entity or own-id
+    fallback): record/entity counts, max cluster, singleton share, mean
+    size, dedup ratio — exact BIGINTs, single IEEE divisions."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        cluster_size_stats,
+    )
+
+    return cluster_size_stats(
+        _derived_er_labeled(spark, sf_dir), cluster_col="pred"
+    )
+
+
 def _q_incremental_er_attach(spark, sf_dir):
     """Incremental ER under the full hash gate: the derived corpus is split
     into a frozen base (even doc_ids, clustered with the REAL snapshot
@@ -2353,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_clusters_derived": _q_er_clusters_derived,
         "er_eval_pairwise": _q_er_eval_pairwise,
         "er_eval_bcubed": _q_er_eval_bcubed,
+        "er_size_stats": _q_er_size_stats,
         "incremental_er_attach": _q_incremental_er_attach,
         "entity_linking": _q_entity_linking,
         "eval_examples": _q_eval_examples,
@@ -5090,6 +5105,54 @@ def oracle_sql() -> dict[str, str]:
                                 - 2.0 * CAST(sp2 AS DOUBLE) * CAST(sg2 AS DOUBLE))
                    END AS adjusted_rand
             FROM tot, sp, sg
+        """,
+        # Size-stats replay: same labeled pred construction, one size
+        # aggregate, exact counts, single IEEE divisions.
+        "er_size_stats": f"""
+            WITH pred_cc AS ({_ER_DERIVED_CC_SQL}),
+            docsplit2 AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS toks
+              FROM documents
+            ),
+            mg AS (
+              SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)
+                       AS mention_id
+              FROM (
+                SELECT doc_id, i, toks[i + 1] AS tok
+                FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
+                      FROM docsplit2)
+                WHERE regexp_matches(toks[i + 1], '^[a-z]+$')
+                  AND length(toks[i + 1]) > 3
+                  AND (doc_id + i) % 23 = 0)
+            ),
+            lab AS (
+              SELECT COALESCE(p.entity_id, mg.mention_id) AS pred
+              FROM mg LEFT JOIN pred_cc p ON p.mention_id = mg.mention_id
+            ),
+            sizes AS (
+              SELECT pred, CAST(count(*) AS BIGINT) AS n
+              FROM lab GROUP BY pred
+            ),
+            agg AS (
+              SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_records,
+                     CAST(count(*) AS BIGINT) AS n_entities,
+                     CAST(COALESCE(max(n), 0) AS BIGINT) AS max_cluster_size,
+                     CAST(COALESCE(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_singletons
+              FROM sizes
+            )
+            SELECT n_records, n_entities, max_cluster_size, n_singletons,
+                   CASE WHEN n_entities = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE CAST(n_singletons AS DOUBLE)
+                             / CAST(n_entities AS DOUBLE) END AS singleton_share,
+                   CASE WHEN n_entities = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE CAST(n_records AS DOUBLE)
+                             / CAST(n_entities AS DOUBLE) END AS mean_cluster_size,
+                   CASE WHEN n_records = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE CAST(1.0 AS DOUBLE) - CAST(n_entities AS DOUBLE)
+                             / CAST(n_records AS DOUBLE) END AS dedup_ratio
+            FROM agg
         """,
         # B-cubed replay: same labeled construction, per-cell INTEGER
         # scaled-DIV contributions (c*((c*10^9)//n)) summed as HUGEINT

@@ -353,3 +353,25 @@ def test_prune_high_degree_plan_no_window(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cluster_size_stats_hand_example(spark):
+    """Clusters {3, 2, 1, 1}: exact counts and the three ratios."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        cluster_size_stats,
+    )
+
+    members = spark.createDataFrame(
+        [(i, c) for i, c in enumerate("AAABBCD")],
+        "mention_id long, entity_id string",
+    )
+    r = cluster_size_stats(members).collect()[0]
+    assert (r.n_records, r.n_entities, r.max_cluster_size, r.n_singletons) == (
+        7, 4, 3, 2)
+    assert r.singleton_share == 2.0 / 4.0
+    assert r.mean_cluster_size == 7.0 / 4.0
+    assert r.dedup_ratio == 1.0 - 4.0 / 7.0
+    empty = spark.createDataFrame([], "mention_id long, entity_id string")
+    e = cluster_size_stats(empty).collect()[0]
+    assert (e.n_records, e.n_entities, e.n_singletons) == (0, 0, 0)
+    assert e.singleton_share is None and e.dedup_ratio is None

@@ -436,3 +436,55 @@ def prune_high_degree_edges(
         .select(*edges.columns)  # anti-joins move their key first; restore
     )
     return kept, hubs
+
+
+def cluster_size_stats(
+    members: DataFrame,
+    cluster_col: str = "entity_id",
+) -> DataFrame:
+    """One-row clustering shape audit — the dataset-card numbers an ER
+    run publishes next to its clusters: ``(n_records, n_entities,
+    max_cluster_size, n_singletons, singleton_share, mean_cluster_size,
+    dedup_ratio)``. ``dedup_ratio = 1 - n_entities/n_records`` is the
+    fraction of records a downstream keep-one-per-entity pass removes;
+    ``singleton_share`` (share of ENTITIES that are singletons) and
+    ``max_cluster_size`` bracket the two failure smells — a blocker that
+    never fires vs a closure that welded a mega-cluster.
+
+    Scale shape: one partial-combined size groupBy, one one-row
+    aggregate over the contracted size table. Exact BIGINT counts; the
+    three ratios are single IEEE divisions (NULL on empty input).
+    """
+    sizes = members.groupBy(F.col(cluster_col).alias("_cl")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return sizes.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_records"),
+        F.count("*").cast("long").alias("n_entities"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias(
+            "max_cluster_size"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_singletons"),
+    ).select(
+        "n_records",
+        "n_entities",
+        "max_cluster_size",
+        "n_singletons",
+        F.expr(
+            "CASE WHEN n_entities = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(n_singletons AS DOUBLE)"
+            " / CAST(n_entities AS DOUBLE) END"
+        ).alias("singleton_share"),
+        F.expr(
+            "CASE WHEN n_entities = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(n_records AS DOUBLE)"
+            " / CAST(n_entities AS DOUBLE) END"
+        ).alias("mean_cluster_size"),
+        F.expr(
+            "CASE WHEN n_records = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(1.0 AS DOUBLE) - CAST(n_entities AS DOUBLE)"
+            " / CAST(n_records AS DOUBLE) END"
+        ).alias("dedup_ratio"),
+    )
