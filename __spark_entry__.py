@@ -1302,6 +1302,17 @@ def _fs_customer_pairs(spark, sf_dir):
     return pairs, comps
 
 
+def _q_token_diversity(spark, sf_dir):
+    """Simpson token diversity per document — the log-free entropy
+    analogue (exact integers until one IEEE division); empty docs keep
+    a NULL-diversity row."""
+    from word_sense_disambiguation_spark.operators.textstats import (
+        token_diversity,
+    )
+
+    return token_diversity(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def _q_cooccurrence(spark, sf_dir):
     """Skip-gram co-occurrence (window 2, min_count 5) over documents
     with the exp-PMI association ratio — exact BIGINT counts, honest
@@ -2325,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": _q_script_profile,
         "vocabulary": _q_vocabulary,
         "cooccurrence": _q_cooccurrence,
+        "token_diversity": _q_token_diversity,
         "blocking_quality": _q_blocking_quality,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -2676,6 +2688,36 @@ def oracle_sql() -> dict[str, str]:
                  AND a.doc_id < b.doc_id
             WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
                   / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) > 0.0
+        """,
+        # Diversity replay: same counts, HUGEINT sum of squares, same
+        # 1 - c2/(n*n) tree.
+        "token_diversity": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))), '[ \t\n\r\f\x0B]+')) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+              FROM toks WHERE token <> '' GROUP BY doc_id, token
+            ),
+            pd AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     sum(CAST(c * c AS HUGEINT)) AS c2
+              FROM tf GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(pd.n_distinct, 0) AS BIGINT) AS n_distinct,
+                   CASE WHEN pd.n_tokens IS NULL OR pd.n_tokens = 0
+                        THEN CAST(NULL AS DOUBLE)
+                        ELSE CAST(1.0 AS DOUBLE) - CAST(pd.c2 AS DOUBLE)
+                             / (CAST(pd.n_tokens AS DOUBLE)
+                                * CAST(pd.n_tokens AS DOUBLE))
+                   END AS simpson_diversity
+            FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
         """,
         # Co-occurrence replay: same raw-index positions, same canonical
         # least/greatest pairs, pre-floor totals, identical IEEE tree.

@@ -533,3 +533,55 @@ def test_cooccurrence_invariance_and_plan(spark):
     )
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_diversity_semantics(spark):
+    """Degenerate single-token spam scores 0, all-distinct scores
+    1 - 1/T, mixed case exact; empty/null docs keep NULL rows."""
+    from word_sense_disambiguation_spark.operators.textstats import (
+        token_diversity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "a b c d"),
+         (3, "x x y"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in token_diversity(docs, "doc_id", "text").collect()}
+    assert out[1].simpson_diversity == 0.0
+    assert out[2].simpson_diversity == 1.0 - (4.0 / 16.0)
+    assert out[3].simpson_diversity == 1.0 - 5.0 / 9.0
+    assert (out[3].n_tokens, out[3].n_distinct) == (3, 2)
+    for d in (4, 5):
+        assert out[d].n_tokens == 0
+        assert out[d].simpson_diversity is None
+    # the ranking claim: flat-histogram spam scores strictly below prose
+    assert out[1].simpson_diversity < out[3].simpson_diversity < out[2].simpson_diversity
+
+
+def test_cooccurrence_harmonic_weights_exact(spark):
+    """GloVe 1/d weighting in integer form: with scale=lcm(1..16), a
+    pair at offset k contributes exactly scale/k; 'a b _ a' (window 3)
+    gives (a,b) at offsets 1 and 2 -> w = scale + scale/2; the default
+    unweighted schema is unchanged."""
+    from word_sense_disambiguation_spark.operators.textstats import (
+        cooccurrence_counts,
+    )
+
+    S = 720720
+    docs = spark.createDataFrame([(1, "a b c a")], "doc_id long, text string")
+    out = {
+        (r.w1, r.w2): r
+        for r in cooccurrence_counts(
+            docs, "doc_id", "text", window=3, min_count=1, harmonic_scale=S
+        ).collect()
+    }
+    ab = out[("a", "b")]  # offsets 1 (a->b) and 2 (b->a at pos 1->3)
+    assert ab.n_pair == 2
+    assert ab.w_pair == S + S // 2
+    aa = out[("a", "a")]  # offset 3
+    assert aa.w_pair == S // 3
+    plain = cooccurrence_counts(
+        docs, "doc_id", "text", window=3, min_count=1
+    )
+    assert "w_pair" not in plain.columns

@@ -436,6 +436,7 @@ def cooccurrence_counts(
     text_col: str,
     window: int = 2,
     min_count: int = 5,
+    harmonic_scale: int | None = None,
 ) -> DataFrame:
     """Skip-gram co-occurrence table — the word2vec/GloVe prep statistic:
     unordered token pairs within ``window`` positions, with an EXP-PMI
@@ -456,7 +457,12 @@ def cooccurrence_counts(
     (least/greatest); a token co-occurring with itself counts like any
     other pair.
 
-    Output: ``(w1, w2, n_pair, assoc_ratio)``.
+    Output: ``(w1, w2, n_pair, assoc_ratio)``. With ``harmonic_scale``
+    set, a ``w_pair`` column is appended: GloVe's 1/distance weighting
+    in integer-exact form — a pair at offset k contributes
+    ``harmonic_scale DIV k``, so pick a scale the window's offsets
+    divide (720720 = lcm(1..16) makes every weight EXACT for windows up
+    to 16) and the weighted sum stays BIGINT — no float harmonics.
     """
     t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
     toks = F.when(t == "", F.array()).otherwise(F.split(t, WS_CLASS + "+"))
@@ -475,14 +481,23 @@ def cooccurrence_counts(
         F.col("tok").alias("w_a"),
         F.explode(F.sequence(F.lit(1), F.lit(int(window)))).alias("k"),
         "pos",
-    ).select("did", "w_a", (F.col("pos") + F.col("k")).alias("pos_b"))
+    ).select(
+        "did", "w_a", "k", (F.col("pos") + F.col("k")).alias("pos_b")
+    )
     pairs = left.join(
         tokpos.select("did", F.col("pos").alias("pos_b"), F.col("tok").alias("w_b")),
         on=["did", "pos_b"],
     )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_pair")]
+    if harmonic_scale is not None:
+        aggs.append(
+            F.sum(F.expr(f"{int(harmonic_scale)}L DIV k")).cast("long").alias("w_pair")
+        )
     pc = pairs.select(
-        F.least("w_a", "w_b").alias("w1"), F.greatest("w_a", "w_b").alias("w2")
-    ).groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        F.least("w_a", "w_b").alias("w1"),
+        F.greatest("w_a", "w_b").alias("w2"),
+        "k",
+    ).groupBy("w1", "w2").agg(*aggs)
     t_pairs = pc.agg(
         F.coalesce(F.sum("n_pair"), F.lit(0)).cast("long").alias("t_pairs")
     ).withColumn("_k", F.lit(1))
@@ -497,11 +512,63 @@ def cooccurrence_counts(
             "w1",
             "w2",
             "n_pair",
+            *(["w_pair"] if harmonic_scale is not None else []),
             F.expr(
                 "(CAST(n_pair AS DOUBLE) * (CAST(t_tok AS DOUBLE)"
                 " * CAST(t_tok AS DOUBLE)))"
                 " / ((CAST(t_pairs AS DOUBLE) * CAST(n_w1 AS DOUBLE))"
                 "    * CAST(n_w2 AS DOUBLE))"
             ).alias("assoc_ratio"),
+        )
+    )
+
+
+def token_diversity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document Simpson diversity of the token distribution:
+    ``1 - Σ c_i² / T²`` — the log-free member of the entropy family
+    (entropy needs a per-term log, which no cross-engine float replay
+    survives; Simpson is EXACT integer arithmetic until one final IEEE
+    division, and ranks junk the same way: a page that is one token
+    repeated scores 0, all-distinct tokens score 1 - 1/T). Production
+    use: the keyword-stuffing / generated-spam gate next to the Gopher
+    repetition fractions — repetition_stats catches repeated PHRASES,
+    diversity catches a flat degenerate token histogram.
+
+    Shape: one explode -> (doc, token) count -> per-doc sum of squares
+    (both partial-combined groupBys, never a window), left join back so
+    empty docs keep a row (NULL diversity, never a drop). Σc² sums as
+    DECIMAL(38,0) (a 10^9-token single-token doc squares to 10^18);
+    output ``(id, n_tokens, n_distinct, simpson_diversity)``.
+    """
+    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = F.when(t == "", F.array()).otherwise(F.split(t, WS_CLASS + "+"))
+    tf = (
+        df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_doc = tf.groupBy("_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.expr("CAST(c * c AS DECIMAL(38,0))")).alias("_c2"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("_id", id_col), on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long").alias("n_distinct"),
+            F.expr(
+                "CASE WHEN n_tokens IS NULL OR n_tokens = 0"
+                " THEN CAST(NULL AS DOUBLE)"
+                " ELSE CAST(1.0 AS DOUBLE) - CAST(_c2 AS DOUBLE)"
+                "      / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) END"
+            ).alias("simpson_diversity"),
         )
     )
