@@ -1370,6 +1370,36 @@ def _q_blocking_cost(spark, sf_dir):
     )
 
 
+def _q_sparsify_topk(spark, sf_dir):
+    """kNN sparsification over the close-key customer edge world with
+    keyed integer scores: keep edges in either endpoint's top-2 by
+    (score DESC, partner ASC). Salted two-level windows inside the
+    operator; the oracle replays the UNSALTED per-node top-k (the salt
+    never changes the result — the k best of a set are among the k
+    best of each part)."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        sparsify_topk_edges,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("ka"), F.col("c_nationkey").alias("nk")
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("kb"), F.col("c_nationkey").alias("nk")
+    )
+    edges = (
+        a.join(b, on="nk")
+        .filter((F.col("ka") < F.col("kb")) & (F.col("kb") - F.col("ka") <= 3))
+        .select(
+            F.col("ka").alias("id_a"),
+            F.col("kb").alias("id_b"),
+            ((F.col("ka") * 7 + F.col("kb")) % 100).cast("long").alias("score"),
+        )
+    )
+    return sparsify_topk_edges(edges, k=2)
+
+
 def _q_fs_match_probability(spark, sf_dir):
     """FS posterior decode over the corrupted-customer pair world with
     documented prior m/u literals: P(match|pattern) as one fixed
@@ -2333,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_pruned_edges": _q_degree_pruned_edges,
         "fs_match_probability": _q_fs_match_probability,
         "blocking_cost": _q_blocking_cost,
+        "sparsify_topk": _q_sparsify_topk,
         "script_profile": _q_script_profile,
         "vocabulary": _q_vocabulary,
         "cooccurrence": _q_cooccurrence,
@@ -2915,6 +2946,34 @@ def oracle_sql() -> dict[str, str]:
                    pm / (pm + pu) AS p_match,
                    pm / (pm + pu) >= CAST(0.5 AS DOUBLE) AS is_match
             FROM t
+        """,
+        # Sparsify replay: unsalted per-node top-k windows (salts don't
+        # change the result), either-endpoint union, edge dedup.
+        "sparsify_topk": r"""
+            WITH e AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                     CAST((a.c_custkey * 7 + b.c_custkey) % 100 AS BIGINT)
+                       AS score
+              FROM customer a
+              JOIN customer b ON a.c_nationkey = b.c_nationkey
+              WHERE a.c_custkey < b.c_custkey
+                AND b.c_custkey - a.c_custkey <= 3
+            ),
+            ends AS (
+              SELECT id_a AS node, id_b AS partner, id_a, id_b, score FROM e
+              UNION ALL
+              SELECT id_b AS node, id_a AS partner, id_a, id_b, score FROM e
+            ),
+            ranked AS (
+              SELECT id_a, id_b, score,
+                     row_number() OVER (PARTITION BY node
+                                        ORDER BY score DESC, partner ASC)
+                       AS rn
+              FROM ends
+            )
+            SELECT id_a, id_b, CAST(min(score) AS BIGINT) AS score
+            FROM ranked WHERE rn <= 2
+            GROUP BY id_a, id_b
         """,
         # Degree-cap replay: same close-key edge world, symmetrized
         # endpoint counts, hub exclusion via NOT IN, tagged union.

@@ -375,3 +375,63 @@ def test_cluster_size_stats_hand_example(spark):
     e = cluster_size_stats(empty).collect()[0]
     assert (e.n_records, e.n_entities, e.n_singletons) == (0, 0, 0)
     assert e.singleton_share is None and e.dedup_ratio is None
+
+
+def test_sparsify_topk_hand_example(spark):
+    """Triangle with k=1: ab(10) survives via both ends, bc(9) via c,
+    ca(8) is in neither endpoint's top-1 -> dropped."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        sparsify_topk_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("b", "c", 9), ("c", "a", 8), ("d", "d", 99)],
+        "id_a string, id_b string, score long",
+    )
+    got = sorted(map(tuple, sparsify_topk_edges(edges, k=1).collect()))
+    assert got == [("a", "b", 10), ("b", "c", 9)]
+
+
+def test_sparsify_topk_salt_invariance_and_hub(spark):
+    """The salted two-level construction equals the unsalted per-node
+    top-k at any salts value; a star hub keeps its k strongest edges
+    while every leaf edge survives via the leaf endpoint (the kNN-union
+    semantics that makes this the keep-evidence hub policy)."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        sparsify_topk_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [("h", "a%02d" % i, i) for i in range(10)]
+        + [("a%02d" % i, "a%02d" % (i + 1), 100 + i) for i in range(9)],
+        "id_a string, id_b string, score long",
+    )
+    r1 = sorted(map(tuple, sparsify_topk_edges(edges, k=2, salts=1).collect()))
+    r64 = sorted(map(tuple, sparsify_topk_edges(edges, k=2, salts=64).collect()))
+    assert r1 == r64
+    # every hub edge survives: each leaf a_i ranks (h, a_i) within its
+    # own top-2 (leaves have degree <= 3) or the hub keeps its best 2 —
+    # what CANNOT happen is the chain edges being displaced by the hub
+    chain = {("a%02d" % i, "a%02d" % (i + 1)) for i in range(9)}
+    kept_pairs = {(a, b) for a, b, _ in r64}
+    assert chain <= kept_pairs
+
+
+def test_sparsify_topk_plan_salted_window(spark):
+    """The level-1 window must partition by (node, salt) — the salt
+    column appears in a window spec — and no cartesian anywhere."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        sparsify_topk_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1)], "id_a string, id_b string, score long"
+    )
+    plan = (
+        sparsify_topk_edges(edges, k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_salt" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan

@@ -488,3 +488,68 @@ def cluster_size_stats(
             " / CAST(n_records AS DOUBLE) END"
         ).alias("dedup_ratio"),
     )
+
+
+def sparsify_topk_edges(
+    edges: DataFrame,
+    k: int = 16,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score",
+    salts: int = 64,
+) -> DataFrame:
+    """kNN-graph sparsification before CC: keep each edge iff it ranks
+    in the top ``k`` by (score DESC, partner ASC) of EITHER endpoint —
+    the standard keep-the-evidence alternative to
+    ``prune_high_degree_edges``' drop-the-hub policy (embedding-based
+    dedup/ER builds exactly this mutual-kNN-union graph; a hub keeps
+    its k strongest matches instead of losing everything).
+
+    Scale shape is the ``site_quota_sample`` salted two-level top-K,
+    per graph node: level 1 ranks within ``(node, xxhash64(partner) %
+    salts)`` — a 10^6-degree hub's candidate list splits across
+    ``salts`` independent spill-safe window groups — and level 2
+    re-ranks the survivors within ``node``, hard-bounded at
+    ``salts * k`` rows per group by construction. Exact per-node top-k
+    (the k best of a set are among the k best of each part), total
+    deterministic order, then one partial-combined groupBy dedupes
+    edges kept via both endpoints. Input edges are assumed unique per
+    (id_a, id_b) — the engine's pair tables are — duplicates would
+    each occupy a top-k slot. Self-loops are dropped.
+
+    Output: ``(id_a, id_b, <score_col>)``.
+    """
+    from pyspark.sql import Window
+
+    e = edges.filter(F.col(id_a) != F.col(id_b)).select(
+        F.col(id_a).alias("_ea"), F.col(id_b).alias("_eb"),
+        F.col(score_col).alias("_s"),
+    )
+    ends = e.select(
+        F.col("_ea").alias("_node"), F.col("_eb").alias("_partner"),
+        "_ea", "_eb", "_s",
+    ).unionByName(
+        e.select(
+            F.col("_eb").alias("_node"), F.col("_ea").alias("_partner"),
+            "_ea", "_eb", "_s",
+        )
+    ).withColumn(
+        "_salt", F.pmod(F.xxhash64("_partner"), F.lit(int(salts))).cast("int")
+    )
+    w1 = Window.partitionBy("_node", "_salt").orderBy(
+        F.desc("_s"), F.asc("_partner")
+    )
+    lv1 = ends.withColumn("_rn", F.row_number().over(w1)).filter(
+        F.col("_rn") <= int(k)
+    )
+    w2 = Window.partitionBy("_node").orderBy(F.desc("_s"), F.asc("_partner"))
+    kept = (
+        lv1.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= int(k))
+        .groupBy("_ea", "_eb")
+        .agg(F.first("_s").alias("_s"))
+    )
+    return kept.select(
+        F.col("_ea").alias(id_a), F.col("_eb").alias(id_b),
+        F.col("_s").alias(score_col),
+    )
