@@ -1,0 +1,125 @@
+"""Batch-fuzz engine parity: seeded adversarial Unicode corpora run
+through the textstats operators on Spark AND through their oracle SQL on
+DuckDB in one shot, compared cell-exact. This is the oracle gate's
+hardening layer — testdata is ASCII-ish; these corpora are not.
+
+Also pins the ONE case-mapping divergence the fuzz sweep surfaced:
+Java lower('İ') = 'i' + U+0307 (Unicode full mapping, 2 codepoints)
+vs DuckDB/utf8proc = 'i' (simple mapping) — the same trap family as
+Java-\\s vs RE2-\\s and codepoint-vs-byte levenshtein. Any operator whose
+oracle-mirrored expression lowercases free text is portable EXCEPT on
+U+0130; the corpora here exclude it, the pin below documents it.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+import __spark_entry__ as entrymod
+from word_sense_disambiguation_spark.operators.textstats import (
+    build_vocabulary,
+    script_profile,
+    token_diversity,
+)
+
+_POOLS = [
+    "abcdefghij ",
+    "ABCDEF ",
+    "éüßı ",              # é ü ß ı (NOT U+0130, see module doc)
+    "бвгд ",              # cyrillic
+    "αβγ ",                    # greek
+    "ابت ",                    # arabic
+    "一二三あア가 ",  # han/kana/hangul
+    "\U0001F600\U0001F4A9 ",                  # astral emoji
+    "éä ",                        # combining marks
+    " \t\n\r\x0b\x0c",                        # whitespace zoo
+    "0123!@# ",
+]
+
+
+def _corpus():
+    rng = random.Random(42)
+    rows = []
+    for i in range(250):
+        n = rng.randint(0, 60)
+        rows.append((i, "".join(rng.choice(rng.choice(_POOLS)) for _ in range(n))))
+    rows += [(250, ""), (251, None), (252, "straße STRASSE ssss"),
+             (253, "é é e")]
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def _compare(spark_df, sql, pdf):
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sp = spark_df.toPandas()
+    du = con.sql(sql).df()
+    cols = sorted(sp.columns)
+    assert cols == sorted(du.columns)
+    sp = sp.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+    du = du.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+    assert len(sp) == len(du)
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and v != v):
+            return "NULL"
+        return repr(v.item() if hasattr(v, "item") else v)
+
+    for c in cols:
+        for i in range(len(sp)):
+            a, b = norm(sp[c].iloc[i]), norm(du[c].iloc[i])
+            assert a == b, (c, i, a, b)
+
+
+def _sdf(spark, pdf):
+    return spark.createDataFrame(
+        pdf.astype(object).where(pd.notnull(pdf), None),
+        "doc_id long, text string",
+    )
+
+
+def test_fuzz_script_profile_parity(spark):
+    pdf = _corpus()
+    _compare(
+        script_profile(_sdf(spark, pdf), "doc_id", "text"),
+        entrymod.oracle_sql()["script_profile"],
+        pdf,
+    )
+
+
+def test_fuzz_token_diversity_parity(spark):
+    pdf = _corpus()
+    _compare(
+        token_diversity(_sdf(spark, pdf), "doc_id", "text"),
+        entrymod.oracle_sql()["token_diversity"],
+        pdf,
+    )
+
+
+def test_fuzz_vocabulary_parity(spark):
+    pdf = _corpus()
+    _compare(
+        build_vocabulary(_sdf(spark, pdf), "doc_id", "text", min_count=5, top_n=500),
+        entrymod.oracle_sql()["vocabulary"],
+        pdf,
+    )
+
+
+def test_dotted_capital_i_divergence_pinned(spark):
+    """Java's lower('İ') is the two-codepoint full mapping
+    'i̇'; DuckDB's is the simple 'i'. Pinned so an engine upgrade
+    that changes either side is caught instead of silently shifting
+    oracle semantics (the levenshtein-divergence pin's sibling)."""
+    sp = (
+        spark.createDataFrame([("İ",)], "t string")
+        .select(F.lower("t"))
+        .collect()[0][0]
+    )
+    du = duckdb.sql("SELECT lower('İ')").fetchone()[0]
+    assert sp == "i̇"
+    assert du == "i"
+    assert sp != du
