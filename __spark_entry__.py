@@ -4462,9 +4462,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(st // 24 AS BIGINT) AS chunk_id,
                    CAST(st AS BIGINT) AS token_start,
                    CAST(least(st + 32, n) AS BIGINT) AS token_end,
-                   array_to_string(
+                   COALESCE(array_to_string(
                      list_slice(toks, CAST(st + 1 AS BIGINT),
-                                CAST(st + 32 AS BIGINT)), ' ') AS chunk_text
+                                CAST(st + 32 AS BIGINT)), ' '), '') AS chunk_text
             FROM s
         """,
         # tf-idf replay: same token split, same BIGINT scaled-idf

@@ -123,3 +123,53 @@ def test_dotted_capital_i_divergence_pinned(spark):
     assert sp == "i̇"
     assert du == "i"
     assert sp != du
+
+
+# --- generic driver-world fuzz: write an adversarial documents.parquet,
+# run the REAL _q query functions against it, replay their oracle SQL on
+# the same table in DuckDB ---
+
+_DOCQ = [
+    "quality_rule_flags",
+    "pii_redaction",
+    "url_canonicalize",
+    "text_profile",
+    "repetition_stats",
+    "fingerprint_counts",
+    "chunk_documents",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_world(tmp_path_factory):
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        n = rng.randint(0, 80)
+        txt = "".join(rng.choice(rng.choice(_POOLS)) for _ in range(n))
+        # salt in sentences/punct so the sentence- and symbol-based
+        # rules actually fire
+        if i % 3 == 0:
+            txt += ". " + txt[: n // 2] + "... - bullet"
+        rows.append(
+            (i, txt, rng.choice(["en", "fr", "zh"]),
+             rng.choice(["web", "wiki"]), len(txt))
+        )
+    rows.append((200, "", "en", "web", 0))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tmp_path_factory.mktemp("fuzzworld")
+    pdf.to_parquet(d / "documents.parquet", index=False)
+    return str(d), pdf
+
+
+@pytest.mark.parametrize("qname", _DOCQ)
+def test_fuzz_driver_queries_parity(spark, fuzz_world, qname):
+    """The driver-gate comparison itself, on an adversarial corpus: the
+    real queries()[qname] over a fuzz documents.parquet vs its
+    oracle_sql()[qname] on the same rows in DuckDB, cell-exact."""
+    sf_dir, pdf = fuzz_world
+    qs = entrymod.queries()
+    spark_df = qs[qname](spark, sf_dir)
+    _compare(spark_df, entrymod.oracle_sql()[qname], pdf)
