@@ -137,6 +137,17 @@ _DOCQ = [
     "repetition_stats",
     "fingerprint_counts",
     "chunk_documents",
+    "token_histogram",
+    "exact_dedup",
+    "boilerplate_dedup",
+    "ngram_jaccard_block",
+    "ngram_containment",
+    "distinctive_terms",
+    "substring_span_dedup",
+    "quality_classifier",
+    "tfidf_cosine",
+    "cooccurrence",
+    "langid_accuracy",
 ]
 
 
