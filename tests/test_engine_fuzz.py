@@ -184,3 +184,66 @@ def test_fuzz_driver_queries_parity(spark, fuzz_world, qname):
     qs = entrymod.queries()
     spark_df = qs[qname](spark, sf_dir)
     _compare(spark_df, entrymod.oracle_sql()[qname], pdf)
+
+
+_CUSTQ = [
+    "fellegi_sunter",
+    "mutual_best_match",
+    "fs_pattern_counts",
+    "fs_match_probability",
+    "cluster_cohesion",
+    "degree_pruned_edges",
+    "sparsify_topk",
+    "blocking_cost",
+]
+
+_NAME_BITS = [
+    "Customer", "Custmr", "#", "000", "x", "", " ", "--", "Q",
+    "aaaaaaaaaaaaaaaaaaaaaaaa", "A b C", ".", "!!",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_customers(tmp_path_factory):
+    """Adversarial ASCII customer world (names stay ASCII on purpose —
+    the oracle-mirrored-levenshtein pin): empty names, repeats, hot
+    nations, duplicate names across keys."""
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        name = "".join(rng.choice(_NAME_BITS) for _ in range(rng.randint(0, 5)))
+        # hot nation 0 (skew), plus a spread
+        nk = 0 if i % 3 == 0 else rng.randint(1, 9)
+        rows.append((i, name, nk, rng.choice(["AUTO", "BUILDING", "", "X"])))
+    pdf = pd.DataFrame(
+        rows, columns=["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    )
+    d = tmp_path_factory.mktemp("fuzzcust")
+    pdf.to_parquet(d / "customer.parquet", index=False)
+    return str(d), pdf
+
+
+@pytest.mark.parametrize("qname", _CUSTQ)
+def test_fuzz_customer_queries_parity(spark, fuzz_customers, qname):
+    sf_dir, pdf = fuzz_customers
+    spark_df = entrymod.queries()[qname](spark, sf_dir)
+    con_sql = entrymod.oracle_sql()[qname]
+    con = duckdb.connect()
+    con.register("customer", pdf)
+    sp = spark_df.toPandas()
+    du = con.sql(con_sql).df()
+    cols = sorted(sp.columns)
+    assert cols == sorted(du.columns)
+    sp = sp.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+    du = du.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+    assert len(sp) == len(du), (len(sp), len(du))
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and v != v):
+            return "NULL"
+        return repr(v.item() if hasattr(v, "item") else v)
+
+    for c in cols:
+        for i in range(len(sp)):
+            a, b = norm(sp[c].iloc[i]), norm(du[c].iloc[i])
+            assert a == b, (qname, c, i, a, b)
