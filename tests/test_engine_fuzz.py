@@ -247,3 +247,103 @@ def test_fuzz_customer_queries_parity(spark, fuzz_customers, qname):
         for i in range(len(sp)):
             a, b = norm(sp[c].iloc[i]), norm(du[c].iloc[i])
             assert a == b, (qname, c, i, a, b)
+
+
+_EVQ = [
+    "sessionization",
+    "running_sum",
+    "asof_join",
+    "range_join",
+    "time_rollup",
+    "hopping_window",
+    "latest_snapshot",
+    "hll_distinct",
+    "cms_heavy_hitters",
+    "group_quantiles",
+    "sampled_quantiles",
+    "salted_aggregate",
+    "table_checksum",
+    "profile_columns",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_events_world(tmp_path_factory, fuzz_world, fuzz_customers):
+    """Adversarial temporal world: EXACT duplicate timestamps (the tie
+    case every as-of/latest/sessionize bug hides in), one hot user, a
+    burst second, out-of-order event_ids, dyadic values (the engine's
+    oracle float discipline: sums must replay). Reuses the fuzz
+    documents and customers, adds events + orders."""
+    import datetime
+
+    rng = random.Random(23)
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    for i in range(600):
+        uid = 0 if i % 4 == 0 else rng.randint(1, 20)   # hot user 0
+        if i % 7 == 0:
+            ts = base                                    # burst: exact dup ts
+        else:
+            ts = base + datetime.timedelta(
+                seconds=rng.randint(-4000, 4000), microseconds=rng.choice([0, 1, 999999])
+            )
+        rows.append(
+            (1000 - i, ts, uid,
+             rng.choice(["click", "view", "buy", ""]),
+             rng.randint(0, 64) / 4.0,                    # dyadic doubles
+             rng.choice(["{}", "", "x"]))
+        )
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orows = []
+    for i in range(150):
+        orows.append(
+            (i, rng.randint(0, 299), rng.choice(["O", "F", "P"]),
+             rng.randint(0, 10_000) / 4.0,
+             base + datetime.timedelta(days=rng.randint(-30, 30)),
+             rng.choice(["1-URGENT", "5-LOW"]))
+        )
+    orders = pd.DataFrame(
+        orows,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    )
+    # testdata uses timestamp[us]; pandas defaults to ns, which Spark's
+    # parquet reader rejects (TIMESTAMP(NANOS))
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    d = tmp_path_factory.mktemp("fuzzevents")
+    ev.to_parquet(d / "events.parquet", index=False)
+    orders.to_parquet(d / "orders.parquet", index=False)
+    import shutil
+    shutil.copy(fuzz_world[0] + "/documents.parquet", d / "documents.parquet")
+    shutil.copy(fuzz_customers[0] + "/customer.parquet", d / "customer.parquet")
+    return str(d), {"events": ev, "orders": orders,
+                    "documents": fuzz_world[1], "customer": fuzz_customers[1]}
+
+
+@pytest.mark.parametrize("qname", _EVQ)
+def test_fuzz_temporal_queries_parity(spark, fuzz_events_world, qname):
+    sf_dir, tables = fuzz_events_world
+    spark_df = entrymod.queries()[qname](spark, sf_dir)
+    con = duckdb.connect()
+    for name, t in tables.items():
+        con.register(name, t)
+    sp = spark_df.toPandas()
+    du = con.sql(entrymod.oracle_sql()[qname]).df()
+    cols = sorted(sp.columns)
+    assert cols == sorted(du.columns)
+    sp = sp.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+    du = du.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+    assert len(sp) == len(du), (len(sp), len(du))
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and v != v):
+            return "NULL"
+        return repr(v.item() if hasattr(v, "item") else v)
+
+    for c in cols:
+        for i in range(len(sp)):
+            a, b = norm(sp[c].iloc[i]), norm(du[c].iloc[i])
+            assert a == b, (qname, c, i, a, b)
