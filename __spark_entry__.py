@@ -3194,13 +3194,21 @@ def oracle_sql() -> dict[str, str]:
               WHERE tok <> ''
             ),
             bits AS (
-              SELECT doc_id, i,
-                     CASE WHEN sum(CASE WHEN
-                         ((CAST(('0x' || substr(hx, 2 * (i // 8) + 1, 2)) AS INTEGER)
-                           >> CAST(i % 8 AS INTEGER)) & 1) = 1
-                       THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS m
-              FROM th CROSS JOIN (SELECT unnest(range(64)) AS i)
-              GROUP BY doc_id, i
+              -- over ALL documents (left join), not just token rows: a
+              -- token-less doc carries the all-zero signature, exactly
+              -- like the operator — empty docs ARE near-dups of each
+              -- other (fuzz-found; testdata has no empty docs)
+              SELECT d.doc_id, g.i,
+                     CASE WHEN COALESCE(sum(
+                         CASE WHEN th.hx IS NULL THEN NULL
+                              WHEN ((CAST(('0x' || substr(th.hx, 2 * (g.i // 8) + 1, 2)) AS INTEGER)
+                                     >> CAST(g.i % 8 AS INTEGER)) & 1) = 1
+                              THEN 1 ELSE -1 END), 0) > 0
+                          THEN 1 ELSE 0 END AS m
+              FROM documents d
+              CROSS JOIN (SELECT unnest(range(64)) AS i) g
+              LEFT JOIN th ON th.doc_id = d.doc_id
+              GROUP BY d.doc_id, g.i
             ),
             chunks AS (
               SELECT doc_id, CAST(i // 16 AS INTEGER) AS c,
@@ -4557,13 +4565,21 @@ def oracle_sql() -> dict[str, str]:
               WHERE tok <> ''
             ),
             bits AS (
-              SELECT doc_id, i,
-                     CASE WHEN sum(CASE WHEN
-                         ((CAST(('0x' || substr(hx, 2 * (i // 8) + 1, 2)) AS INTEGER)
-                           >> CAST(i % 8 AS INTEGER)) & 1) = 1
-                       THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS m
-              FROM th CROSS JOIN (SELECT unnest(range(64)) AS i)
-              GROUP BY doc_id, i
+              -- over ALL documents (left join), not just token rows: a
+              -- token-less doc carries the all-zero signature, exactly
+              -- like the operator — empty docs ARE near-dups of each
+              -- other (fuzz-found; testdata has no empty docs)
+              SELECT d.doc_id, g.i,
+                     CASE WHEN COALESCE(sum(
+                         CASE WHEN th.hx IS NULL THEN NULL
+                              WHEN ((CAST(('0x' || substr(th.hx, 2 * (g.i // 8) + 1, 2)) AS INTEGER)
+                                     >> CAST(g.i % 8 AS INTEGER)) & 1) = 1
+                              THEN 1 ELSE -1 END), 0) > 0
+                          THEN 1 ELSE 0 END AS m
+              FROM documents d
+              CROSS JOIN (SELECT unnest(range(64)) AS i) g
+              LEFT JOIN th ON th.doc_id = d.doc_id
+              GROUP BY d.doc_id, g.i
             ),
             chunks AS (
               SELECT doc_id, CAST(i // 16 AS INTEGER) AS c,

@@ -313,18 +313,130 @@ def fuzz_events_world(tmp_path_factory, fuzz_world, fuzz_customers):
     # parquet reader rejects (TIMESTAMP(NANOS))
     ev["ts"] = ev["ts"].astype("datetime64[us]")
     orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    prows = []
+    for i in range(80):
+        prows.append(
+            (i, " ".join(rng.choice(["brass", "steel", "tin", "x", ""])
+                         for _ in range(3)),
+             "Brand#%d" % (i % 5), rng.choice(["A TYPE", "B TYPE", ""]),
+             rng.randint(1, 50), rng.randint(0, 40_000) / 4.0)
+        )
+    part = pd.DataFrame(
+        prows, columns=["p_partkey", "p_name", "p_brand", "p_type",
+                        "p_size", "p_retailprice"],
+    )
+    part["p_size"] = part["p_size"].astype("int32")
+    lrows = []
+    for i in range(400):
+        lrows.append(
+            (rng.randint(0, 149), rng.randint(0, 79), rng.randint(0, 30),
+             i % 7, rng.randint(1, 50) / 1.0,
+             rng.randint(0, 40_000) / 4.0, rng.randint(0, 40) / 400.0,
+             rng.randint(0, 32) / 400.0,
+             rng.choice(["A", "N", "R"]), rng.choice(["O", "F"]),
+             base + datetime.timedelta(days=rng.randint(-60, 60)))
+        )
+    lineitem = pd.DataFrame(
+        lrows, columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_linenumber", "l_quantity", "l_extendedprice",
+                        "l_discount", "l_tax", "l_returnflag",
+                        "l_linestatus", "l_shipdate"],
+    )
+    lineitem["l_linenumber"] = lineitem["l_linenumber"].astype("int32")
+    lineitem["l_shipdate"] = lineitem["l_shipdate"].astype("datetime64[us]")
     d = tmp_path_factory.mktemp("fuzzevents")
     ev.to_parquet(d / "events.parquet", index=False)
     orders.to_parquet(d / "orders.parquet", index=False)
+    part.to_parquet(d / "part.parquet", index=False)
+    lineitem.to_parquet(d / "lineitem.parquet", index=False)
     import shutil
     shutil.copy(fuzz_world[0] + "/documents.parquet", d / "documents.parquet")
     shutil.copy(fuzz_customers[0] + "/customer.parquet", d / "customer.parquet")
-    return str(d), {"events": ev, "orders": orders,
+    return str(d), {"events": ev, "orders": orders, "part": part,
+                    "lineitem": lineitem,
                     "documents": fuzz_world[1], "customer": fuzz_customers[1]}
 
 
 @pytest.mark.parametrize("qname", _EVQ)
 def test_fuzz_temporal_queries_parity(spark, fuzz_events_world, qname):
+    sf_dir, tables = fuzz_events_world
+    spark_df = entrymod.queries()[qname](spark, sf_dir)
+    con = duckdb.connect()
+    for name, t in tables.items():
+        con.register(name, t)
+    sp = spark_df.toPandas()
+    du = con.sql(entrymod.oracle_sql()[qname]).df()
+    cols = sorted(sp.columns)
+    assert cols == sorted(du.columns)
+    sp = sp.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+    du = du.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+    assert len(sp) == len(du), (len(sp), len(du))
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and v != v):
+            return "NULL"
+        return repr(v.item() if hasattr(v, "item") else v)
+
+    for c in cols:
+        for i in range(len(sp)):
+            a, b = norm(sp[c].iloc[i]), norm(du[c].iloc[i])
+            assert a == b, (qname, c, i, a, b)
+
+
+# everything else that derives purely from the four fuzz tables —
+# including the FULL derived-ER pipeline (blocking -> scoring ->
+# assignment -> pair scorer -> recursive-closure CC) and the prompt
+# path, end-to-end on adversarial input
+_DERIVEDQ = [
+    "token_explode_counts",
+    "content_word_filter",
+    "argmax_per_group",
+    "confidence_renorm",
+    "adjective_expansion",
+    "mode_per_group",
+    "disjoint_split_buckets",
+    "mark_first_occurrence",
+    "minhash_dedup_clusters",
+    "simhash_candidates",
+    "connected_components",
+    "site_quota_sample",
+    "doc_packing",
+    "dedup_keep_best",
+    "contamination_check",
+    "training_prompts",
+    "eval_examples",
+    "decode_probabilities",
+    "er_clusters_derived",
+    "er_eval_pairwise",
+    "er_eval_bcubed",
+    "er_size_stats",
+    "incremental_er_attach",
+    "prompt_path_assignments_derived",
+    "entity_span_candidates",
+    "entity_linking",
+    "media_metadata",
+    "image_header_dims",
+    "mixture_sample",
+    "incremental_dedup",
+    "blocklist_filter",
+    "sorted_neighborhood",
+    "golden_record",
+    "cluster_split",
+    "phonetic_blocking",
+    "bloom_semijoin",
+    "zorder_layout",
+    "pos_normalize",
+    "blocking_join",
+    "pricing_summary",
+    "top_orders_per_customer",
+    "semi_anti_join",
+    "conditional_pivot",
+    "set_ops",
+]
+
+
+@pytest.mark.parametrize("qname", _DERIVEDQ)
+def test_fuzz_derived_queries_parity(spark, fuzz_events_world, qname):
     sf_dir, tables = fuzz_events_world
     spark_df = entrymod.queries()[qname](spark, sf_dir)
     con = duckdb.connect()
