@@ -3282,13 +3282,23 @@ def oracle_sql() -> dict[str, str]:
                        || '</article></body></html>' AS html_str
               FROM documents
             ),
-            h AS (SELECT url, substr(html_str, 1, 256) AS s FROM built),
+            -- BYTES of the UTF-8 payload, not characters: the operator
+            -- histograms the binary head, and ord(char)//16 only
+            -- coincides with byte>>4 on ASCII (fuzz-found; testdata
+            -- html is ASCII after entity escaping)
+            h AS (SELECT url,
+                         substr(hex(encode(html_str)), 1, 512) AS hx
+                  FROM built),
             b AS (
-              SELECT url, ord(substr(s, i + 1, 1)) // 16 AS bin
-              FROM (SELECT url, s, unnest(range(len(s))) AS i FROM h)
+              SELECT url,
+                     CAST(('0x' || substr(hx, 2 * i + 1, 2)) AS INTEGER) // 16
+                       AS bin
+              FROM (SELECT url, hx, unnest(range(len(hx) // 2)) AS i FROM h)
             ),
             grid AS (
-              SELECT url, len(s) AS n, unnest(range(16)) AS bin FROM h
+              SELECT url, greatest(len(hx) // 2, 1) AS n,
+                     unnest(range(16)) AS bin
+              FROM h
             ),
             counts AS (SELECT url, bin, count(*) AS c FROM b GROUP BY url, bin)
             SELECT g.url, CAST(g.bin AS INT) AS bin,

@@ -416,6 +416,9 @@ _DERIVEDQ = [
     "entity_linking",
     "media_metadata",
     "image_header_dims",
+    "frame_sample",
+    "resize_metadata",
+    "payload_histogram",
     "mixture_sample",
     "incremental_dedup",
     "blocklist_filter",
