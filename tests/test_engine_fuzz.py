@@ -462,3 +462,71 @@ def test_fuzz_derived_queries_parity(spark, fuzz_events_world, qname):
         for i in range(len(sp)):
             a, b = norm(sp[c].iloc[i]), norm(du[c].iloc[i])
             assert a == b, (qname, c, i, a, b)
+
+
+_EMBQ = ["cosine_topk", "ann_ivf", "ann_lsh", "embedding_neardup"]
+
+
+@pytest.fixture(scope="module")
+def fuzz_embeddings(tmp_path_factory):
+    """Integer-component float32 embeddings (exact in both float32 and
+    float64 — products and sums stay under 2^53), with planted exact
+    duplicates and near-duplicates and clustered groups (no zero
+    vector — cosine of the zero vector is undefined and outside the
+    documented embedding contract on both engines). Exact arithmetic keeps cosine RANKINGS engine-stable; the
+    vid tie rule resolves exact ties."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(31)
+    vecs = []
+    for i in range(120):
+        base = [float(rng.randint(-4, 4)) for _ in range(64)]
+        vecs.append(base)
+        if i % 10 == 0:
+            vecs.append(list(base))                      # exact duplicate
+        if i % 17 == 0:
+            near = list(base)
+            near[0] += 1.0                               # near-duplicate
+            vecs.append(near)
+    for v in vecs:
+        if all(x == 0.0 for x in v):
+            v[0] = 1.0  # keep every vector inside the nonzero contract
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+        "embedding": pa.array(
+            [np.asarray(v, dtype=np.float32) for v in vecs],
+            type=pa.list_(pa.float32()),
+        ),
+        "label": pa.array([i % 7 for i in range(len(vecs))], type=pa.int32()),
+    })
+    d = tmp_path_factory.mktemp("fuzzemb")
+    pq.write_table(tbl, d / "embeddings.parquet")
+    pdf = tbl.to_pandas()
+    return str(d), pdf
+
+
+@pytest.mark.parametrize("qname", _EMBQ)
+def test_fuzz_embedding_queries_parity(spark, fuzz_embeddings, qname):
+    sf_dir, pdf = fuzz_embeddings
+    spark_df = entrymod.queries()[qname](spark, sf_dir)
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    sp = spark_df.toPandas()
+    du = con.sql(entrymod.oracle_sql()[qname]).df()
+    cols = sorted(sp.columns)
+    assert cols == sorted(du.columns)
+    sp = sp.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+    du = du.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+    assert len(sp) == len(du), (len(sp), len(du))
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and v != v):
+            return "NULL"
+        return repr(v.item() if hasattr(v, "item") else v)
+
+    for c in cols:
+        for i in range(len(sp)):
+            a, b = norm(sp[c].iloc[i]), norm(du[c].iloc[i])
+            assert a == b, (qname, c, i, a, b)
