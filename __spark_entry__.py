@@ -843,6 +843,28 @@ def _q_mutual_best_match(spark, sf_dir):
     ).select("id_a", "id_b", F.col("score").cast("long").alias("score"))
 
 
+def _q_pr_sweep(spark, sf_dir):
+    """Threshold-calibration curve over the Fellegi-Sunter corrupted-
+    customer world: the SAME nation-blocked, three-field FS-scored pair
+    table as ``fellegi_sunter`` (UNfiltered — the sweep needs the whole
+    score axis), gold label = same custkey (the corrupted copy of k IS
+    record k), swept by ``pr_threshold_sweep``: one row per distinct
+    integer milli score with exact tp/fp/fn of "match iff score >= t"
+    and single-IEEE-division precision/recall/F1. One partial-combined
+    groupBy(score) contracts the pairs to the <= 3^3-point score
+    alphabet; the cumulative windows run over that tiny table."""
+    from word_sense_disambiguation_spark.operators.evaluation import (
+        pr_threshold_sweep,
+    )
+
+    scored = _fs_scored_customers(spark, sf_dir)
+    labeled = scored.select(
+        F.col("total_milli").alias("score"),
+        (F.col("id_a") == F.col("id_b")).alias("is_match"),
+    )
+    return pr_threshold_sweep(labeled, "score", "is_match")
+
+
 def _q_er_size_stats(spark, sf_dir):
     """One-row shape audit of the derived-world ER clustering (same
     pred construction as er_eval_pairwise: CC entity or own-id
@@ -2356,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "fellegi_sunter": _q_fellegi_sunter,
         "mutual_best_match": _q_mutual_best_match,
+        "pr_sweep": _q_pr_sweep,
         "fs_pattern_counts": _q_fs_pattern_counts,
         "cluster_cohesion": _q_cluster_cohesion,
         "tfidf_cosine": _q_tfidf_cosine,
@@ -4760,6 +4783,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT ra.id_a, ra.id_b, CAST(ra.total_milli AS BIGINT) AS score
             FROM ra JOIN rb ON ra.id_a = rb.id_a AND ra.id_b = rb.id_b
             WHERE ra.rk = 1 AND rb.rk = 1
+        """,
+        # Threshold-sweep replay: same FS-scored world UNfiltered, gold
+        # = same custkey; one groupBy(score) histogram then cumulative
+        # sums from the top of the score axis — all BIGINT, each metric
+        # ONE IEEE division of exact integers (f1 = 2tp/(2tp+fp+fn)).
+        "pr_sweep": r"""
+            WITH orig AS (
+              SELECT c_custkey AS id_a, c_nationkey AS nk,
+                     c_name AS name_a, c_mktsegment AS seg_a,
+                     substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) AS code_a
+              FROM customer
+            ),
+            corrupt AS (
+              SELECT c_custkey AS id_b, c_nationkey AS nk,
+                     CASE c_custkey % 4
+                       WHEN 1 THEN replace(c_name, 'Customer', 'Custmr')
+                       WHEN 2 THEN substr(c_name, 2, 1000)
+                       WHEN 3 THEN c_name || 'x'
+                       ELSE c_name END AS name_b,
+                     CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
+                          ELSE c_mktsegment END AS seg_b,
+                     CASE WHEN c_custkey % 6 = 0
+                          THEN 'z' || substr(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6), 2, 5)
+                          ELSE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) END AS code_b
+              FROM customer
+            ),
+            p AS (SELECT * FROM orig JOIN corrupt USING (nk)),
+            t AS (
+              SELECT id_a, id_b,
+                     CAST(CASE WHEN levenshtein(name_a, name_b) = 0 THEN 1500
+                               WHEN levenshtein(name_a, name_b) <= 3 THEN 600
+                               ELSE -1200 END
+                        + CASE WHEN levenshtein(seg_a, seg_b) = 0 THEN 800
+                               ELSE -800 END
+                        + CASE WHEN levenshtein(code_a, code_b) = 0 THEN 2500
+                               WHEN levenshtein(code_a, code_b) <= 2 THEN 1000
+                               ELSE -2000 END
+                        AS BIGINT) AS score
+              FROM p
+            ),
+            h AS (
+              SELECT score AS threshold,
+                     CAST(SUM(CASE WHEN id_a = id_b THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+                     CAST(SUM(CASE WHEN id_a = id_b THEN 0 ELSE 1 END) AS BIGINT) AS neg
+              FROM t GROUP BY score
+            ),
+            c AS (
+              SELECT threshold,
+                     CAST(SUM(pos) OVER (ORDER BY threshold DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+                     CAST(SUM(neg) OVER (ORDER BY threshold DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+                     CAST(SUM(pos) OVER ()
+                          - SUM(pos) OVER (ORDER BY threshold DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fn
+              FROM h
+            )
+            SELECT threshold, tp, fp, fn,
+                   CASE WHEN tp + fp = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision_at,
+                   CASE WHEN tp + fn = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall_at,
+                   CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1_at
+            FROM c
         """,
         # EM contraction replay: same corrupted-customer pair world and
         # agreement levels, grouped to pattern counts.

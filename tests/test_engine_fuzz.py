@@ -191,6 +191,7 @@ _CUSTQ = [
     "mutual_best_match",
     "fs_pattern_counts",
     "fs_match_probability",
+    "pr_sweep",
     "cluster_cohesion",
     "degree_pruned_edges",
     "sparsify_topk",
