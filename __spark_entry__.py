@@ -615,6 +615,37 @@ def _q_connected_components(spark, sf_dir):
     return connected_components(edges)
 
 
+def _q_clickstream_rank(spark, sf_dir):
+    """Integer-exact 3-iteration PageRank over the clickstream
+    transition graph: node = event_type:floor(value) page proxy, edge =
+    consecutive events of one user (ts, event_id order — deterministic
+    under burst timestamp ties). The recurrence is pure BIGINT
+    (scaled-DIV contributions, addition-only aggregation) so DuckDB
+    replays the ranks bit-for-bit through three unrolled CTE rounds."""
+    from pyspark.sql import Window
+
+    from word_sense_disambiguation_spark.operators.clustering import pagerank
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    node = F.concat(
+        F.col("event_type"),
+        F.lit(":"),
+        F.floor(F.col("value")).cast("long").cast("string"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(node.alias("node"), F.lag(node).over(w).alias("prev"))
+    edges = seq.filter(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("src"), F.col("node").alias("dst")
+    )
+    return pagerank(edges, iterations=3).select(
+        "node", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_er_clusters_synthetic(spark, sf_dir):
     from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
     from word_sense_disambiguation_spark.operators.blocking import (
@@ -2358,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_counts": _q_streaming_window_counts,
         "simhash_candidates": _q_simhash_candidates,
         "connected_components": _q_connected_components,
+        "clickstream_rank": _q_clickstream_rank,
         "media_metadata": _q_media_metadata,
         "image_header_dims": _q_image_header_dims,
         "frame_sample": _q_frame_sample,
@@ -3197,6 +3229,64 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
             )
             SELECT a AS node, min(b) AS component FROM reach GROUP BY a
+        """,
+        # PageRank replay: the integer recurrence is addition-only BIGINT
+        # (scaled-DIV edge contributions), so three unrolled rounds of the
+        # identical arithmetic replay the distributed ranks bit-for-bit.
+        "clickstream_rank": """
+            WITH ev AS (
+              SELECT user_id, ts, event_id,
+                     event_type || ':' ||
+                       CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) AS node
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                AND value IS NOT NULL
+            ),
+            seq AS (
+              SELECT node,
+                     lag(node) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+              FROM ev
+            ),
+            e AS (
+              SELECT prev AS src, node AS dst, CAST(count(*) AS BIGINT) AS w
+              FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+            ),
+            outd AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg
+                     FROM e GROUP BY src),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+            r1 AS (
+              SELECT n.node,
+                     CAST(150000000 + COALESCE(SUM(
+                       ((r.pr // o.outdeg) * e.w * 850) // 1000), 0) AS BIGINT) AS pr
+              FROM nodes n
+              LEFT JOIN e ON e.dst = n.node
+              LEFT JOIN outd o ON o.src = e.src
+              LEFT JOIN r0 r ON r.node = e.src
+              GROUP BY n.node
+            ),
+            r2 AS (
+              SELECT n.node,
+                     CAST(150000000 + COALESCE(SUM(
+                       ((r.pr // o.outdeg) * e.w * 850) // 1000), 0) AS BIGINT) AS pr
+              FROM nodes n
+              LEFT JOIN e ON e.dst = n.node
+              LEFT JOIN outd o ON o.src = e.src
+              LEFT JOIN r1 r ON r.node = e.src
+              GROUP BY n.node
+            ),
+            r3 AS (
+              SELECT n.node,
+                     CAST(150000000 + COALESCE(SUM(
+                       ((r.pr // o.outdeg) * e.w * 850) // 1000), 0) AS BIGINT) AS pr
+              FROM nodes n
+              LEFT JOIN e ON e.dst = n.node
+              LEFT JOIN outd o ON o.src = e.src
+              LEFT JOIN r2 r ON r.node = e.src
+              GROUP BY n.node
+            )
+            SELECT node, pr AS "rank" FROM r3
         """,
         # Recompute SimHash bit-by-bit in SQL: md5('sim:'||token) read as a
         # little-endian u64 (byte j = hex chars 2j+1..2j+2, bit i = bit i%8

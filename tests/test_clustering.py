@@ -435,3 +435,79 @@ def test_sparsify_topk_plan_salted_window(spark):
     )
     assert "_salt" in plan, plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+def _pagerank_replay(edges, iterations=3, scale=10**9, damping=850):
+    """Exact python replay of the operator's integer recurrence."""
+    from collections import Counter, defaultdict
+
+    w = Counter((s, d) for s, d in edges)
+    outdeg = Counter()
+    for (s, _d), c in w.items():
+        outdeg[s] += c
+    nodes = {s for s, _ in w} | {d for _, d in w}
+    teleport = (scale * (1000 - damping)) // 1000
+    r = {n: scale for n in nodes}
+    for _ in range(iterations):
+        inflow = defaultdict(int)
+        for (s, d), c in w.items():
+            inflow[d] += ((r[s] // outdeg[s]) * c * damping) // 1000
+        r = {n: teleport + inflow[n] for n in nodes}
+    return r
+
+
+def test_pagerank_matches_exact_replay(spark):
+    """The distributed ranks equal the integer recurrence bit-for-bit on
+    a graph with parallel edges (multiplicity = weight), a dangling
+    node, a hub, and a 2-cycle."""
+    from word_sense_disambiguation_spark.operators.clustering import pagerank
+
+    edges = [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"),
+             ("c", "d"), ("e", "c"), ("e", "c"), ("e", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, materialize=False).collect()}
+    want = _pagerank_replay(edges)
+    assert got == want
+    # dangling d: pure teleport floor after round 1? no — d has inflow
+    # from c; node e (source-only) holds exactly the teleport floor
+    assert got["e"] == 150_000_000
+    # every rank holds the teleport floor, and d (sole heir of c's whole
+    # outflow) outranks c (which splits a's outflow with b)
+    assert all(v >= 150_000_000 for v in got.values())
+    assert got["d"] > got["c"]
+
+
+def test_pagerank_invariance_and_edges(spark):
+    """Partitioning/materialization invariance; iterations=0 is the
+    uniform init; NULL endpoints are dropped; empty input -> empty."""
+    from word_sense_disambiguation_spark.operators.clustering import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), (None, "x"), ("x", None)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    one = sorted(pagerank(df.coalesce(1), materialize=False).collect())
+    many = sorted(pagerank(df.repartition(7), materialize=False).collect())
+    mat = sorted(pagerank(df, materialize=True).collect())
+    assert one == many == mat
+    assert {r.node for r in one} == {"a", "b", "c"}  # NULL-edge endpoints gone
+    init = {r.node: r.rank for r in pagerank(df, iterations=0, materialize=False).collect()}
+    assert set(init.values()) == {10**9}
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty, materialize=False).count() == 0
+
+
+def test_pagerank_plan_partial_combine_no_window(spark):
+    """Scale contract: each iteration contracts in-links with a
+    partial-combined HashAggregate (a 10^8-in-link hot page combines
+    map-side) — never a Window, never a cartesian product."""
+    from word_sense_disambiguation_spark.operators.clustering import pagerank
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 50).cast("string").alias("src"),
+        ((F.col("id") * 7) % 50).cast("string").alias("dst"),
+    )
+    out = pagerank(df, iterations=2, materialize=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]

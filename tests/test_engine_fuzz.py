@@ -263,6 +263,7 @@ _EVQ = [
     "group_quantiles",
     "sampled_quantiles",
     "salted_aggregate",
+    "clickstream_rank",
     "table_checksum",
     "profile_columns",
 ]
