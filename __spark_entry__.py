@@ -1625,6 +1625,27 @@ def _q_fs_pattern_counts(spark, sf_dir):
     return fs_agreement_patterns(pairs, comps)
 
 
+def _q_metablocking_prune(spark, sf_dir):
+    """Token blocking + CBS meta-blocking with Weighted Edge Pruning
+    over documents: every shared token (len >= 2, block cap 256) is a
+    block, pair weight = number of shared blocks, pairs below the
+    global mean weight pruned — with the mean test spelled as the exact
+    integer cross-multiply cbs * P >= S (ties keep), so the kept edge
+    set is bit-deterministic and fully SQL-replayable."""
+    from word_sense_disambiguation_spark.operators.blocking import (
+        meta_blocking_prune,
+    )
+
+    kept, _oversized = meta_blocking_prune(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        max_block_size=256,
+        min_token_len=2,
+    )
+    return kept
+
+
 def _q_blocking_quality(spark, sf_dir):
     """Blocking audit: pair completeness + reduction ratio of the
     SimHash@3 blocker against exact all-pairs 3-gram Jaccard >= 0.7
@@ -2424,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence": _q_cooccurrence,
         "token_diversity": _q_token_diversity,
         "blocking_quality": _q_blocking_quality,
+        "metablocking_prune": _q_metablocking_prune,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "time_rollup": _q_time_rollup,
@@ -4677,6 +4699,33 @@ def oracle_sql() -> dict[str, str]:
         # Jaccard construction (gold), three one-row aggregates
         # cross-joined; total_pairs via integer // 2 (exact), metrics
         # via one IEEE division each.
+        # Meta-blocking replay: same tokenization, DISTINCT (token, id)
+        # blocks, same 256 cap, CBS weights by within-block join, and the
+        # WEP mean threshold as the identical integer cross-multiply.
+        "metablocking_prune": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))),
+                              '[ \t\n\r\f\x0B]+')) AS tok
+                FROM documents)
+              WHERE length(tok) >= 2
+            ),
+            bs AS (SELECT tok, count(*) AS block_size FROM toks GROUP BY tok),
+            ok AS (
+              SELECT t.doc_id, t.tok FROM toks t
+              JOIN bs USING (tok) WHERE block_size <= 256
+            ),
+            pw AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS cbs
+              FROM ok a JOIN ok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            tot AS (SELECT CAST(COALESCE(SUM(cbs), 0) AS BIGINT) AS s,
+                           CAST(count(*) AS BIGINT) AS p FROM pw)
+            SELECT id_a, id_b, cbs FROM pw, tot WHERE cbs * p >= s
+        """,
         "blocking_quality": """
             WITH th AS (
               SELECT doc_id, md5('sim:' || tok) AS hx

@@ -718,3 +718,78 @@ def test_blocking_cost_estimate_empty_and_invariance(spark):
     one = blocking_cost_estimate(df.coalesce(1), ["k"]).collect()
     many = blocking_cost_estimate(df.repartition(9), ["k"]).collect()
     assert one == many
+
+
+def test_meta_blocking_prune_hand_example(spark):
+    """Blocks aa{1,2,3} bb{1,2} + singletons -> weights (1,2)=2,
+    (1,3)=1, (2,3)=1; S=4 P=3, WEP keeps cbs*3 >= 4 i.e. only (1,2).
+    Repeated tokens inside one doc count ONCE (distinct block
+    membership)."""
+    from word_sense_disambiguation_spark.operators.blocking import (
+        meta_blocking_prune,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb cc"), (2, "aa bb dd"), (3, "aa ee ff"), (4, "zz yy")],
+        "doc_id long, text string",
+    )
+    kept, oversized = meta_blocking_prune(docs, "doc_id", "text")
+    rows = kept.collect()
+    assert [(r.id_a, r.id_b, r.cbs) for r in rows] == [(1, 2, 2)]
+    assert oversized.count() == 0
+
+
+def test_meta_blocking_prune_cap_and_invariance(spark):
+    """A hot token over the block cap pairs nobody and lands in
+    `oversized`; results are partitioning/materialization invariant;
+    NULL/short tokens drop; empty corpus -> empty both."""
+    from word_sense_disambiguation_spark.operators.blocking import (
+        meta_blocking_prune,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"hot uniq{i} uniq{i + 1} x") for i in range(30)],
+        "doc_id long, text string",
+    )
+    kept, oversized = meta_blocking_prune(
+        docs, "doc_id", "text", max_block_size=8
+    )
+    ov = {r.token: r.block_size for r in oversized.collect()}
+    assert ov == {"hot": 30}  # 1-char "x" never blocks; "hot" capped out
+    got = sorted((r.id_a, r.id_b, r.cbs) for r in kept.collect())
+    # consecutive docs share exactly one uniqN token -> uniform weight 1,
+    # mean 1, everything kept
+    assert got == [(i, i + 1, 1) for i in range(29)]
+    k2, _ = meta_blocking_prune(
+        docs.repartition(7), "doc_id", "text", max_block_size=8,
+        materialize=False,
+    )
+    assert sorted((r.id_a, r.id_b, r.cbs) for r in k2.collect()) == got
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    ek, eo = meta_blocking_prune(empty, "doc_id", "text")
+    assert ek.count() == 0 and eo.count() == 0
+    nulls = spark.createDataFrame([(1, None), (2, "a b c")], "doc_id long, text string")
+    nk, _ = meta_blocking_prune(nulls, "doc_id", "text")
+    assert nk.count() == 0  # all tokens under min_token_len or NULL text
+
+
+def test_meta_blocking_prune_plan_shape(spark):
+    """Scale contract: the oversized-block exclusion is a broadcast
+    anti-join, the within-block self-join is co-partitioned on the
+    token, weights contract through a partial-combined HashAggregate,
+    and the mean joins back via BroadcastNestedLoopJoin (1-row side) —
+    no window, no shuffled cartesian over pairs."""
+    from word_sense_disambiguation_spark.operators.blocking import (
+        meta_blocking_prune,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 9} w{(i + 1) % 9}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    kept, _ = meta_blocking_prune(docs, "doc_id", "text", materialize=False)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+    assert "HashAggregate" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]

@@ -146,6 +146,7 @@ _DOCQ = [
     "substring_span_dedup",
     "quality_classifier",
     "tfidf_cosine",
+    "metablocking_prune",
     "cooccurrence",
     "langid_accuracy",
 ]

@@ -522,3 +522,78 @@ def blocking_cost_estimate(
             "      / CAST(_all2 AS DOUBLE) END"
         ).alias("oversized_pair_share"),
     )
+
+
+def meta_blocking_prune(
+    records: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_block_size: int = 256,
+    min_token_len: int = 2,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Token blocking + CBS meta-blocking with Weighted Edge Pruning
+    (Papadakis et al., "Comparison and generalization of blocking and
+    meta-blocking" family): every shared token is a block; a candidate
+    pair's weight is the NUMBER OF BLOCKS IT SHARES (Common Blocks
+    Scheme); pairs below the global mean weight are pruned — the
+    schema-agnostic recall-keeper that turns dirty token blocking's
+    quadratic candidate soup into a high-precision edge set before any
+    expensive pair scorer runs.
+
+    Exactness discipline: WEP's mean-weight threshold is the one place
+    this family usually goes float — here it never does. "cbs >= S/P"
+    is evaluated as the integer cross-multiply ``cbs * P >= S`` (S =
+    sum of weights, P = pair count, both BIGINT; ties at the mean KEEP
+    the pair), so the kept set is bit-deterministic on any engine.
+    Overflow bound: cbs <= blocks-per-record and P <= capped pair
+    count; cbs * P stays under 2^63 until ~10^14 candidate pairs —
+    far beyond what anyone should retain uncapped.
+
+    Scale shape: tokens contract to DISTINCT (token, id) via one
+    partial-combined groupBy; hot tokens (stopword blocks — crawl
+    reality) are excluded by the ``max_block_size`` cap and surfaced in
+    the returned ``oversized`` table (no silent drops — the
+    `_pairs_within_blocks` contract); the within-block self-join is
+    co-partitioned on the token; pair weights contract with ONE
+    partial-combined ``groupBy(id_a, id_b)``; the mean is a one-row
+    aggregate cross-joined back. ``materialize`` eagerly
+    localCheckpoints the weighted pair table before its 2-consumer
+    fan-out (mean + filter — the multi-consumer rule).
+
+    Returns ``(kept, oversized)``: kept = (id_a, id_b, cbs) with
+    id_a < id_b; oversized = (token, block_size) blocks skipped by the
+    cap. Reference parity anchor: the same compute-only-what-the-
+    decision-needs pruning the engine's canopy stars apply to its own
+    blocking (`sense_block_star_pairs`), lifted to the token-block
+    graph of a schema-free corpus.
+    """
+    from word_sense_disambiguation_spark.functions.text import WS_CLASS
+
+    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = F.when(t == "", F.array()).otherwise(F.split(t, WS_CLASS + "+"))
+    keyed = (
+        records.select(F.col(id_col).alias("_mb_id"), F.explode(toks).alias("token"))
+        .filter(F.length("token") >= int(min_token_len))
+        .groupBy("token", "_mb_id")
+        .agg(F.count(F.lit(1)).alias("_dup"))
+        .select("token", "_mb_id")
+    )
+    pairs, oversized = _pairs_within_blocks(
+        keyed, "_mb_id", ["token"], max_block_size
+    )
+    weighted = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("cbs")
+    )
+    if materialize:
+        weighted = weighted.localCheckpoint(eager=True)
+    tot = weighted.agg(
+        F.coalesce(F.sum("cbs"), F.lit(0)).cast("long").alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_p"),
+    )
+    kept = (
+        weighted.crossJoin(F.broadcast(tot))
+        .filter(F.col("cbs") * F.col("_p") >= F.col("_s"))
+        .select("id_a", "id_b", "cbs")
+    )
+    return kept, oversized.select("token", "block_size")
