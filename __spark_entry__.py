@@ -591,6 +591,22 @@ def _q_minhash_clusters(spark, sf_dir):
     return minhash_near_duplicate_clusters(docs, "doc_id", "text", threshold=0.7)
 
 
+def _q_dedup_impact(spark, sf_dir):
+    """Dataset-card dedup impact: the REAL MinHash near-dup clustering
+    (same config as ``minhash_dedup_clusters``) fed to the per-(lang,
+    source) keep-one-per-cluster accounting — docs/chars kept and
+    dropped as exact BIGINTs, drop ratios as single fixed IEEE
+    expressions."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        dedup_impact,
+        minhash_near_duplicate_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = minhash_near_duplicate_clusters(docs, "doc_id", "text", threshold=0.7)
+    return dedup_impact(docs, clusters)
+
+
 def _q_simhash_candidates(spark, sf_dir):
     from word_sense_disambiguation_spark.operators.dedup import simhash_candidates
 
@@ -2480,6 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (er_clusters_derived / prompt_path_assignments_derived /
         # decode_probabilities cover all previously-unhashed layers).
         "minhash_dedup_clusters": _q_minhash_clusters,
+        "dedup_impact": _q_dedup_impact,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "golden_record": _q_golden_record,
         "cluster_split": _q_cluster_split,
@@ -3942,6 +3959,72 @@ def oracle_sql() -> dict[str, str]:
         # (split on \s+ of lower(trim(text)); <3 tokens -> one whole-text
         # gram), same jaccard = inter / greatest(union, 1), same
         # min-member cluster ids via recursive transitive closure.
+        # Dedup-impact replay: identical MinHash-certified clustering CTE
+        # (exact Jaccard + recursive closure), min-id keep rule, per-slice
+        # BIGINT sums, drop ratios as the same fixed IEEE trees.
+        "dedup_impact": r"""
+            WITH RECURSIVE g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(0, len(toks) - 2),
+                                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
+                          ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS toks
+                    FROM documents)
+            ),
+            e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+                    / greatest(CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 1.0)
+                    >= 0.7
+            ),
+            sym AS (SELECT src, dst FROM e
+                    UNION SELECT dst AS src, src AS dst FROM e),
+            nodes AS (SELECT doc_id AS n FROM documents),
+            reach(a, b) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+            ),
+            clusters AS (
+              SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY a
+            ),
+            reps AS (
+              SELECT cluster_id, min(doc_id) AS keep_id
+              FROM clusters GROUP BY cluster_id
+            ),
+            flagged AS (
+              SELECT d.lang, d.source,
+                     CAST(COALESCE(d.n_chars, 0) AS BIGINT) AS sz,
+                     COALESCE(d.doc_id = r.keep_id, TRUE) AS kept
+              FROM documents d
+              LEFT JOIN clusters c ON c.doc_id = d.doc_id
+              LEFT JOIN reps r ON r.cluster_id = c.cluster_id
+            ),
+            agg AS (
+              SELECT lang, source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                     CAST(SUM(sz) AS BIGINT) AS chars_total,
+                     CAST(SUM(CASE WHEN kept THEN sz ELSE 0 END) AS BIGINT) AS chars_kept
+              FROM flagged GROUP BY lang, source
+            )
+            SELECT lang, source, n_docs, n_kept,
+                   CAST(n_docs - n_kept AS BIGINT) AS n_dropped,
+                   chars_total, chars_kept,
+                   CASE WHEN n_docs = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE 1.0 - CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE) END
+                     AS doc_drop_ratio,
+                   CASE WHEN chars_total = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE 1.0 - CAST(chars_kept AS DOUBLE)
+                             / CAST(chars_total AS DOUBLE) END
+                     AS char_drop_ratio
+            FROM agg
+        """,
         "minhash_dedup_clusters": r"""
             WITH RECURSIVE g AS (
               SELECT doc_id,

@@ -583,3 +583,51 @@ def test_ngram_containment_invariance(spark):
         docs.repartition(7), "doc_id", "text", pairs=pairs.repartition(3)
     ).collect()))
     assert one == many
+
+
+def test_dedup_impact_hand_example(spark):
+    """Cluster {1,2,3} keeps 1, singleton 4 keeps itself; doc 5 absent
+    from the clustering counts as a kept singleton. Slice (en, web):
+    docs 1,2,4 -> 2 kept, chars 10+20+40 total / 10+40 kept; slice
+    (fr, wiki): docs 3,5 both kept? no — 3 is a dropped member of
+    cluster 1."""
+    from word_sense_disambiguation_spark.operators.dedup import dedup_impact
+
+    docs = spark.createDataFrame(
+        [(1, "en", "web", 10), (2, "en", "web", 20), (3, "fr", "wiki", 30),
+         (4, "en", "web", 40), (5, "fr", "wiki", None)],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, cluster_id long"
+    )
+    out = {(r.lang, r.source): r for r in dedup_impact(docs, clusters).collect()}
+    en = out[("en", "web")]
+    assert (en.n_docs, en.n_kept, en.n_dropped) == (3, 2, 1)
+    assert (en.chars_total, en.chars_kept) == (70, 50)
+    assert en.doc_drop_ratio == 1.0 - 2.0 / 3.0
+    assert en.char_drop_ratio == 1.0 - 50.0 / 70.0
+    fr = out[("fr", "wiki")]
+    # doc 3 dropped (cluster rep is 1), doc 5 kept (absent from clusters),
+    # NULL size counts 0 chars
+    assert (fr.n_docs, fr.n_kept, fr.chars_total, fr.chars_kept) == (2, 1, 30, 0)
+    assert fr.char_drop_ratio == 1.0
+
+
+def test_dedup_impact_invariance_and_empty(spark):
+    """Partitioning invariance; empty docs -> empty report; an
+    everything-is-a-singleton clustering drops nothing."""
+    from word_sense_disambiguation_spark.operators.dedup import dedup_impact
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "en", "web", i * 10) for i in range(20)],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    singleton = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    one = sorted(dedup_impact(docs.coalesce(1), singleton).collect())
+    many = sorted(dedup_impact(docs.repartition(7), singleton.repartition(5)).collect())
+    assert one == many
+    assert one[0].n_dropped == 0 and one[0].doc_drop_ratio == 0.0
+    empty = spark.createDataFrame([], "doc_id long, lang string, source string, n_chars long")
+    assert dedup_impact(empty, singleton).count() == 0

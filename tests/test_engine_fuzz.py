@@ -139,6 +139,7 @@ _DOCQ = [
     "chunk_documents",
     "token_histogram",
     "exact_dedup",
+    "dedup_impact",
     "boilerplate_dedup",
     "ngram_jaccard_block",
     "ngram_containment",

@@ -864,3 +864,81 @@ def tfidf_cosine_pairs(
             ),
         )
     )
+
+
+def dedup_impact(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Dataset-card impact report of a dedup clustering: per corpus
+    slice, how many documents and how much payload the keep-one-per-
+    cluster policy retains — the numbers a curation run publishes
+    (RefinedWeb/FineWeb-style "X% of tokens removed by dedup" tables)
+    and the sanity gate before a destructive materialization.
+
+    Keep rule: the engine-wide canonical representative, min id per
+    cluster (swap in ``cluster_representatives`` upstream for
+    quality-priority keeps — this report only needs SOME keep set).
+    Documents absent from ``clusters`` count as kept singletons, so the
+    report composes with partial/incremental clusterings.
+
+    Output, one row per ``group_cols`` slice: ``n_docs, n_kept,
+    n_dropped`` (BIGINT), ``chars_total, chars_kept`` (BIGINT,
+    NULL-size rows count 0), and ``doc_drop_ratio / char_drop_ratio``
+    — each ONE fixed IEEE expression over exact integers
+    (``1.0 - kept/total``, NULL on an empty denominator), so the whole
+    report hash-replays on any engine.
+
+    Scale shape: representatives contract with ONE partial-combined
+    ``groupBy(cluster)`` min; two equi-joins attach cluster + keep flag
+    (no window — a 10^8-member boilerplate cluster contracts map-side);
+    the final ``groupBy(group_cols)`` is partial-combined into a
+    handful of slice rows. Reference parity anchor: the kept/dropped
+    accounting discipline of `filter_prompts_by_length`
+    (/root/reference/training/train.py:374-396's dropped-count warning) applied to the dedup decision.
+    """
+    reps = clusters.groupBy(cluster_col).agg(
+        F.min(id_col).alias("_keep_id")
+    )
+    sz = F.coalesce(F.col(size_col).cast("long"), F.lit(0).cast("long"))
+    flagged = (
+        docs.select(id_col, *group_cols, sz.alias("_sz"))
+        .join(clusters.select(id_col, cluster_col), on=id_col, how="left")
+        .join(reps, on=cluster_col, how="left")
+        .select(
+            *group_cols,
+            "_sz",
+            F.coalesce(
+                F.col(id_col) == F.col("_keep_id"), F.lit(True)
+            ).alias("_kept"),
+        )
+    )
+    agg = flagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("_kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum("_sz").cast("long").alias("chars_total"),
+        F.sum(F.when(F.col("_kept"), F.col("_sz")).otherwise(0))
+        .cast("long")
+        .alias("chars_kept"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).cast("long").alias("n_dropped"),
+        "chars_total",
+        "chars_kept",
+        F.expr(
+            "CASE WHEN n_docs = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE 1.0D - CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE) END"
+        ).alias("doc_drop_ratio"),
+        F.expr(
+            "CASE WHEN chars_total = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE 1.0D - CAST(chars_kept AS DOUBLE)"
+            " / CAST(chars_total AS DOUBLE) END"
+        ).alias("char_drop_ratio"),
+    )
