@@ -631,16 +631,13 @@ def _q_connected_components(spark, sf_dir):
     return connected_components(edges)
 
 
-def _q_clickstream_rank(spark, sf_dir):
-    """Integer-exact 3-iteration PageRank over the clickstream
-    transition graph: node = event_type:floor(value) page proxy, edge =
-    consecutive events of one user (ts, event_id order — deterministic
-    under burst timestamp ties). The recurrence is pure BIGINT
-    (scaled-DIV contributions, addition-only aggregation) so DuckDB
-    replays the ranks bit-for-bit through three unrolled CTE rounds."""
+def _click_edges(spark, sf_dir):
+    """The clickstream transition graph shared by ``clickstream_rank``
+    and ``label_communities``: node = event_type:floor(value) page
+    proxy, one directed edge per consecutive event pair of one user
+    ((ts, event_id) order — deterministic under burst timestamp ties),
+    multiplicities preserved."""
     from pyspark.sql import Window
-
-    from word_sense_disambiguation_spark.operators.clustering import pagerank
 
     ev = _t(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
@@ -654,12 +651,36 @@ def _q_clickstream_rank(spark, sf_dir):
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(node.alias("node"), F.lag(node).over(w).alias("prev"))
-    edges = seq.filter(F.col("prev").isNotNull()).select(
+    return seq.filter(F.col("prev").isNotNull()).select(
         F.col("prev").alias("src"), F.col("node").alias("dst")
     )
-    return pagerank(edges, iterations=3).select(
+
+
+def _q_clickstream_rank(spark, sf_dir):
+    """Integer-exact 3-iteration PageRank over the clickstream
+    transition graph (see ``_click_edges``). The recurrence is pure
+    BIGINT (scaled-DIV contributions, addition-only aggregation) so
+    DuckDB replays the ranks bit-for-bit through three unrolled CTE
+    rounds."""
+    from word_sense_disambiguation_spark.operators.clustering import pagerank
+
+    return pagerank(_click_edges(spark, sf_dir), iterations=3).select(
         "node", F.col("rank").cast("long").alias("rank")
     )
+
+
+def _q_label_communities(spark, sf_dir):
+    """Synchronous label propagation (3 rounds, pinned (count DESC,
+    label ASC) tie rule) over the SAME clickstream transition graph —
+    the density-community view next to ``clickstream_rank``'s authority
+    view and ``connected_components``' reachability view. Labels are
+    node strings, votes exact BIGINT edge multiplicities; fully
+    SQL-replayable."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        label_propagation,
+    )
+
+    return label_propagation(_click_edges(spark, sf_dir), iterations=3)
 
 
 def _q_er_clusters_synthetic(spark, sf_dir):
@@ -2427,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": _q_simhash_candidates,
         "connected_components": _q_connected_components,
         "clickstream_rank": _q_clickstream_rank,
+        "label_communities": _q_label_communities,
         "media_metadata": _q_media_metadata,
         "image_header_dims": _q_image_header_dims,
         "frame_sample": _q_frame_sample,
@@ -3268,6 +3290,89 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
             )
             SELECT a AS node, min(b) AS component FROM reach GROUP BY a
+        """,
+        # LPA replay: same transition graph, symmetrized BIGINT edge
+        # multiplicities, three unrolled synchronous rounds with the argmax
+        # spelled as a row_number window (fine in the skew-free oracle; the
+        # operator uses a partial-combined max_by aggregate) under the
+        # identical (count DESC, label ASC) tie rule.
+        "label_communities": """
+            WITH ev AS (
+              SELECT user_id, ts, event_id,
+                     event_type || ':' ||
+                       CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) AS node
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                AND value IS NOT NULL
+            ),
+            seq AS (
+              SELECT node,
+                     lag(node) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+              FROM ev
+            ),
+            t AS (
+              SELECT prev AS src, node AS dst
+              FROM seq WHERE prev IS NOT NULL
+            ),
+            nodes AS (SELECT src AS node FROM t UNION SELECT dst FROM t),
+            sym AS (
+              SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+                SELECT src, dst FROM t WHERE src <> dst
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM t WHERE src <> dst
+              ) GROUP BY 1, 2
+            ),
+            l0 AS (SELECT node, node AS community FROM nodes),
+            v1 AS (
+              SELECT s.dst AS node, l.community, CAST(SUM(s.w) AS BIGINT) AS cnt
+              FROM sym s JOIN l0 l ON l.node = s.src
+              GROUP BY 1, 2
+            ),
+            w1 AS (
+              SELECT node, community FROM (
+                SELECT node, community,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY cnt DESC, community ASC) AS rn
+                FROM v1) WHERE rn = 1
+            ),
+            l1 AS (
+              SELECT n.node, COALESCE(w.community, n.node) AS community
+              FROM nodes n LEFT JOIN w1 w USING (node)
+            ),
+            v2 AS (
+              SELECT s.dst AS node, l.community, CAST(SUM(s.w) AS BIGINT) AS cnt
+              FROM sym s JOIN l1 l ON l.node = s.src
+              GROUP BY 1, 2
+            ),
+            w2 AS (
+              SELECT node, community FROM (
+                SELECT node, community,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY cnt DESC, community ASC) AS rn
+                FROM v2) WHERE rn = 1
+            ),
+            l2 AS (
+              SELECT n.node, COALESCE(w.community, n.node) AS community
+              FROM nodes n LEFT JOIN w2 w USING (node)
+            ),
+            v3 AS (
+              SELECT s.dst AS node, l.community, CAST(SUM(s.w) AS BIGINT) AS cnt
+              FROM sym s JOIN l2 l ON l.node = s.src
+              GROUP BY 1, 2
+            ),
+            w3 AS (
+              SELECT node, community FROM (
+                SELECT node, community,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY cnt DESC, community ASC) AS rn
+                FROM v3) WHERE rn = 1
+            ),
+            l3 AS (
+              SELECT n.node, COALESCE(w.community, n.node) AS community
+              FROM nodes n LEFT JOIN w3 w USING (node)
+            )
+            SELECT node, community FROM l3
         """,
         # PageRank replay: the integer recurrence is addition-only BIGINT
         # (scaled-DIV edge contributions), so three unrolled rounds of the

@@ -511,3 +511,114 @@ def test_pagerank_plan_partial_combine_no_window(spark):
     assert "HashAggregate" in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def _lpa_replay(edges, iterations=3):
+    """Exact python replay of the synchronous LPA rule."""
+    from collections import Counter
+
+    sym = Counter()
+    for a, b in edges:
+        if a is None or b is None or a == b:
+            continue
+        sym[(a, b)] += 1
+        sym[(b, a)] += 1
+    nodes = sorted({a for a, _ in sym} | {b for _, b in sym} |
+                   {a for a, b in edges if a is not None and b is not None} |
+                   {b for a, b in edges if a is not None and b is not None})
+    lab = {n: n for n in nodes}
+    for _ in range(iterations):
+        new = {}
+        for n in nodes:
+            votes = Counter()
+            for (s, d), w in sym.items():
+                if d == n:
+                    votes[lab[s]] += w
+            if votes:
+                new[n] = min(votes, key=lambda c: (-votes[c], c))
+            else:
+                new[n] = n
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_replay_and_splits_weld(spark):
+    """Two 4-cliques joined by ONE weld edge: CC sees one component,
+    LPA sees two communities (the cluster_cohesion over-merge story);
+    the distributed labels equal the synchronous python replay
+    bit-for-bit, parallel edges count as multiplicity."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        connected_components,
+        label_propagation,
+    )
+
+    clique1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = clique1 + clique2 + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.community for r in label_propagation(df, materialize=False).collect()}
+    assert got == _lpa_replay(edges)
+    comms = set(got.values())
+    assert len(comms) == 2
+    assert len({got[n] for n in range(4)}) == 1
+    assert len({got[n] for n in range(10, 14)}) == 1
+    cc = connected_components(df)
+    assert cc.select("component").distinct().count() == 1  # the contrast
+
+
+def test_label_propagation_invariance_and_edges(spark):
+    """Partitioning/materialization invariance; iterations=0 keeps own
+    labels; self-loops and NULLs drop; isolated self-loop node keeps
+    itself; empty input -> empty."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        label_propagation,
+    )
+
+    edges = [(1, 2), (2, 3), (1, 2), (4, 4), (None, 1), (2, None)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    one = sorted(label_propagation(df.coalesce(1), materialize=False).collect())
+    many = sorted(label_propagation(df.repartition(5), materialize=False).collect())
+    mat = sorted(label_propagation(df, materialize=True).collect())
+    assert one == many == mat
+    got = {r.node: r.community for r in one}
+    assert got == _lpa_replay(edges)
+    assert got[4] == 4  # self-loop-only node keeps its own label
+    init = {r.node: r.community
+            for r in label_propagation(df, iterations=0, materialize=False).collect()}
+    assert all(k == v for k, v in init.items())
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert label_propagation(empty, materialize=False).count() == 0
+
+
+def test_label_propagation_plan_aggregate_not_window(spark):
+    """Scale contract: the per-node argmax is a partial-combined max_by
+    AGGREGATE over (count DESC, label ASC) — never a row_number window;
+    no cartesian products."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        label_propagation,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 40).alias("src"), ((F.col("id") * 11) % 40).alias("dst")
+    )
+    out = label_propagation(df, iterations=2, materialize=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "min_by" in plan or "MinBy" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_label_propagation_string_labels(spark):
+    """Labels are ids of ANY orderable type: the tie rule is min_by over
+    (-count, community), not numeric negation of the label (the
+    regression the numeric-only unit worlds missed: string ids)."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        label_propagation,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.community for r in label_propagation(df, materialize=False).collect()}
+    assert got == _lpa_replay(edges)
+    assert len({got["a"], got["b"], got["c"]}) == 1

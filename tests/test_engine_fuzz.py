@@ -266,6 +266,7 @@ _EVQ = [
     "sampled_quantiles",
     "salted_aggregate",
     "clickstream_rank",
+    "label_communities",
     "table_checksum",
     "profile_columns",
 ]

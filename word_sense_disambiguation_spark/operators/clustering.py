@@ -652,3 +652,95 @@ def pagerank(
             ).cast("long").alias("rank"),
         )
     return r
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan et al.
+    2007) over an undirected graph with a PINNED deterministic tie rule
+    — the density-sensitive community view next to
+    ``connected_components``' pure-reachability view: CC says "these
+    records touch", LPA says "these records huddle", which is exactly
+    the split signal ``cluster_cohesion`` flags over-merged CC entities
+    for (one weld edge between two dense sub-entities keeps one CC
+    component but two LPA communities).
+
+    Semantics (the engine's defined rule, integer-exact end-to-end):
+    labels start as own node ids (numeric); each synchronous round,
+    every node adopts the most frequent label among its neighbors
+    (parallel edges count as multiplicity), ties broken by (count DESC,
+    label ASC); isolated/self-loop-only inputs keep their own label.
+    Labels are node ids, counts are BIGINTs, the argmax is a total
+    order — so any engine, partitioning, or replay produces
+    bit-identical communities. Synchronous LPA can oscillate on
+    bipartite structures; a FIXED iteration count (default 3) makes
+    that a defined, replayable output rather than a convergence race —
+    the classic asynchronous variant is order-dependent and therefore
+    un-oracle-able by construction.
+
+    Scale shape: the symmetrized weighted edge table is built once
+    (one partial-combined groupBy), eagerly localCheckpointed
+    (multi-consumer rule) and pre-partitioned on ``src``; each round is
+    ONE equi-join with the one-row-per-node label table + ONE
+    partial-combined ``groupBy(node, label)`` + ONE partial-combined
+    ``max_by`` argmax per node (the CDC ordering-struct aggregate,
+    NEVER a row_number window — a 10^8-degree hub contracts map-side).
+
+    Returns ``(node, community)``. Reference parity anchor: extends the
+    same public-graph-algorithm family as `connected_components`
+    (Kiveris et al. stars) with Raghavan et al.'s community rule under
+    the repo's exact-arithmetic discipline.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    raw = edges.filter(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    ).select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    sym = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .union(
+            raw.filter(F.col("a") != F.col("b")).select(
+                F.col("b").alias("a"), F.col("a").alias("b")
+            )
+        )
+        .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .repartition(F.col("src"))
+    )
+    nodes = (
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    if materialize:
+        sym = sym.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+    lab = nodes.select("node", F.col("node").alias("community"))
+    for _ in range(int(iterations)):
+        votes = (
+            sym.join(
+                lab.select(F.col("node").alias("src"), "community"), on="src"
+            )
+            .groupBy(F.col("dst").alias("node"), "community")
+            .agg(F.sum("w").cast("long").alias("cnt"))
+        )
+        # argmax by (cnt DESC, community ASC) == min_by over the order
+        # struct (-cnt, community) — label-type-generic (string ids
+        # negate nothing): partial-combined aggregate, no window
+        winner = votes.groupBy("node").agg(
+            F.min_by(
+                F.col("community"),
+                F.struct((-F.col("cnt")).alias("_negcnt"), F.col("community")),
+            ).alias("community")
+        )
+        lab = nodes.join(winner, on="node", how="left").select(
+            "node",
+            F.coalesce(F.col("community"), F.col("node")).alias("community"),
+        )
+    return lab
