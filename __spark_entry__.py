@@ -933,6 +933,46 @@ def _q_pr_sweep(spark, sf_dir):
     return pr_threshold_sweep(labeled, "score", "is_match")
 
 
+def _q_truth_discovery(spark, sf_dir):
+    """Multi-source data fusion over conflicting segment claims: three
+    deterministic sources (s1 always true; s2 corrupts custkey%3==0 to
+    ZUNK; s3 corrupts custkey%2==0 to QBAD) feed two integer-exact
+    truth-discovery rounds — majority vote, then a reliability-
+    reweighted revote. Consensus (entity, value, score) with BIGINT
+    scores and the pinned (score DESC, value ASC) tie rule."""
+    from word_sense_disambiguation_spark.operators.fusion import (
+        truth_discovery,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    seg = F.col("c_mktsegment")
+    base = cust.select(k.alias("entity_id"), seg.alias("true_v"))
+    claims = (
+        base.select("entity_id", F.col("true_v").alias("value"), F.lit("s1").alias("source"))
+        .unionByName(
+            base.select(
+                "entity_id",
+                F.when(F.col("entity_id") % 3 == 0, F.lit("ZUNK"))
+                .otherwise(F.col("true_v"))
+                .alias("value"),
+                F.lit("s2").alias("source"),
+            )
+        )
+        .unionByName(
+            base.select(
+                "entity_id",
+                F.when(F.col("entity_id") % 2 == 0, F.lit("QBAD"))
+                .otherwise(F.col("true_v"))
+                .alias("value"),
+                F.lit("s3").alias("source"),
+            )
+        )
+    )
+    consensus, _trust = truth_discovery(claims, iterations=2)
+    return consensus
+
+
 def _q_er_size_stats(spark, sf_dir):
     """One-row shape audit of the derived-world ER clustering (same
     pred construction as er_eval_pairwise: CC entity or own-id
@@ -2470,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fellegi_sunter": _q_fellegi_sunter,
         "mutual_best_match": _q_mutual_best_match,
         "pr_sweep": _q_pr_sweep,
+        "truth_discovery": _q_truth_discovery,
         "fs_pattern_counts": _q_fs_pattern_counts,
         "cluster_cohesion": _q_cluster_cohesion,
         "tfidf_cosine": _q_tfidf_cosine,
@@ -5110,6 +5151,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT ra.id_a, ra.id_b, CAST(ra.total_milli AS BIGINT) AS score
             FROM ra JOIN rb ON ra.id_a = rb.id_a AND ra.id_b = rb.id_b
             WHERE ra.rk = 1 AND rb.rk = 1
+        """,
+        # Truth-discovery replay: same three-source claim construction,
+        # two unrolled rounds — count votes, row_number argmax with the
+        # identical (score DESC, value ASC) tie rule, per-source agreement
+        # counts (zero-trust sources kept via left join), trust-weighted
+        # revote. All BIGINT.
+        "truth_discovery": r"""
+            WITH c AS (
+              SELECT c_custkey AS entity, c_mktsegment AS value, 's1' AS src
+              FROM customer
+              UNION ALL
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 3 = 0 THEN 'ZUNK'
+                          ELSE c_mktsegment END, 's2'
+              FROM customer
+              UNION ALL
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 2 = 0 THEN 'QBAD'
+                          ELSE c_mktsegment END, 's3'
+              FROM customer
+            ),
+            cd AS (SELECT DISTINCT entity, value, src FROM c
+                   WHERE entity IS NOT NULL AND value IS NOT NULL),
+            srcs AS (SELECT DISTINCT src FROM cd),
+            v1 AS (
+              SELECT entity, value, CAST(count(*) AS BIGINT) AS score
+              FROM cd GROUP BY 1, 2
+            ),
+            cons1 AS (
+              SELECT entity, value FROM (
+                SELECT entity, value,
+                       row_number() OVER (PARTITION BY entity
+                                          ORDER BY score DESC, value ASC) AS rn
+                FROM v1) WHERE rn = 1
+            ),
+            a1 AS (
+              SELECT cd.src, CAST(count(*) AS BIGINT) AS trust
+              FROM cd JOIN cons1
+                ON cd.entity = cons1.entity AND cd.value = cons1.value
+              GROUP BY cd.src
+            ),
+            t1 AS (
+              SELECT s.src, CAST(COALESCE(a1.trust, 0) AS BIGINT) AS trust
+              FROM srcs s LEFT JOIN a1 ON a1.src = s.src
+            ),
+            v2 AS (
+              SELECT cd.entity, cd.value, CAST(SUM(t1.trust) AS BIGINT) AS score
+              FROM cd JOIN t1 ON t1.src = cd.src
+              GROUP BY 1, 2
+            ),
+            cons2 AS (
+              SELECT entity, value, score FROM (
+                SELECT entity, value, score,
+                       row_number() OVER (PARTITION BY entity
+                                          ORDER BY score DESC, value ASC) AS rn
+                FROM v2) WHERE rn = 1
+            )
+            SELECT entity AS entity_id, value, score FROM cons2
         """,
         # Threshold-sweep replay: same FS-scored world UNfiltered, gold
         # = same custkey; one groupBy(score) histogram then cumulative

@@ -194,6 +194,7 @@ _CUSTQ = [
     "fs_pattern_counts",
     "fs_match_probability",
     "pr_sweep",
+    "truth_discovery",
     "cluster_cohesion",
     "degree_pruned_edges",
     "sparsify_topk",

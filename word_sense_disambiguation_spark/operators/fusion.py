@@ -100,3 +100,106 @@ def golden_record(
         )
         fused = fused.join(pick, on=cluster_col)
     return fused
+
+
+def truth_discovery(
+    claims: DataFrame,
+    entity_col: str = "entity_id",
+    value_col: str = "value",
+    source_col: str = "source",
+    iterations: int = 2,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Source-reliability truth discovery over conflicting claims — the
+    multi-source half of data fusion (Dong & Srivastava's data-fusion
+    canon; the fixed-point family of TruthFinder/Investment, reduced to
+    its exact-integer core): ``golden_record`` merges attributes WITHIN
+    one ER cluster by fixed survivorship rules; this operator decides
+    which VALUE to believe when independent sources disagree about the
+    same entity, by letting reliable sources out-vote unreliable ones.
+
+    Semantics (integer-exact, the engine's defined rule): claims dedupe
+    to distinct (entity, value, source) assertions. Trust starts
+    uniform at 1. Each round, synchronously:
+
+    * ``score(entity, value) = sum of trust(source)`` over asserting
+      sources; ``consensus(entity)`` = argmax value by (score DESC,
+      value ASC) — a partial-combined ``min_by`` over (-score, value),
+      value-type-generic, never a window;
+    * ``trust(source)`` = number of entities where the source's claim
+      equals the round's consensus (BIGINT; a source silent on an
+      entity neither gains nor loses).
+
+    Round 1 is plain majority vote; later rounds are
+    reliability-weighted revotes. Every quantity is a BIGINT count and
+    every tie rule is total, so any engine replays consensus AND trust
+    bit-for-bit — the float damping/log-odds refinements of the
+    published fixed-point methods are deliberately out (they would
+    break the oracle discipline for a second-order effect). A FIXED
+    iteration count keeps the output defined rather than a convergence
+    race (the `label_propagation` argument).
+
+    Scale shape: deduped claims are built once (partial-combined
+    groupBy), eagerly localCheckpointed (consumed 2x per round — the
+    multi-consumer rule); the trust table is one row per SOURCE (tiny —
+    sources are registries/feeds, not records) so the per-round claim
+    join broadcasts under AQE; vote scores and agreement counts each
+    contract through ONE partial-combined aggregate — a hot entity
+    (10^8 claims on one boilerplate record) combines map-side.
+
+    Returns ``(consensus, trust)``: consensus = (entity, value, score),
+    the final round's reweighted vote; trust = (source, trust), each
+    source's agreement count against that final consensus. Reference parity anchor: the argmax-over-candidates
+    decision of /root/reference/wsd/word_sense_disambiguation.py:194-217,
+    generalized from one scorer's logits to many sources' weighted votes.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    c = (
+        claims.filter(
+            F.col(entity_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            & F.col(source_col).isNotNull()
+        )
+        .groupBy(
+            F.col(entity_col).alias("entity"),
+            F.col(value_col).alias("value"),
+            F.col(source_col).alias("source"),
+        )
+        .agg(F.count(F.lit(1)).alias("_dup"))
+        .select("entity", "value", "source")
+    )
+    sources = c.select("source").distinct()
+    if materialize:
+        c = c.localCheckpoint(eager=True)
+        sources = sources.localCheckpoint(eager=True)
+    trust = sources.select("source", F.lit(1).cast("long").alias("trust"))
+    consensus = None
+    for _ in range(int(iterations)):
+        scores = (
+            c.join(trust, on="source")
+            .groupBy("entity", "value")
+            .agg(F.sum("trust").cast("long").alias("score"))
+        )
+        consensus = scores.groupBy("entity").agg(
+            F.min_by(
+                F.struct(F.col("value"), F.col("score")),
+                F.struct((-F.col("score")).alias("_neg"), F.col("value")),
+            ).alias("_w")
+        ).select("entity", F.col("_w.value").alias("value"), F.col("_w.score").alias("score"))
+        agree = (
+            c.join(consensus.select("entity", "value"), on=["entity", "value"])
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("trust"))
+        )
+        trust = sources.join(agree, on="source", how="left").select(
+            "source", F.coalesce(F.col("trust"), F.lit(0).cast("long")).alias("trust")
+        )
+    return (
+        consensus.select(
+            F.col("entity").alias(entity_col),
+            F.col("value").alias(value_col),
+            "score",
+        ),
+        trust.select(F.col("source").alias(source_col), "trust"),
+    )
