@@ -683,6 +683,18 @@ def _q_label_communities(spark, sf_dir):
     return label_propagation(_click_edges(spark, sf_dir), iterations=3)
 
 
+def _q_triangle_profile(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient over the
+    clickstream transition graph (undirected view of ``_click_edges``):
+    degree-ordered orientation bounds every wedge fan-out by sqrt(2m)
+    regardless of hub skew; exact BIGINT counts, one IEEE division."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        triangle_stats,
+    )
+
+    return triangle_stats(_click_edges(spark, sf_dir))
+
+
 def _q_er_clusters_synthetic(spark, sf_dir):
     from word_sense_disambiguation_spark.datagen import build_world, world_to_spark
     from word_sense_disambiguation_spark.operators.blocking import (
@@ -2489,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "clickstream_rank": _q_clickstream_rank,
         "label_communities": _q_label_communities,
+        "triangle_profile": _q_triangle_profile,
         "media_metadata": _q_media_metadata,
         "image_header_dims": _q_image_header_dims,
         "frame_sample": _q_frame_sample,
@@ -3414,6 +3427,79 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes n LEFT JOIN w3 w USING (node)
             )
             SELECT node, community FROM l3
+        """,
+        # Triangle replay: same canonical undirected edge set, same
+        # (degree, id) orientation, wedge self-join + undirected closing
+        # probe, 3-corner union counts, identical IEEE coefficient.
+        "triangle_profile": """
+            WITH ev AS (
+              SELECT user_id, ts, event_id,
+                     event_type || ':' ||
+                       CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) AS node
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                AND value IS NOT NULL
+            ),
+            seq AS (
+              SELECT node,
+                     lag(node) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+              FROM ev
+            ),
+            t AS (
+              SELECT prev AS a, node AS b
+              FROM seq WHERE prev IS NOT NULL
+            ),
+            nodes AS (SELECT a AS node FROM t UNION SELECT b FROM t),
+            und AS (
+              SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+              FROM t WHERE a <> b
+            ),
+            deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT x AS node FROM und UNION ALL SELECT y FROM und
+              ) GROUP BY node
+            ),
+            oriented AS (
+              SELECT CASE WHEN dx.degree < dy.degree
+                            OR (dx.degree = dy.degree AND u.x < u.y)
+                          THEN u.x ELSE u.y END AS u,
+                     CASE WHEN dx.degree < dy.degree
+                            OR (dx.degree = dy.degree AND u.x < u.y)
+                          THEN u.y ELSE u.x END AS v
+              FROM und u
+              JOIN deg dx ON dx.node = u.x
+              JOIN deg dy ON dy.node = u.y
+            ),
+            wedges AS (
+              SELECT l.u, l.v AS w1, r.v AS w2
+              FROM oriented l JOIN oriented r ON l.u = r.u AND l.v < r.v
+            ),
+            closing AS (
+              SELECT least(u, v) AS p, greatest(u, v) AS q FROM oriented
+            ),
+            tris AS (
+              SELECT w.u, w.w1, w.w2
+              FROM wedges w JOIN closing c
+                ON least(w.w1, w.w2) = c.p AND greatest(w.w1, w.w2) = c.q
+            ),
+            corners AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+                SELECT u AS node FROM tris
+                UNION ALL SELECT w1 FROM tris
+                UNION ALL SELECT w2 FROM tris
+              ) GROUP BY node
+            )
+            SELECT n.node,
+                   CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+                   CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles,
+                   CASE WHEN COALESCE(d.degree, 0) < 2 THEN CAST(NULL AS DOUBLE)
+                        ELSE CAST(2 * COALESCE(c.triangles, 0) AS DOUBLE)
+                             / CAST(d.degree * (d.degree - 1) AS DOUBLE) END
+                     AS clustering_coefficient
+            FROM nodes n
+            LEFT JOIN deg d ON d.node = n.node
+            LEFT JOIN corners c ON c.node = n.node
         """,
         # PageRank replay: the integer recurrence is addition-only BIGINT
         # (scaled-DIV edge contributions), so three unrolled rounds of the

@@ -622,3 +622,78 @@ def test_label_propagation_string_labels(spark):
     got = {r.node: r.community for r in label_propagation(df, materialize=False).collect()}
     assert got == _lpa_replay(edges)
     assert len({got["a"], got["b"], got["c"]}) == 1
+
+
+def _triangle_replay(edges):
+    """Brute-force per-node triangle counts over the simple graph."""
+    adj = {}
+    for a, b in edges:
+        if a is None or b is None or a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for n, nb in adj.items():
+        nbl = sorted(nb)
+        t = sum(
+            1
+            for i in range(len(nbl))
+            for j in range(i + 1, len(nbl))
+            if nbl[j] in adj[nbl[i]]
+        )
+        d = len(nb)
+        cc = (2.0 * t) / (d * (d - 1)) if d >= 2 else None
+        out[n] = (d, t, cc)
+    return out
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    """4-clique + pendant + disjoint triangle + random graph: the
+    oriented-wedge count equals brute force per node, the coefficient
+    is the exact IEEE division, degree<2 rows carry NULL."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        triangle_stats,
+    )
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = clique + [(3, 99), (200, 201), (201, 202), (202, 200)]
+    rng = random.Random(13)
+    edges += [(rng.randrange(20, 50), rng.randrange(20, 50)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.degree, r.triangles, r.clustering_coefficient)
+        for r in triangle_stats(df, materialize=False).collect()
+    }
+    want = _triangle_replay(edges)
+    # replay skips self-loop-only/isolated ids; the operator keeps them
+    for n, (d, t, cc) in want.items():
+        assert got[n] == (d, t, cc), (n, got[n], (d, t, cc))
+    assert got[0] == (3, 3, 1.0)           # clique corner
+    assert got[99][0] == 1 and got[99][2] is None  # pendant: NULL coeff
+    assert got[200] == (2, 1, 1.0)         # disjoint triangle
+
+
+def test_triangle_stats_invariance_dups_and_plan(spark):
+    """Parallel edges/self-loops dedupe; partitioning invariance; the
+    closing probe is an equi-join (no cartesian), no window."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        triangle_stats,
+    )
+
+    edges = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (4, 4), (None, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    one = sorted(triangle_stats(df.coalesce(1), materialize=False).collect())
+    many = sorted(triangle_stats(df.repartition(7), materialize=True).collect())
+    assert one == many
+    got = {r.node: (r.degree, r.triangles) for r in one}
+    assert got[1] == (2, 1) and got[2] == (2, 1) and got[3] == (2, 1)
+    assert got[4] == (0, 0)  # self-loop-only: kept, degree 0
+    plan = (
+        triangle_stats(df, materialize=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]

@@ -268,6 +268,7 @@ _EVQ = [
     "salted_aggregate",
     "clickstream_rank",
     "label_communities",
+    "triangle_profile",
     "table_checksum",
     "profile_columns",
 ]

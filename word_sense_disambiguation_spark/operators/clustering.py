@@ -744,3 +744,129 @@ def label_propagation(
             F.coalesce(F.col("community"), F.col("node")).alias("community"),
         )
     return lab
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph — the transitivity audit of a match/link graph
+    (a high-cohesion ER cluster closes its triangles; a star of
+    coincidental blocking collisions closes none — this is the
+    edge-level signal under ``cluster_cohesion``'s density ratio, and
+    the classic crawl-graph spam/community statistic).
+
+    Algorithm: degree-ordered edge ORIENTATION (Chiba-Nishizeki /
+    Schank-Wagner, the MapReduce-standard trick): each undirected edge
+    points from its lower (degree, id) endpoint to the higher, a total
+    order both engines replay. Every triangle is then counted EXACTLY
+    ONCE at its lowest-ranked vertex: wedges (u->v, u->w, rank v <
+    rank w) self-join on u and close by probing the oriented edge
+    (v, w).
+
+    Why this survives a hub: naive wedge enumeration is quadratic in
+    the hub degree (a 10^8-degree crawl hub = 10^16 wedges). Under
+    degree orientation every out-neighbor of u has rank >= u, which
+    bounds EVERY node's out-degree by sqrt(2m) regardless of skew —
+    the wedge join is at most m * sqrt(2m) rows globally, the proven
+    arboricity bound, with no cap parameter to tune and nothing
+    silently dropped.
+
+    All counts are BIGINT; the local clustering coefficient
+    ``2*triangles / (degree*(degree-1))`` is ONE fixed IEEE division of
+    exact integers (NULL when degree < 2). Parallel edges and
+    self-loops dedupe/drop first; isolated endpoints of dropped edges
+    keep a degree-0 row.
+
+    Scale shape: degrees contract with ONE partial-combined groupBy;
+    orientation is a projection; the wedge self-join and the closing
+    probe are equi-joins on node keys; per-corner triangle counts and
+    the 3-way corner union contract map-side. ``materialize`` eagerly
+    localCheckpoints the oriented edge table before its 3-consumer
+    fan-out (wedge left leg, wedge right leg, closing probe — the
+    multi-consumer rule).
+
+    Returns ``(node, degree, triangles, clustering_coefficient)``.
+    """
+    raw = edges.filter(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    ).select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+        )
+        .distinct()
+    )
+    nodes = (
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("x").alias("node"))
+        .union(und.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # orient x--y from the lower (degree, id) endpoint to the higher
+    dx = deg.select(F.col("node").alias("x"), F.col("degree").alias("_dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("degree").alias("_dy"))
+    oriented = (
+        und.join(dx, on="x")
+        .join(dy, on="y")
+        .select(
+            F.when(
+                (F.col("_dx") < F.col("_dy"))
+                | ((F.col("_dx") == F.col("_dy")) & (F.col("x") < F.col("y"))),
+                F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+            )
+            .otherwise(F.struct(F.col("y").alias("u"), F.col("x").alias("v")))
+            .alias("_e")
+        )
+        .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
+    )
+    if materialize:
+        oriented = oriented.localCheckpoint(eager=True)
+    left = oriented.select(F.col("u"), F.col("v").alias("w1"))
+    right = oriented.select(F.col("u"), F.col("v").alias("w2"))
+    wedges = left.join(right, on="u").filter(F.col("w1") < F.col("w2"))
+    # close the wedge: the (w1, w2) edge is oriented SOME way; since both
+    # orders are possible under (degree, id) rank, probe both via the
+    # canonical undirected form
+    closing = oriented.select(
+        F.least("u", "v").alias("p"), F.greatest("u", "v").alias("q")
+    )
+    tris = wedges.join(
+        closing,
+        on=(
+            (F.least("w1", "w2") == F.col("p"))
+            & (F.greatest("w1", "w2") == F.col("q"))
+        ),
+    ).select("u", "w1", "w2")
+    corners = (
+        tris.select(F.col("u").alias("node"))
+        .union(tris.select(F.col("w1").alias("node")))
+        .union(tris.select(F.col("w2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return (
+        nodes.join(deg, on="node", how="left")
+        .join(corners, on="node", how="left")
+        .select(
+            "node",
+            F.coalesce(F.col("degree"), F.lit(0).cast("long")).alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias(
+                "triangles"
+            ),
+            F.expr(
+                "CASE WHEN coalesce(degree, 0L) < 2 THEN CAST(NULL AS DOUBLE)"
+                " ELSE CAST(2 * coalesce(triangles, 0L) AS DOUBLE)"
+                " / CAST(degree * (degree - 1) AS DOUBLE) END"
+            ).alias("clustering_coefficient"),
+        )
+    )
