@@ -683,6 +683,30 @@ def _q_label_communities(spark, sf_dir):
     return label_propagation(_click_edges(spark, sf_dir), iterations=3)
 
 
+def _q_cluster_churn(spark, sf_dir):
+    """The dedup-policy-upgrade audit: previous snapshot = exact
+    content-hash clusters, current snapshot = the REAL MinHash near-dup
+    clustering (same config as ``minhash_dedup_clusters``) — per
+    current cluster, exactly how the fuzzy policy rearranged the exact
+    groups (stable/grown/split/merged/new, pinned CASE over BIGINT
+    contingency counts from ONE partial-combined groupBy)."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        cluster_churn,
+    )
+    from word_sense_disambiguation_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_near_duplicate_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    prev = exact_duplicates(docs, "doc_id", "text").select(
+        "doc_id", F.col("canonical_id").alias("cluster_id")
+    )
+    curr = minhash_near_duplicate_clusters(docs, "doc_id", "text", threshold=0.7)
+    report, _dissolved = cluster_churn(prev, curr)
+    return report
+
+
 def _q_triangle_profile(spark, sf_dir):
     """Per-node triangle counts + local clustering coefficient over the
     clickstream transition graph (undirected view of ``_click_edges``):
@@ -2502,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickstream_rank": _q_clickstream_rank,
         "label_communities": _q_label_communities,
         "triangle_profile": _q_triangle_profile,
+        "cluster_churn": _q_cluster_churn,
         "media_metadata": _q_media_metadata,
         "image_header_dims": _q_image_header_dims,
         "frame_sample": _q_frame_sample,
@@ -3427,6 +3452,87 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes n LEFT JOIN w3 w USING (node)
             )
             SELECT node, community FROM l3
+        """,
+        # Churn replay: prev = exact groups by text (JOIN on equality, so
+        # the NULL-text rows drop exactly like Spark's join on the NULL
+        # hash), curr = the certified minhash clustering CTE, then the same
+        # contingency contraction, max_by tie order (n DESC, c1 DESC) and
+        # pinned status CASE.
+        "cluster_churn": r"""
+            WITH RECURSIVE g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(0, len(toks) - 2),
+                                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
+                          ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS toks
+                    FROM documents)
+            ),
+            e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+                    / greatest(CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 1.0)
+                    >= 0.7
+            ),
+            sym AS (SELECT src, dst FROM e
+                    UNION SELECT dst AS src, src AS dst FROM e),
+            nodes AS (SELECT doc_id AS n FROM documents),
+            reach(a, b) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+            ),
+            clusters AS (
+              SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY a
+            ),
+            prevc AS (
+              SELECT d.doc_id, CAST(m.canon AS BIGINT) AS c1
+              FROM documents d
+              JOIN (SELECT text, min(doc_id) AS canon
+                    FROM documents GROUP BY text) m
+                ON m.text = d.text
+            ),
+            j AS (
+              SELECT c.doc_id, c.cluster_id AS c2, p.c1
+              FROM clusters c LEFT JOIN prevc p ON p.doc_id = c.doc_id
+            ),
+            cells AS (
+              SELECT c1, c2, CAST(count(*) AS BIGINT) AS n
+              FROM j GROUP BY 1, 2
+            ),
+            prevsz AS (
+              SELECT c1, CAST(count(*) AS BIGINT) AS ps
+              FROM prevc GROUP BY c1
+            ),
+            percurr AS (
+              SELECT c2,
+                     CAST(SUM(n) AS BIGINT) AS n_members,
+                     CAST(SUM(CASE WHEN c1 IS NOT NULL THEN n ELSE 0 END) AS BIGINT) AS n_carried,
+                     CAST(SUM(CASE WHEN c1 IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_new,
+                     CAST(SUM(CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_prev_clusters,
+                     CAST(COALESCE(MAX(CASE WHEN c1 IS NOT NULL THEN n END), 0) AS BIGINT) AS max_prev_overlap
+              FROM cells GROUP BY c2
+            ),
+            whole AS (
+              SELECT c2, (n = ps) AS src_whole FROM (
+                SELECT c.c2, c.n, z.ps,
+                       row_number() OVER (PARTITION BY c.c2
+                                          ORDER BY c.n DESC, c.c1 DESC) AS rn
+                FROM cells c JOIN prevsz z USING (c1)
+                WHERE c.c1 IS NOT NULL) WHERE rn = 1
+            )
+            SELECT p.c2 AS cluster_id, p.n_members, p.n_carried, p.n_new,
+                   p.n_prev_clusters, p.max_prev_overlap,
+                   CASE WHEN p.n_carried = 0 THEN 'new'
+                        WHEN p.n_prev_clusters >= 2 THEN 'merged'
+                        WHEN NOT w.src_whole THEN 'split'
+                        WHEN p.n_new > 0 THEN 'grown'
+                        ELSE 'stable' END AS status
+            FROM percurr p LEFT JOIN whole w ON w.c2 = p.c2
         """,
         # Triangle replay: same canonical undirected edge set, same
         # (degree, id) orientation, wedge self-join + undirected closing

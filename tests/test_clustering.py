@@ -697,3 +697,57 @@ def test_triangle_stats_invariance_dups_and_plan(spark):
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
+
+
+def test_cluster_churn_hand_example(spark):
+    """Every status in one world: P1={1,2,3} P2={4,5} P3={6} P4={9}
+    P5={10,11} -> C1={1,2} split, C2={3,4,5} merged, C3={7} new,
+    C4={6,8} grown, C5={10,11} stable; P4 dissolves (id 9 gone)."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        cluster_churn,
+    )
+
+    prev = spark.createDataFrame(
+        [(1, "P1"), (2, "P1"), (3, "P1"), (4, "P2"), (5, "P2"), (6, "P3"),
+         (9, "P4"), (10, "P5"), (11, "P5")],
+        "doc_id long, cluster_id string",
+    )
+    curr = spark.createDataFrame(
+        [(1, "C1"), (2, "C1"), (3, "C2"), (4, "C2"), (5, "C2"), (7, "C3"),
+         (6, "C4"), (8, "C4"), (10, "C5"), (11, "C5")],
+        "doc_id long, cluster_id string",
+    )
+    report, dissolved = cluster_churn(prev, curr)
+    got = {r.cluster_id: r for r in report.collect()}
+    assert got["C1"].status == "split"
+    assert (got["C1"].n_members, got["C1"].n_carried, got["C1"].n_new) == (2, 2, 0)
+    assert got["C2"].status == "merged"
+    assert (got["C2"].n_prev_clusters, got["C2"].max_prev_overlap) == (2, 2)
+    assert got["C3"].status == "new" and got["C3"].n_new == 1
+    assert got["C4"].status == "grown"
+    assert got["C5"].status == "stable"
+    assert [(r.cluster_id, r.n_members) for r in dissolved.collect()] == [("P4", 1)]
+
+
+def test_cluster_churn_invariance_identity_and_plan(spark):
+    """Identical snapshots -> all stable, nothing dissolved;
+    partitioning/materialization invariance; the contingency contraction
+    is a partial-combined aggregate, no window, no pair join."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        cluster_churn,
+    )
+    import pyspark.sql.functions as F
+
+    snap = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50).alias("cluster_id")
+    )
+    report, dissolved = cluster_churn(snap, snap, materialize=False)
+    assert dissolved.count() == 0
+    stats = report.groupBy("status").count().collect()
+    assert {r.status: r["count"] for r in stats} == {"stable": 50}
+    r1, d1 = cluster_churn(snap.repartition(7), snap.coalesce(1), materialize=True)
+    assert sorted(r1.collect()) == sorted(report.collect())
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan[:2000]

@@ -140,6 +140,7 @@ _DOCQ = [
     "token_histogram",
     "exact_dedup",
     "dedup_impact",
+    "cluster_churn",
     "boilerplate_dedup",
     "ngram_jaccard_block",
     "ngram_containment",

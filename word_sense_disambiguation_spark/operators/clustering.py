@@ -870,3 +870,122 @@ def triangle_stats(
             ).alias("clustering_coefficient"),
         )
     )
+
+
+def cluster_churn(
+    prev: DataFrame,
+    curr: DataFrame,
+    id_col: str = "doc_id",
+    prev_cluster_col: str = "cluster_id",
+    curr_cluster_col: str = "cluster_id",
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Snapshot-over-snapshot cluster evolution — the ER-ops stability
+    monitor: when a pipeline re-runs (new crawl increment, retuned
+    threshold, exact-dup policy upgraded to near-dup), WHICH entities
+    moved, merged, split, appeared? Production linkage treats cluster
+    churn as a release gate; this computes it exactly, without ever
+    materializing record pairs.
+
+    Per CURRENT cluster: ``n_members``; ``n_carried`` (members that
+    exist in the previous snapshot) and ``n_new``; ``n_prev_clusters``
+    (distinct previous clusters its carried members came from);
+    ``max_prev_overlap`` (its largest single-previous-cluster
+    intersection) — all BIGINT from ONE partial-combined
+    ``groupBy(prev_cluster, curr_cluster)`` contingency contraction
+    (the `pairwise_cluster_metrics` shape: shuffled volume is one row
+    per record, everything downstream runs on the tiny cell table).
+    ``status`` is a pure CASE over those counts, pinned:
+
+    * ``new``    — no carried members;
+    * ``merged`` — carried members from >= 2 previous clusters (wins
+      over split/grown when both apply: a merge is the louder event);
+    * ``split``  — one previous cluster, NOT absorbed whole (its other
+      members went elsewhere — wins over grown);
+    * ``grown``  — one previous cluster absorbed whole, plus new
+      members;
+    * ``stable`` — one previous cluster absorbed whole, nothing else.
+
+    The second return value lists DISSOLVED previous clusters (no
+    member survives into the current snapshot) with their sizes.
+    Records are matched by ``id_col``; ids present only in ``prev``
+    count toward dissolution/splits exactly like reassigned ids
+    (deletion is just reassignment to nowhere). ``materialize`` eagerly
+    localCheckpoints the contingency cells before the multi-consumer
+    fan-out.
+
+    Reference parity anchor: the skip-if-exists resume discipline of
+    /root/reference/training/data/generate.py:148-160 — this is the
+    audit of what a re-run changed, lifted to cluster granularity.
+    """
+    p = prev.select(
+        F.col(id_col).alias("_id"), F.col(prev_cluster_col).alias("_c1")
+    )
+    c = curr.select(
+        F.col(id_col).alias("_id"), F.col(curr_cluster_col).alias("_c2")
+    )
+    j = c.join(p, on="_id", how="left")
+    cells = j.groupBy("_c1", "_c2").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    if materialize:
+        cells = cells.localCheckpoint(eager=True)
+    prev_sizes = p.groupBy("_c1").agg(
+        F.count(F.lit(1)).cast("long").alias("_prev_size")
+    )
+    carried = cells.filter(F.col("_c1").isNotNull())
+    per_curr = cells.groupBy("_c2").agg(
+        F.sum("n").cast("long").alias("n_members"),
+        F.sum(F.when(F.col("_c1").isNotNull(), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_carried"),
+        F.sum(F.when(F.col("_c1").isNull(), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("_c1").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_prev_clusters"),
+        F.coalesce(
+            F.max(F.when(F.col("_c1").isNotNull(), F.col("n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("max_prev_overlap"),
+    )
+    # was the single contributing previous cluster absorbed WHOLE?
+    single_src = (
+        carried.join(prev_sizes, on="_c1")
+        .groupBy("_c2")
+        .agg(
+            F.max_by(
+                (F.col("n") == F.col("_prev_size")), F.struct(F.col("n"), F.col("_c1"))
+            ).alias("_src_whole")
+        )
+    )
+    report = (
+        per_curr.join(single_src, on="_c2", how="left")
+        .select(
+            F.col("_c2").alias("cluster_id"),
+            "n_members",
+            "n_carried",
+            "n_new",
+            "n_prev_clusters",
+            "max_prev_overlap",
+            F.expr(
+                "CASE WHEN n_carried = 0 THEN 'new'"
+                " WHEN n_prev_clusters >= 2 THEN 'merged'"
+                " WHEN NOT _src_whole THEN 'split'"
+                " WHEN n_new > 0 THEN 'grown'"
+                " ELSE 'stable' END"
+            ).alias("status"),
+        )
+    )
+    dissolved = (
+        prev_sizes.join(
+            carried.select("_c1").distinct(), on="_c1", how="left_anti"
+        )
+        .select(
+            F.col("_c1").alias("cluster_id"),
+            F.col("_prev_size").alias("n_members"),
+        )
+    )
+    return report, dissolved
