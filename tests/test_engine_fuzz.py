@@ -144,6 +144,7 @@ _DOCQ = [
     "boilerplate_dedup",
     "ngram_jaccard_block",
     "ngram_containment",
+    "similarity_join",
     "distinctive_terms",
     "substring_span_dedup",
     "quality_classifier",

@@ -942,3 +942,129 @@ def dedup_impact(
             " / CAST(chars_total AS DOUBLE) END"
         ).alias("char_drop_ratio"),
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_pct: int = 70,
+    max_block_size: int = 4096,
+) -> tuple[DataFrame, DataFrame]:
+    """EXACT all-pairs Jaccard similarity join via prefix filtering
+    (Chaudhuri/Bayardo/PPJoin family) — the deterministic complement to
+    the MinHash path: LSH trades false negatives for speed; the prefix
+    filter has a COMPLETENESS GUARANTEE (every pair with J >= t shares
+    at least one prefix token) and, in this engine, ZERO floats — the
+    threshold is an integer percent, so both the prefix length
+    ``|d| - ceil(t·|d|) + 1`` and the verify ``100·|x∩y| >=
+    t·|x∪y|`` are exact integer arithmetic (``ceil`` spelled as
+    ``(t·len + 99) DIV 100``).
+
+    Why the candidate set stays small: each document's tokens sort by
+    GLOBAL RARITY (count ASC, token ASC — a total order both engines
+    replay), and only the first ``prefix_len`` — the rarest — tokens
+    block. Common tokens (stopwords, boilerplate) fall out of prefixes
+    of any document long enough to survive the threshold, so blocks
+    concentrate on discriminative tokens. Residual hot prefix-token
+    blocks (e.g. a corpus of near-identical short docs — where the TRUE
+    output is itself quadratic) are capped at ``max_block_size`` and
+    surfaced in the returned ``oversized`` table, the house no-silent-
+    drop contract; completeness holds exactly for every pair untouched
+    by the cap.
+
+    Scale shape: distinct (doc, token) membership and global token
+    counts are partial-combined groupBys; the per-doc rarity rank is a
+    DOC-BOUNDED window (the ``distinctive_terms`` class — partitioned
+    by document, never by a corpus-level hot key); candidate pairs come
+    from the capped within-block self-join on prefix tokens;
+    intersection sizes contract token-linearly per pair (the
+    ``tfidf_cosine`` join shape, no array materialization per pair);
+    the verify is one integer comparison. Empty documents have no
+    tokens, hence no prefix, hence never pair (J with an empty set is
+    0 for any nonempty partner; the empty-empty pair is undefined and
+    deliberately not emitted).
+
+    Returns ``(matches, oversized)``: matches = (id_a, id_b, n_inter,
+    n_union, jaccard) with id_a < id_b, jaccard the ONE IEEE division
+    of the exact counts; oversized = (token, block_size).
+    """
+    from pyspark.sql import Window
+
+    from word_sense_disambiguation_spark.functions.text import WS_CLASS
+
+    tq = int(threshold_pct)
+    if not 0 < tq <= 100:
+        raise ValueError("threshold_pct must be in (0, 100]")
+    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = F.when(t == "", F.array()).otherwise(F.split(t, WS_CLASS + "+"))
+    membership = (
+        df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).alias("_dup"))
+        .select("_id", "token")
+    )
+    sizes = membership.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_len")
+    )
+    freq = membership.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("_freq")
+    )
+    ranked = membership.join(freq, on="token").withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_id").orderBy(
+                F.asc("_freq"), F.asc("token")
+            )
+        ),
+    )
+    prefix = (
+        ranked.join(sizes, on="_id")
+        .filter(
+            F.col("_rn")
+            <= F.col("_len")
+            - F.expr(f"({tq}L * _len + 99L) DIV 100L")
+            + F.lit(1)
+        )
+        .select("token", "_id")
+    )
+    from word_sense_disambiguation_spark.operators.blocking import (
+        _pairs_within_blocks,
+    )
+
+    cand, oversized = _pairs_within_blocks(
+        prefix, "_id", ["token"], max_block_size
+    )
+    pairs = cand.select("id_a", "id_b").distinct()
+    inter = (
+        membership.select(F.col("_id").alias("id_a"), "token")
+        .join(pairs, on="id_a")
+        .join(
+            membership.select(F.col("_id").alias("id_b"), "token"),
+            on=["id_b", "token"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_len").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_len").alias("_nb"))
+    matches = (
+        inter.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .withColumn(
+            "n_union",
+            (F.col("_na") + F.col("_nb") - F.col("n_inter")).cast("long"),
+        )
+        .filter(F.col("n_inter") * 100 >= F.lit(tq) * F.col("n_union"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_union",
+            F.expr(
+                "CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)"
+            ).alias("jaccard"),
+        )
+    )
+    return matches, oversized.select("token", "block_size")
