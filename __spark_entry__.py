@@ -1025,6 +1025,26 @@ def _q_truth_discovery(spark, sf_dir):
     return consensus
 
 
+def _q_threshold_curve(spark, sf_dir):
+    """Cluster-shape-vs-threshold curve over the FS corrupted-customer
+    world: four candidate cutoffs (0/1500/3000/4500 milli) each run the
+    REAL adaptive CC over the pairs scoring at or above them — entity
+    counts, max/mean cluster size per point. Node ids are namespaced
+    ('a:'/'b:') so the original and its corrupted copy are distinct
+    records sharing a key."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        threshold_cluster_curve,
+    )
+
+    scored = _fs_scored_customers(spark, sf_dir)
+    pairs = scored.select(
+        F.concat(F.lit("a:"), F.col("id_a").cast("string")).alias("id_a"),
+        F.concat(F.lit("b:"), F.col("id_b").cast("string")).alias("id_b"),
+        F.col("total_milli").alias("score"),
+    )
+    return threshold_cluster_curve(pairs, thresholds=(0, 1500, 3000, 4500))
+
+
 def _q_er_size_stats(spark, sf_dir):
     """One-row shape audit of the derived-world ER clustering (same
     pred construction as er_eval_pairwise: CC entity or own-id
@@ -2565,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_best_match": _q_mutual_best_match,
         "pr_sweep": _q_pr_sweep,
         "truth_discovery": _q_truth_discovery,
+        "threshold_curve": _q_threshold_curve,
         "fs_pattern_counts": _q_fs_pattern_counts,
         "cluster_cohesion": _q_cluster_cohesion,
         "tfidf_cosine": _q_tfidf_cosine,
@@ -5411,6 +5432,152 @@ def oracle_sql() -> dict[str, str]:
             SELECT ra.id_a, ra.id_b, CAST(ra.total_milli AS BIGINT) AS score
             FROM ra JOIN rb ON ra.id_a = rb.id_a AND ra.id_b = rb.id_b
             WHERE ra.rk = 1 AND rb.rk = 1
+        """,
+        # Threshold-curve replay: the FS score CTE once, then per cutoff a
+        # recursive-CTE transitive closure over the namespaced surviving
+        # edges and the same one-row shape aggregate; 4 points UNION ALL.
+        "threshold_curve": r"""
+            WITH orig AS (
+              SELECT c_custkey AS id_a, c_nationkey AS nk,
+                     c_name AS name_a, c_mktsegment AS seg_a,
+                     substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) AS code_a
+              FROM customer
+            ),
+            corrupt AS (
+              SELECT c_custkey AS id_b, c_nationkey AS nk,
+                     CASE c_custkey % 4
+                       WHEN 1 THEN replace(c_name, 'Customer', 'Custmr')
+                       WHEN 2 THEN substr(c_name, 2, 1000)
+                       WHEN 3 THEN c_name || 'x'
+                       ELSE c_name END AS name_b,
+                     CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
+                          ELSE c_mktsegment END AS seg_b,
+                     CASE WHEN c_custkey % 6 = 0
+                          THEN 'z' || substr(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6), 2, 5)
+                          ELSE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) END AS code_b
+              FROM customer
+            ),
+            p AS (SELECT * FROM orig JOIN corrupt USING (nk)),
+            fs AS (
+              SELECT id_a, id_b,
+                     CAST(CASE WHEN levenshtein(name_a, name_b) = 0 THEN 1500
+                               WHEN levenshtein(name_a, name_b) <= 3 THEN 600
+                               ELSE -1200 END
+                        + CASE WHEN levenshtein(seg_a, seg_b) = 0 THEN 800
+                               ELSE -800 END
+                        + CASE WHEN levenshtein(code_a, code_b) = 0 THEN 2500
+                               WHEN levenshtein(code_a, code_b) <= 2 THEN 1000
+                               ELSE -2000 END
+                        AS BIGINT) AS score
+              FROM p
+            )
+              SELECT CAST(0 AS BIGINT) AS threshold,
+                     CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_linked_records,
+                     CAST(COUNT(*) AS BIGINT) AS n_entities,
+                     CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_cluster_size,
+                     CASE WHEN COUNT(*) = 0 THEN CAST(NULL AS DOUBLE)
+                          ELSE CAST(COALESCE(SUM(sz), 0) AS DOUBLE)
+                               / CAST(COUNT(*) AS DOUBLE) END AS mean_cluster_size
+              FROM (
+                WITH RECURSIVE e AS (
+                  SELECT 'a:' || CAST(id_a AS VARCHAR) AS src,
+                         'b:' || CAST(id_b AS VARCHAR) AS dst
+                  FROM fs WHERE score >= 0
+                ),
+                nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+                sym AS (SELECT src, dst FROM e
+                        UNION SELECT dst AS src, src AS dst FROM e),
+                reach(a, b) AS (
+                  SELECT n, n FROM nodes
+                  UNION
+                  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+                ),
+                comp AS (SELECT a AS node, min(b) AS component
+                         FROM reach GROUP BY a)
+                SELECT component, CAST(count(*) AS BIGINT) AS sz
+                FROM comp GROUP BY component
+              )
+              UNION ALL
+              SELECT CAST(1500 AS BIGINT) AS threshold,
+                     CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_linked_records,
+                     CAST(COUNT(*) AS BIGINT) AS n_entities,
+                     CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_cluster_size,
+                     CASE WHEN COUNT(*) = 0 THEN CAST(NULL AS DOUBLE)
+                          ELSE CAST(COALESCE(SUM(sz), 0) AS DOUBLE)
+                               / CAST(COUNT(*) AS DOUBLE) END AS mean_cluster_size
+              FROM (
+                WITH RECURSIVE e AS (
+                  SELECT 'a:' || CAST(id_a AS VARCHAR) AS src,
+                         'b:' || CAST(id_b AS VARCHAR) AS dst
+                  FROM fs WHERE score >= 1500
+                ),
+                nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+                sym AS (SELECT src, dst FROM e
+                        UNION SELECT dst AS src, src AS dst FROM e),
+                reach(a, b) AS (
+                  SELECT n, n FROM nodes
+                  UNION
+                  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+                ),
+                comp AS (SELECT a AS node, min(b) AS component
+                         FROM reach GROUP BY a)
+                SELECT component, CAST(count(*) AS BIGINT) AS sz
+                FROM comp GROUP BY component
+              )
+              UNION ALL
+              SELECT CAST(3000 AS BIGINT) AS threshold,
+                     CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_linked_records,
+                     CAST(COUNT(*) AS BIGINT) AS n_entities,
+                     CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_cluster_size,
+                     CASE WHEN COUNT(*) = 0 THEN CAST(NULL AS DOUBLE)
+                          ELSE CAST(COALESCE(SUM(sz), 0) AS DOUBLE)
+                               / CAST(COUNT(*) AS DOUBLE) END AS mean_cluster_size
+              FROM (
+                WITH RECURSIVE e AS (
+                  SELECT 'a:' || CAST(id_a AS VARCHAR) AS src,
+                         'b:' || CAST(id_b AS VARCHAR) AS dst
+                  FROM fs WHERE score >= 3000
+                ),
+                nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+                sym AS (SELECT src, dst FROM e
+                        UNION SELECT dst AS src, src AS dst FROM e),
+                reach(a, b) AS (
+                  SELECT n, n FROM nodes
+                  UNION
+                  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+                ),
+                comp AS (SELECT a AS node, min(b) AS component
+                         FROM reach GROUP BY a)
+                SELECT component, CAST(count(*) AS BIGINT) AS sz
+                FROM comp GROUP BY component
+              )
+              UNION ALL
+              SELECT CAST(4500 AS BIGINT) AS threshold,
+                     CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_linked_records,
+                     CAST(COUNT(*) AS BIGINT) AS n_entities,
+                     CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_cluster_size,
+                     CASE WHEN COUNT(*) = 0 THEN CAST(NULL AS DOUBLE)
+                          ELSE CAST(COALESCE(SUM(sz), 0) AS DOUBLE)
+                               / CAST(COUNT(*) AS DOUBLE) END AS mean_cluster_size
+              FROM (
+                WITH RECURSIVE e AS (
+                  SELECT 'a:' || CAST(id_a AS VARCHAR) AS src,
+                         'b:' || CAST(id_b AS VARCHAR) AS dst
+                  FROM fs WHERE score >= 4500
+                ),
+                nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+                sym AS (SELECT src, dst FROM e
+                        UNION SELECT dst AS src, src AS dst FROM e),
+                reach(a, b) AS (
+                  SELECT n, n FROM nodes
+                  UNION
+                  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+                ),
+                comp AS (SELECT a AS node, min(b) AS component
+                         FROM reach GROUP BY a)
+                SELECT component, CAST(count(*) AS BIGINT) AS sz
+                FROM comp GROUP BY component
+              )
         """,
         # Truth-discovery replay: same three-source claim construction,
         # two unrolled rounds — count votes, row_number argmax with the

@@ -751,3 +751,52 @@ def test_cluster_churn_invariance_identity_and_plan(spark):
     assert "Window" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "HashAggregate" in plan or "SortAggregate" in plan, plan[:2000]
+
+
+def test_threshold_cluster_curve_hand_example(spark):
+    """Chain x-y(10)-z(5) plus p-q(3): at t=3 two entities {x,y,z}+{p,q};
+    at t=5 one ({p,q} gone); at t=10 the chain splits to a pair; at
+    t=99 nothing links (0-row point, NULL mean)."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        threshold_cluster_curve,
+    )
+
+    pairs = spark.createDataFrame(
+        [("x", "y", 10), ("y", "z", 5), ("p", "q", 3)],
+        "id_a string, id_b string, score long",
+    )
+    out = {
+        r.threshold: r
+        for r in threshold_cluster_curve(
+            pairs, thresholds=(3, 5, 10, 99)
+        ).collect()
+    }
+    assert (out[3].n_linked_records, out[3].n_entities, out[3].max_cluster_size) == (5, 2, 3)
+    assert out[3].mean_cluster_size == 2.5
+    assert (out[5].n_linked_records, out[5].n_entities, out[5].max_cluster_size) == (3, 1, 3)
+    assert (out[10].n_linked_records, out[10].n_entities, out[10].max_cluster_size) == (2, 1, 2)
+    assert (out[99].n_linked_records, out[99].n_entities) == (0, 0)
+    assert out[99].mean_cluster_size is None
+    # single-link monotonicity: stricter threshold never grows the max
+    ts = sorted(out)
+    for lo, hi in zip(ts, ts[1:]):
+        assert out[hi].max_cluster_size <= out[lo].max_cluster_size
+        assert out[hi].n_linked_records <= out[lo].n_linked_records
+
+
+def test_threshold_cluster_curve_invariance(spark):
+    """Partitioning invariance (the curve rides the identity-tested
+    adaptive CC, so one smoke here suffices)."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        threshold_cluster_curve,
+    )
+    import pyspark.sql.functions as F
+
+    pairs = spark.range(0, 400).select(
+        (F.col("id") % 97).cast("string").alias("id_a"),
+        ((F.col("id") * 13) % 97).cast("string").alias("id_b"),
+        (F.col("id") % 20).alias("score"),
+    ).filter(F.col("id_a") != F.col("id_b"))
+    a = sorted(threshold_cluster_curve(pairs.coalesce(1), thresholds=(5, 15)).collect())
+    b = sorted(threshold_cluster_curve(pairs.repartition(7), thresholds=(5, 15)).collect())
+    assert a == b

@@ -197,6 +197,7 @@ _CUSTQ = [
     "fs_match_probability",
     "pr_sweep",
     "truth_discovery",
+    "threshold_curve",
     "cluster_cohesion",
     "degree_pruned_edges",
     "sparsify_topk",

@@ -989,3 +989,79 @@ def cluster_churn(
         )
     )
     return report, dissolved
+
+
+def threshold_cluster_curve(
+    scored_pairs: DataFrame,
+    id_a_col: str = "id_a",
+    id_b_col: str = "id_b",
+    score_col: str = "score",
+    thresholds: tuple[int, ...] = (0, 1500, 3000, 4500),
+) -> DataFrame:
+    """Cluster-shape-vs-threshold curve — the linkage-tuning chart read
+    before picking a match cutoff (Splink's cluster-count chart; the
+    single-link dendrogram sampled at the thresholds that matter): for
+    each candidate threshold, run the REAL transitive clustering over
+    the pairs scoring at or above it and report one row of shape
+    statistics. A threshold too loose shows up as a mega-cluster
+    (max_cluster_size explodes); too tight as entity count collapsing
+    toward the record count.
+
+    Per threshold (all BIGINT, one IEEE division for the mean):
+    ``n_linked_records`` (records touching >= 1 surviving edge —
+    unlinked records are threshold-invariant singletons and deliberately
+    out), ``n_entities`` (connected components over the surviving
+    edges), ``max_cluster_size``, ``mean_cluster_size``. Single-link
+    monotonicity makes the curve interpretable: raising the threshold
+    only ever splits clusters, so ``n_entities`` is nondecreasing in
+    per-linked-record terms while ``max_cluster_size`` is nonincreasing.
+
+    Scale shape: one ``connected_components`` call per threshold — the
+    adaptive CC (single-task NumPy under the threshold, contraction +
+    star rounds above it), so each point costs <= 2 driver rounds on
+    real match graphs; shape stats contract with one partial-combined
+    size groupBy + a one-row aggregate per point; K points union to a
+    K-row table. K is a handful of candidate cutoffs, not a sweep —
+    for the full score axis use ``pr_threshold_sweep`` (per-pair
+    confusion counts, no clustering).
+
+    Reference parity anchor: the confidence-threshold knob the
+    reference exposes on its argmax decision
+    (/root/reference/wsd/word_sense_disambiguation.py:194-217), lifted
+    to the transitive-clustering consequence of the pair decision.
+    """
+    outs = []
+    for t in thresholds:
+        t = int(t)
+        edges = scored_pairs.filter(F.col(score_col) >= t).select(
+            F.col(id_a_col).alias("src"), F.col(id_b_col).alias("dst")
+        )
+        cc = connected_components(edges)
+        sizes = cc.groupBy("component").agg(
+            F.count(F.lit(1)).cast("long").alias("sz")
+        )
+        outs.append(
+            sizes.agg(
+                F.coalesce(F.sum("sz"), F.lit(0))
+                .cast("long")
+                .alias("n_linked_records"),
+                F.count(F.lit(1)).cast("long").alias("n_entities"),
+                F.coalesce(F.max("sz"), F.lit(0))
+                .cast("long")
+                .alias("max_cluster_size"),
+            ).select(
+                F.lit(t).cast("long").alias("threshold"),
+                "n_linked_records",
+                "n_entities",
+                "max_cluster_size",
+                F.expr(
+                    "CASE WHEN n_entities = 0 THEN CAST(NULL AS DOUBLE)"
+                    " ELSE CAST(n_linked_records AS DOUBLE)"
+                    " / CAST(n_entities AS DOUBLE) END"
+                ).alias("mean_cluster_size"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
