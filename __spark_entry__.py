@@ -607,6 +607,44 @@ def _q_similarity_join(spark, sf_dir):
     return matches
 
 
+def _q_curation_pipeline(spark, sf_dir):
+    """The FineWeb-shaped curation composition under the full hash gate
+    (the corpus-side analogue of ``er_clusters_derived``): Gopher
+    quality gates (engine-default thresholds) -> MinHash near-dup
+    clustering over the survivors -> keep-the-best representative per
+    cluster (max n_chars, ties min id) -> concat-and-chunk packing
+    layout of the kept corpus. Survivors are eagerly localCheckpointed
+    (3 consumers: clustering, the score join-back, packing — the
+    multi-consumer rule). Every stage already holds its own standalone
+    oracle; this entry certifies the COMPOSITION bit-for-bit."""
+    from word_sense_disambiguation_spark.operators.dedup import (
+        cluster_representatives,
+        minhash_near_duplicate_clusters,
+    )
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        pack_documents,
+        quality_rule_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # min_stop_words=0: the synthetic corpus carries no English function
+    # words (the stop-word rule itself is oracle- and fuzz-covered by the
+    # standalone quality_rule_flags entry); every other gate stays live.
+    flags = quality_rule_flags(docs, min_stop_words=0)
+    surv = docs.join(
+        flags.filter(F.col("keep")).select("doc_id"), on="doc_id"
+    ).localCheckpoint(eager=True)
+    clusters = minhash_near_duplicate_clusters(
+        surv, "doc_id", "text", threshold=0.7
+    )
+    scored = clusters.join(surv.select("doc_id", "n_chars"), on="doc_id")
+    reps = cluster_representatives(scored, "doc_id", "cluster_id", "n_chars")
+    kept = surv.join(
+        reps.filter(F.col("is_representative")).select("doc_id"), on="doc_id"
+    )
+    return pack_documents(kept, capacity=256, shards=8)
+
+
 def _q_dedup_impact(spark, sf_dir):
     """Dataset-card dedup impact: the REAL MinHash near-dup clustering
     (same config as ``minhash_dedup_clusters``) fed to the per-(lang,
@@ -2636,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_clusters": _q_minhash_clusters,
         "dedup_impact": _q_dedup_impact,
         "similarity_join": _q_similarity_join,
+        "curation_pipeline": _q_curation_pipeline,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "golden_record": _q_golden_record,
         "cluster_split": _q_cluster_split,
@@ -4335,6 +4374,115 @@ def oracle_sql() -> dict[str, str]:
         # (split on \s+ of lower(trim(text)); <3 tokens -> one whole-text
         # gram), same jaccard = inter / greatest(union, 1), same
         # min-member cluster ids via recursive transitive closure.
+        # Curation-composition replay: the quality keep-conjunction, the
+        # certified minhash closure RESTRICTED to survivors, the keep-best
+        # row_number pick (n_chars DESC, id ASC), and the packing window
+        # arithmetic — each identical to its standalone oracle, chained.
+        "curation_pipeline": r"""
+            WITH RECURSIVE qm AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')) AS n_words,
+                     length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
+                     length(regexp_replace(text, '[A-Za-z0-9 \t\n\r\f\x0B]', '', 'g')) AS n_sym,
+                     length(text) AS n_chars,
+                     list_filter(list_transform(string_split_regex(text, '\.'),
+                                                s -> trim(s)),
+                                 s -> s <> '') AS sents,
+                     len(list_intersect(
+                       list_distinct(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+')),
+                       ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+                       AS n_stop_words,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                s -> trim(s)),
+                                 s -> s <> '') AS lines
+              FROM documents
+            ),
+            qd AS (
+              SELECT doc_id, n_words, n_stop_words,
+                     CAST(n_alnum AS DOUBLE) / greatest(n_words, 1) AS mean_word_len,
+                     CAST(n_sym AS DOUBLE) / greatest(n_chars, 1) AS symbol_ratio,
+                     CAST(len(sents) - len(list_distinct(sents)) AS DOUBLE)
+                       / greatest(len(sents), 1) AS dup_sentence_frac,
+                     CAST(len(list_filter(lines,
+                            s -> starts_with(s, '-') OR starts_with(s, '*')
+                                 OR starts_with(s, '•'))) AS DOUBLE)
+                       / greatest(len(lines), 1) AS bullet_line_ratio,
+                     CAST(len(list_filter(lines,
+                            s -> ends_with(s, '...') OR ends_with(s, '…')))
+                          AS DOUBLE)
+                       / greatest(len(lines), 1) AS ellipsis_line_ratio
+              FROM qm
+            ),
+            surv AS (
+              SELECT d.* FROM documents d JOIN qd USING (doc_id)
+              WHERE (qd.n_words >= 10 AND qd.n_words <= 100000)
+                AND (qd.mean_word_len >= 3.0 AND qd.mean_word_len <= 10.0)
+                AND qd.symbol_ratio <= 0.25
+                AND qd.dup_sentence_frac <= 0.30
+                AND qd.n_stop_words >= 0
+                AND qd.bullet_line_ratio <= 0.90
+                AND qd.ellipsis_line_ratio <= 0.30
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(0, len(toks) - 2),
+                                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
+                          ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS toks
+                    FROM surv)
+            ),
+            e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+                    / greatest(CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 1.0)
+                    >= 0.7
+            ),
+            sym AS (SELECT src, dst FROM e
+                    UNION SELECT dst AS src, src AS dst FROM e),
+            nodes AS (SELECT doc_id AS n FROM surv),
+            reach(a, b) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+            ),
+            clus AS (
+              SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY a
+            ),
+            reps AS (
+              SELECT doc_id FROM (
+                SELECT c.doc_id,
+                       row_number() OVER (PARTITION BY c.cluster_id
+                                          ORDER BY s.n_chars DESC, c.doc_id ASC) AS rn
+                FROM clus c JOIN surv s USING (doc_id))
+              WHERE rn = 1
+            ),
+            k AS (
+              SELECT s.doc_id,
+                     CAST(('0x' || substr(md5('42:pack:' || CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+                     CAST(CASE WHEN trim(COALESCE(s.text, '')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(COALESCE(s.text, '')), '[ \t\n\r\f\x0B]+'))
+                     END AS INT) AS n_tokens
+              FROM surv s JOIN reps USING (doc_id)
+            ),
+            o AS (
+              SELECT doc_id, CAST(h % 8 AS INT) AS shard, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS end_off
+              FROM k
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(end_off - n_tokens AS BIGINT) AS start_offset,
+                   CAST(floor((end_off - n_tokens) / 256) AS BIGINT)
+                     AS chunk_first,
+                   CAST(floor(greatest(end_off - 1, end_off - n_tokens) / 256)
+                     AS BIGINT) AS chunk_last
+            FROM o
+        """,
         # Prefix-filter replay: same distinct membership, global rarity
         # order (count ASC, token ASC), integer-ceil prefix, 4096 cap,
         # token-join intersections, integer cross-multiply verify.

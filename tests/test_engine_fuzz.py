@@ -145,6 +145,7 @@ _DOCQ = [
     "ngram_jaccard_block",
     "ngram_containment",
     "similarity_join",
+    "curation_pipeline",
     "distinctive_terms",
     "substring_span_dedup",
     "quality_classifier",

@@ -562,3 +562,45 @@ def test_quality_classifier_default_plan_no_shuffle(spark):
     )
     assert "Exchange" not in plan, plan[:1500]
     assert "Join" not in plan, plan[:1500]
+
+
+def test_curation_pipeline_composition(spark):
+    """End-to-end curation: a too-short doc dies at the quality gate, a
+    byte-identical duplicate loses keep-best to its longer... equal copy
+    (tie -> min id), and the packed layout covers exactly the kept
+    representatives with chunk arithmetic intact."""
+    import pyspark.sql.functions as F
+
+    from word_sense_disambiguation_spark.operators.dedup import (
+        cluster_representatives,
+        minhash_near_duplicate_clusters,
+    )
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        pack_documents,
+        quality_rule_flags,
+    )
+
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    docs = spark.createDataFrame(
+        [(1, good, len(good)), (2, good, len(good)),
+         (3, "tiny", 4),
+         (4, good.replace("alpha", "omega"), len(good))],
+        "doc_id long, text string, n_chars long",
+    )
+    flags = quality_rule_flags(docs, min_stop_words=0)
+    surv = docs.join(flags.filter(F.col("keep")).select("doc_id"), on="doc_id")
+    assert sorted(r.doc_id for r in surv.collect()) == [1, 2, 4]
+    clusters = minhash_near_duplicate_clusters(surv, "doc_id", "text", threshold=0.7)
+    scored = clusters.join(surv.select("doc_id", "n_chars"), on="doc_id")
+    reps = cluster_representatives(scored, "doc_id", "cluster_id", "n_chars")
+    kept = surv.join(
+        reps.filter(F.col("is_representative")).select("doc_id"), on="doc_id"
+    )
+    kept_ids = sorted(r.doc_id for r in kept.collect())
+    assert 3 not in kept_ids and 1 in kept_ids  # dup pair {1,2} -> min id 1
+    assert 2 not in kept_ids
+    packed = pack_documents(kept, capacity=8, shards=2).collect()
+    assert sorted(r.doc_id for r in packed) == kept_ids
+    for r in packed:
+        assert r.chunk_first == r.start_offset // 8
+        assert r.chunk_last >= r.chunk_first
