@@ -1470,6 +1470,30 @@ def _q_substring_span_dedup(spark, sf_dir):
     return duplicate_span_stats(_t(spark, sf_dir, "documents"), n=8)
 
 
+def _q_ccnet_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail assignment: the fastText-architecture
+    quality score (exact BIGINT logits, one IEEE division) bucketed into
+    per-language EXACT tertiles via rank_buckets — cut points are type-1
+    order statistics (integer ceil-rank arithmetic), assignment is a
+    broadcast join + codegen CASE, ties at a cut stay low. Labels
+    ascend with quality: tail < middle < head."""
+    from word_sense_disambiguation_spark.operators.quantiles import (
+        rank_buckets,
+    )
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        quality_classifier_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_classifier_scores(docs).join(
+        docs.select("doc_id", "lang"), on="doc_id"
+    ).select("doc_id", "lang", "score")
+    return rank_buckets(
+        scored, ["lang"], "score", n_buckets=3,
+        labels=("tail", "middle", "head"),
+    )
+
+
 def _q_quality_classifier(spark, sf_dir):
     """fastText-architecture linear quality scorer: integer milli-weight
     per token (60-bit md5 hash projection), exact BIGINT logit sum, one
@@ -2619,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": _q_contamination,
         "substring_span_dedup": _q_substring_span_dedup,
         "quality_classifier": _q_quality_classifier,
+        "ccnet_buckets": _q_ccnet_buckets,
         "fellegi_sunter": _q_fellegi_sunter,
         "mutual_best_match": _q_mutual_best_match,
         "pr_sweep": _q_pr_sweep,
@@ -4374,6 +4399,52 @@ def oracle_sql() -> dict[str, str]:
         # (split on \s+ of lower(trim(text)); <3 tokens -> one whole-text
         # gram), same jaccard = inter / greatest(union, 1), same
         # min-member cluster ids via recursive transitive closure.
+        # CCNet-bucket replay: the classifier score CTE, per-lang counts,
+        # row_number ranks, type-1 cuts at ceil(i*n/3) (integer DIV), then
+        # the same strict-> indicator sum and ascending labels.
+        "ccnet_buckets": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(COALESCE(text, ''))), '[ \t\n\r\f\x0B]+') AS t
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     CAST(list_sum(list_transform(t,
+                       tok -> (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2001) - 1000
+                     )) AS BIGINT) AS logit_milli
+              FROM toks
+            ),
+            sc AS (
+              SELECT s.doc_id, d.lang,
+                     CAST(logit_milli AS DOUBLE)
+                       / (1000.0 * CAST(n_tokens AS DOUBLE)) AS score
+              FROM s JOIN documents d USING (doc_id)
+            ),
+            cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                    FROM sc WHERE score IS NOT NULL GROUP BY lang),
+            rk AS (
+              SELECT lang, score,
+                     row_number() OVER (PARTITION BY lang ORDER BY score) AS r
+              FROM sc WHERE score IS NOT NULL
+            ),
+            cuts AS (
+              SELECT rk.lang,
+                     MAX(CASE WHEN r = greatest(1, (1 * n + 2) // 3)
+                              THEN score END) AS c1,
+                     MAX(CASE WHEN r = greatest(1, (2 * n + 2) // 3)
+                              THEN score END) AS c2
+              FROM rk JOIN cnt USING (lang) GROUP BY rk.lang
+            )
+            SELECT sc.doc_id, sc.lang, sc.score,
+                   CASE WHEN sc.score IS NULL THEN CAST(NULL AS VARCHAR)
+                        ELSE CASE (CASE WHEN sc.score > c.c1 THEN 1 ELSE 0 END)
+                                + (CASE WHEN sc.score > c.c2 THEN 1 ELSE 0 END)
+                             WHEN 0 THEN 'tail' WHEN 1 THEN 'middle'
+                             ELSE 'head' END END AS bucket
+            FROM sc LEFT JOIN cuts c ON c.lang = sc.lang
+        """,
         # Curation-composition replay: the quality keep-conjunction, the
         # certified minhash closure RESTRICTED to survivors, the keep-best
         # row_number pick (n_chars DESC, id ASC), and the packing window

@@ -149,6 +149,7 @@ _DOCQ = [
     "distinctive_terms",
     "substring_span_dedup",
     "quality_classifier",
+    "ccnet_buckets",
     "tfidf_cosine",
     "metablocking_prune",
     "cooccurrence",

@@ -120,3 +120,53 @@ def test_sampled_quantiles_deterministic_and_exact_on_sample(spark):
     # ~1/4 of rows survive per group (binomial, loose bounds)
     n = df.filter(keep).count()
     assert 350 < n < 650
+
+
+def test_rank_buckets_hand_example(spark):
+    """9 values in one group -> exact tertiles: cuts at ranks ceil(3)=3
+    and ceil(6)=6, i.e. values 3 and 6; ties at a cut stay low; NULL
+    value -> NULL bucket; a second group buckets independently."""
+    from word_sense_disambiguation_spark.operators.quantiles import rank_buckets
+    import pyspark.sql.functions as F
+
+    rows = [("en", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9]]
+    rows += [("fr", 100), ("fr", 200), ("fr", 300), ("en", None)]
+    df = spark.createDataFrame(rows, "lang string, score long")
+    out = rank_buckets(
+        df, ["lang"], "score", n_buckets=3, labels=("tail", "middle", "head")
+    )
+    got = {(r.lang, r.score): r.bucket for r in out.collect()}
+    for v in (1, 2, 3):
+        assert got[("en", v)] == "tail"
+    for v in (4, 5, 6):
+        assert got[("en", v)] == "middle"
+    for v in (7, 8, 9):
+        assert got[("en", v)] == "head"
+    assert got[("en", None)] is None
+    assert got[("fr", 100)] == "tail" and got[("fr", 300)] == "head"
+    # ties at the cut go LOW: all-equal group -> everything in bucket 0
+    tie = spark.createDataFrame([("x", 5)] * 7, "lang string, score long")
+    tb = rank_buckets(tie, ["lang"], "score").select("bucket").distinct().collect()
+    assert [r.bucket for r in tb] == ["b0"]
+
+
+def test_rank_buckets_invariance_and_plan(spark):
+    """Partitioning invariance; the ASSIGNMENT side is a broadcast join
+    + codegen CASE (the only window lives in the tiny cut derivation)."""
+    from word_sense_disambiguation_spark.operators.quantiles import rank_buckets
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).cast("string").alias("lang"),
+        ((F.col("id") * 37) % 1000).alias("score"),
+    )
+    a = sorted(rank_buckets(df.coalesce(1), ["lang"], "score").collect())
+    b = sorted(rank_buckets(df.repartition(7), ["lang"], "score").collect())
+    assert a == b
+    plan = (
+        rank_buckets(df, ["lang"], "score")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]

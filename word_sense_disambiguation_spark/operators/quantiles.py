@@ -140,3 +140,68 @@ def sampled_group_quantiles(
         f"{rate_den}) = 0"
     )
     return group_quantiles(df.filter(keep), key_cols, value_col, quantiles)
+
+
+def rank_buckets(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    n_buckets: int = 3,
+    labels: tuple[str, ...] | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Per-group exact rank bucketing — the CCNet head/middle/tail
+    assignment: every row lands in the bucket its ``value_col`` rank
+    (within its ``key_cols`` group) falls into, with the cut points
+    being the EXACT type-1 order statistics at i/n_buckets. CCNet cuts
+    each language's documents into perplexity tertiles and trains on
+    the best; this is that stage, group- and bucket-count-generic.
+
+    Scale shape: the cuts come from :func:`group_quantiles` (the same
+    integer-exact ``ceil(i*n/den)`` rank arithmetic — NO new float
+    surface), which contracts to ``n_buckets - 1`` rows per group; the
+    tiny cut table pivots to one row per group, broadcasts, and the
+    assignment is a pure-codegen CASE over ``value > cut`` indicators —
+    NEVER a row_number over the data itself at assignment time, so a
+    10^9-document language costs one broadcast join, not a sorted
+    window. Ties AT a cut go to the LOWER bucket (strict ``>``), so
+    the rule is a total function of the value — rows with equal values
+    always share a bucket (a rank-split would tear them apart
+    nondeterministically). NULL values keep a NULL bucket.
+
+    ``labels`` are bucket names in ASCENDING value order (default
+    ``b0..b{n-1}``); pass ``("tail", "middle", "head")`` for a
+    quality-ascending CCNet labeling. Output: input columns +
+    ``bucket_col``.
+    """
+    n_buckets = int(n_buckets)
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if labels is None:
+        labels = tuple(f"b{i}" for i in range(n_buckets))
+    if len(labels) != n_buckets:
+        raise ValueError("need exactly n_buckets labels")
+    qs = tuple((f"c{i}", i, n_buckets) for i in range(1, n_buckets))
+    cuts = group_quantiles(df, key_cols, value_col, quantiles=qs)
+    pivot = cuts.groupBy(*key_cols).agg(
+        *[
+            F.max(
+                F.when(F.col("quantile") == f"c{i}", F.col("q_value"))
+            ).alias(f"_cut{i}")
+            for i in range(1, n_buckets)
+        ]
+    )
+    j = df.join(F.broadcast(pivot), on=key_cols, how="left")
+    idx = None
+    for i in range(1, n_buckets):
+        ind = F.when(F.col(value_col) > F.col(f"_cut{i}"), 1).otherwise(0)
+        idx = ind if idx is None else idx + ind
+    label_arr = F.array(*[F.lit(x) for x in labels])
+    out = j.withColumn(
+        bucket_col,
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.element_at(label_arr, idx + F.lit(1)),
+        ),
+    )
+    return out.select(*df.columns, bucket_col)
