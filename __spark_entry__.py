@@ -1494,6 +1494,21 @@ def _q_ccnet_buckets(spark, sf_dir):
     )
 
 
+def _q_length_outliers(spark, sf_dir):
+    """Robust corpus anomaly gate: per (lang, source) slice, flag
+    documents whose n_chars sits more than 3.5 MADs from the slice
+    median — both order statistics exact type-1 ranks, the threshold an
+    integer cross-multiply, zero floats."""
+    from word_sense_disambiguation_spark.operators.quantiles import (
+        mad_outliers,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return mad_outliers(docs, ["lang", "source"], "n_chars")
+
+
 def _q_quality_classifier(spark, sf_dir):
     """fastText-architecture linear quality scorer: integer milli-weight
     per token (60-bit md5 hash projection), exact BIGINT logit sum, one
@@ -2644,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_span_dedup": _q_substring_span_dedup,
         "quality_classifier": _q_quality_classifier,
         "ccnet_buckets": _q_ccnet_buckets,
+        "length_outliers": _q_length_outliers,
         "fellegi_sunter": _q_fellegi_sunter,
         "mutual_best_match": _q_mutual_best_match,
         "pr_sweep": _q_pr_sweep,
@@ -4399,6 +4415,45 @@ def oracle_sql() -> dict[str, str]:
         # (split on \s+ of lower(trim(text)); <3 tokens -> one whole-text
         # gram), same jaccard = inter / greatest(union, 1), same
         # min-member cluster ids via recursive transitive closure.
+        # MAD replay: exact type-1 medians via row_number + ceil-rank
+        # (greatest(1,(n+1)//2)), deviation median the same way, flag as
+        # the identical integer cross-multiply (k_milli=3500).
+        "length_outliers": r"""
+            WITH v AS (SELECT doc_id, lang, source, n_chars FROM documents),
+            c1 AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+                   FROM v WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+            r1 AS (SELECT lang, source, n_chars,
+                          row_number() OVER (PARTITION BY lang, source
+                                             ORDER BY n_chars) AS r
+                   FROM v WHERE n_chars IS NOT NULL),
+            med AS (SELECT r1.lang, r1.source,
+                           CAST(MAX(CASE WHEN r = greatest(1, (n + 1) // 2)
+                                         THEN n_chars END) AS BIGINT)
+                             AS group_median
+                    FROM r1 JOIN c1 USING (lang, source) GROUP BY 1, 2),
+            d AS (SELECT v.lang, v.source,
+                         abs(v.n_chars - m.group_median) AS dev
+                  FROM v JOIN med m USING (lang, source)
+                  WHERE v.n_chars IS NOT NULL),
+            c2 AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+                   FROM d GROUP BY 1, 2),
+            r2 AS (SELECT lang, source, dev,
+                          row_number() OVER (PARTITION BY lang, source
+                                             ORDER BY dev) AS r
+                   FROM d),
+            mad AS (SELECT r2.lang, r2.source,
+                           CAST(MAX(CASE WHEN r = greatest(1, (n + 1) // 2)
+                                         THEN dev END) AS BIGINT) AS group_mad
+                    FROM r2 JOIN c2 USING (lang, source) GROUP BY 1, 2)
+            SELECT v.doc_id, v.lang, v.source, v.n_chars,
+                   m.group_median, d2.group_mad,
+                   CASE WHEN v.n_chars IS NULL THEN CAST(NULL AS BOOLEAN)
+                        ELSE abs(v.n_chars - m.group_median) * 1000
+                             > 3500 * d2.group_mad END AS is_outlier
+            FROM v
+            LEFT JOIN med m ON m.lang = v.lang AND m.source = v.source
+            LEFT JOIN mad d2 ON d2.lang = v.lang AND d2.source = v.source
+        """,
         # CCNet-bucket replay: the classifier score CTE, per-lang counts,
         # row_number ranks, type-1 cuts at ceil(i*n/3) (integer DIV), then
         # the same strict-> indicator sum and ascending labels.

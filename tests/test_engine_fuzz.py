@@ -150,6 +150,7 @@ _DOCQ = [
     "substring_span_dedup",
     "quality_classifier",
     "ccnet_buckets",
+    "length_outliers",
     "tfidf_cosine",
     "metablocking_prune",
     "cooccurrence",

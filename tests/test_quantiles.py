@@ -170,3 +170,35 @@ def test_rank_buckets_invariance_and_plan(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_mad_outliers_hand_example(spark):
+    """Group en = {10,11,12,13,14, 1000}: median 12 (type-1 rank
+    ceil(6/2)=3... values sorted 10,11,12,13,14,1000 -> rank 3 = 12),
+    deviations {2,1,0,1,2,988} -> MAD rank 3 = 1; only 1000 exceeds
+    3.5*MAD. Degenerate all-equal group: MAD 0, any deviation flags."""
+    from word_sense_disambiguation_spark.operators.quantiles import mad_outliers
+
+    rows = [("en", v) for v in [10, 11, 12, 13, 14, 1000]]
+    rows += [("zz", 5), ("zz", 5), ("zz", 5), ("zz", 6), ("en", None)]
+    df = spark.createDataFrame(rows, "lang string, n long")
+    out = {(r.lang, r.n): r for r in mad_outliers(df, ["lang"], "n").collect()}
+    en = [out[("en", v)] for v in (10, 11, 12, 13, 14, 1000)]
+    assert en[0].group_median == 12 and en[0].group_mad == 1
+    assert [r.is_outlier for r in en] == [False, False, False, False, False, True]
+    assert out[("en", None)].is_outlier is None
+    assert out[("zz", 5)].is_outlier is False
+    assert out[("zz", 6)].group_mad == 0 and out[("zz", 6)].is_outlier is True
+
+
+def test_mad_outliers_invariance(spark):
+    from word_sense_disambiguation_spark.operators.quantiles import mad_outliers
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 4).cast("string").alias("lang"),
+        ((F.col("id") * 17) % 500).alias("n"),
+    )
+    a = sorted(mad_outliers(df.coalesce(1), ["lang"], "n").collect())
+    b = sorted(mad_outliers(df.repartition(9), ["lang"], "n").collect())
+    assert a == b

@@ -205,3 +205,62 @@ def rank_buckets(
         ),
     )
     return out.select(*df.columns, bucket_col)
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k_milli: int = 3500,
+) -> DataFrame:
+    """Robust per-group outlier flags via median/MAD — the corpus
+    anomaly gate (a source whose document lengths suddenly include
+    10^8-char blobs, a crawl segment with pathological token counts):
+    mean/stddev break exactly when you need them (the outlier drags the
+    mean), the median absolute deviation does not (50% breakdown
+    point — Hampel's rule).
+
+    A row is an outlier iff ``|value - median| > k * MAD`` with both
+    order statistics EXACT type-1 medians from the integer ceil-rank
+    machinery of :func:`group_quantiles`, and the comparison the
+    integer cross-multiply ``|value - med| * 1000 > k_milli * mad`` —
+    zero floats anywhere, so the flags replay bit-for-bit (the default
+    k_milli=3500 is Hampel's 3.5, exact). Works on any integer-valued
+    metric column (lengths, token counts, milli-scores). A
+    degenerate group (MAD = 0: over half the values identical) flags
+    every value differing from the median — documented and pinned, the
+    conservative reading of Hampel on constant data.
+
+    Scale shape: two quantile passes (value median, then deviation
+    median), each contracting to ONE row per group through the
+    group_quantiles machinery; the tiny (median, mad) table broadcasts
+    back and the flag is pure codegen. NULL values keep NULL flags.
+
+    Output: input columns + ``group_median``, ``group_mad`` (BIGINT)
+    and ``is_outlier`` (BOOLEAN).
+    """
+    k_milli = int(k_milli)
+    med = (
+        group_quantiles(df, key_cols, value_col, quantiles=(("m", 1, 2),))
+        .select(*key_cols, F.col("q_value").cast("long").alias("group_median"))
+    )
+    j = df.join(F.broadcast(med), on=key_cols, how="left")
+    dev = j.filter(F.col(value_col).isNotNull()).select(
+        *key_cols,
+        F.abs(F.col(value_col) - F.col("group_median")).alias("_dev"),
+    )
+    mad = (
+        group_quantiles(dev, key_cols, "_dev", quantiles=(("m", 1, 2),))
+        .select(*key_cols, F.col("q_value").cast("long").alias("group_mad"))
+    )
+    out = j.join(F.broadcast(mad), on=key_cols, how="left")
+    return out.select(
+        *df.columns,
+        "group_median",
+        "group_mad",
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.abs(F.col(value_col) - F.col("group_median")) * 1000
+            > F.lit(k_milli) * F.col("group_mad"),
+        ).alias("is_outlier"),
+    )
