@@ -1509,6 +1509,37 @@ def _q_length_outliers(spark, sf_dir):
     return mad_outliers(docs, ["lang", "source"], "n_chars")
 
 
+def _q_rrf_hybrid(spark, sf_dir):
+    """Reciprocal-rank fusion of two per-language ranked lists (a
+    length-priority list and a freshness-by-id list, 20 deep each) —
+    the hybrid-retrieval merge in exact scaled-DIV integers
+    (sum(10^12 DIV (60 + rank)), pinned (score DESC, item ASC) order)."""
+    from pyspark.sql import Window
+
+    from word_sense_disambiguation_spark.operators.similarity_search import (
+        rrf_fuse,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    wlen = Window.partitionBy("lang").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wid = Window.partitionBy("lang").orderBy(F.asc("doc_id"))
+    by_len = docs.select(
+        F.col("lang").alias("query_id"),
+        F.col("doc_id").alias("item_id"),
+        F.row_number().over(wlen).cast("long").alias("rank"),
+        F.lit("length").alias("source"),
+    ).filter(F.col("rank") <= 20)
+    by_id = docs.select(
+        F.col("lang").alias("query_id"),
+        F.col("doc_id").alias("item_id"),
+        F.row_number().over(wid).cast("long").alias("rank"),
+        F.lit("fresh").alias("source"),
+    ).filter(F.col("rank") <= 20)
+    return rrf_fuse(by_len.unionByName(by_id), k=60, top_n=10)
+
+
 def _q_quality_classifier(spark, sf_dir):
     """fastText-architecture linear quality scorer: integer milli-weight
     per token (60-bit md5 hash projection), exact BIGINT logit sum, one
@@ -2660,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "ccnet_buckets": _q_ccnet_buckets,
         "length_outliers": _q_length_outliers,
+        "rrf_hybrid": _q_rrf_hybrid,
         "fellegi_sunter": _q_fellegi_sunter,
         "mutual_best_match": _q_mutual_best_match,
         "pr_sweep": _q_pr_sweep,
@@ -4415,6 +4447,49 @@ def oracle_sql() -> dict[str, str]:
         # (split on \s+ of lower(trim(text)); <3 tokens -> one whole-text
         # gram), same jaccard = inter / greatest(union, 1), same
         # min-member cluster ids via recursive transitive closure.
+        # RRF replay: the same two ranked lists (row_number, identical tie
+        # orders), best-rank dedup, scaled-DIV reciprocal sum, pinned
+        # (score DESC, item ASC) fused order, top-10.
+        "rrf_hybrid": r"""
+            WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+            by_len AS (
+              SELECT lang AS query, doc_id AS item,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id ASC) AS r,
+                     'length' AS src
+              FROM d
+            ),
+            by_id AS (
+              SELECT lang AS query, doc_id AS item,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY doc_id ASC) AS r,
+                     'fresh' AS src
+              FROM d
+            ),
+            u AS (
+              SELECT * FROM by_len WHERE r <= 20
+              UNION ALL
+              SELECT * FROM by_id WHERE r <= 20
+            ),
+            best AS (
+              SELECT query, src, item, CAST(MIN(r) AS BIGINT) AS r
+              FROM u GROUP BY 1, 2, 3
+            ),
+            fused AS (
+              SELECT query, item,
+                     CAST(SUM(1000000000000 // (60 + r)) AS BIGINT) AS fused_milli
+              FROM best GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT query, item, fused_milli,
+                     CAST(row_number() OVER (PARTITION BY query
+                                             ORDER BY fused_milli DESC, item ASC)
+                          AS BIGINT) AS fused_rank
+              FROM fused
+            )
+            SELECT query, item, fused_milli, fused_rank
+            FROM ranked WHERE fused_rank <= 10
+        """,
         # MAD replay: exact type-1 medians via row_number + ceil-rank
         # (greatest(1,(n+1)//2)), deviation median the same way, flag as
         # the identical integer cross-multiply (k_milli=3500).

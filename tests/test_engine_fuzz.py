@@ -151,6 +151,7 @@ _DOCQ = [
     "quality_classifier",
     "ccnet_buckets",
     "length_outliers",
+    "rrf_hybrid",
     "tfidf_cosine",
     "metablocking_prune",
     "cooccurrence",

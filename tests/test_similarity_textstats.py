@@ -585,3 +585,49 @@ def test_cooccurrence_harmonic_weights_exact(spark):
         docs, "doc_id", "text", window=3, min_count=1
     )
     assert "w_pair" not in plain.columns
+
+
+def test_rrf_fuse_hand_example(spark):
+    """Two sources over one query: item B is rank 1 in both -> top;
+    A (1st+3rd) beats C (2nd+2nd)? 1/61+1/63 vs 2/62: exact scaled-DIV
+    arithmetic decides, and the python replay agrees; duplicate rows
+    keep the best rank; tie on score breaks by item ASC."""
+    from word_sense_disambiguation_spark.operators.similarity_search import (
+        rrf_fuse,
+    )
+
+    rows = [
+        ("q1", "B", 1, "ann"), ("q1", "A", 2, "ann"), ("q1", "C", 3, "ann"),
+        ("q1", "B", 1, "lex"), ("q1", "C", 2, "lex"), ("q1", "A", 3, "lex"),
+        ("q1", "A", 9, "lex"),          # duplicate: worse rank, ignored
+        ("q2", "X", 1, "ann"), ("q2", "Y", 1, "lex"),  # score tie -> item ASC
+    ]
+    df = spark.createDataFrame(rows, "query_id string, item_id string, rank long, source string")
+    out = rrf_fuse(df, k=60, top_n=10)
+    got = {(r.query, r.item): (r.fused_milli, r.fused_rank) for r in out.collect()}
+    S = 10**12
+    assert got[("q1", "B")][0] == 2 * (S // 61)
+    assert got[("q1", "A")][0] == S // 62 + S // 63
+    assert got[("q1", "C")][0] == S // 63 + S // 62
+    # A and C tie exactly (1/62+1/63 both) -> item ASC: A before C
+    assert got[("q1", "B")][1] == 1
+    assert got[("q1", "A")][1] == 2 and got[("q1", "C")][1] == 3
+    assert got[("q2", "X")][1] == 1 and got[("q2", "Y")][1] == 2
+
+
+def test_rrf_fuse_topn_and_invariance(spark):
+    from word_sense_disambiguation_spark.operators.similarity_search import (
+        rrf_fuse,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 5).cast("string").alias("query_id"),
+        (F.col("id") % 40).cast("string").alias("item_id"),
+        (F.col("id") % 17 + 1).alias("rank"),
+        (F.col("id") % 3).cast("string").alias("source"),
+    )
+    a = sorted(rrf_fuse(df.coalesce(1), top_n=7).collect())
+    b = sorted(rrf_fuse(df.repartition(9), top_n=7).collect())
+    assert a == b
+    assert max(r.fused_rank for r in a) <= 7

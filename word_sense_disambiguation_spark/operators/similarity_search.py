@@ -346,3 +346,69 @@ def lsh_topk(
     scored = cand.select("query_id", "vid", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def rrf_fuse(
+    rankings: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+    source_col: str = "source",
+    k: int = 60,
+    top_n: int = 10,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of several
+    per-query result lists — the hybrid-retrieval merge (ANN cosine +
+    BM25-ish lexical + a recency list fused into one ranking without
+    score calibration): ``RRF(item) = sum over sources of
+    1 / (k + rank)``.
+
+    Exactness discipline: the float reciprocal sum is replaced by the
+    engine's scaled-DIV form ``sum(scale DIV (k + rank))`` — exact
+    BIGINTs, associative, engine-portable; order-isomorphic to the real
+    RRF whenever the scale dominates rank collisions (scale/(k+r) is
+    strictly decreasing in r until integer truncation flattens at
+    r ~ sqrt(scale); the default 10^12 keeps distinct contributions to
+    rank ~10^6, far past any candidate list). Final order is pinned
+    total: (fused score DESC, item ASC); duplicate (query, source,
+    item) rows keep the BEST (lowest) rank first — an argmin aggregate,
+    not trust in upstream dedup.
+
+    Scale shape: one partial-combined dedup argmin, one
+    partial-combined fused-score groupBy (per-query hot items contract
+    map-side), then the per-query top-N as a window over a
+    query-BOUNDED candidate set (at most sources x list length rows per
+    query — the doc-bounded window class, not a corpus-keyed one).
+
+    Output: ``(query, item, fused_milli, fused_rank)`` — fused_milli =
+    the exact BIGINT score, fused_rank 1-based.
+    """
+    k = int(k)
+    scale = int(scale)
+    if k < 0 or scale <= 0:
+        raise ValueError("k must be >= 0 and scale positive")
+    best = (
+        rankings.filter(
+            F.col(query_col).isNotNull()
+            & F.col(item_col).isNotNull()
+            & F.col(rank_col).isNotNull()
+        )
+        .groupBy(
+            F.col(query_col).alias("query"),
+            F.col(source_col).alias("_src"),
+            F.col(item_col).alias("item"),
+        )
+        .agg(F.min(F.col(rank_col)).cast("long").alias("_r"))
+    )
+    fused = best.groupBy("query", "item").agg(
+        F.sum(F.expr(f"{scale}L DIV ({k}L + _r)")).cast("long").alias("fused_milli")
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.desc("fused_milli"), F.asc("item")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= int(top_n))
+        .select("query", "item", "fused_milli", "fused_rank")
+    )
