@@ -311,3 +311,89 @@ def test_bcubed_refinement_extremes_property(labels):
     ident = [(g, g) for _, g in labels]
     n, p, r = _b3_mirror(ident)
     assert p == 1.0 == r
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=1_000_000),
+    st.integers(min_value=1, max_value=1_000_000),
+)
+def test_rrf_scaled_div_is_order_isomorphic(r1, r2):
+    """The rrf_fuse docstring's exactness claim: at scale 10^12 / k=60,
+    the integer contribution scale//(k+r) is STRICTLY decreasing in the
+    rank for every rank up to 10^6 — so scaled-DIV RRF ranks exactly as
+    float RRF does on any candidate list that deep."""
+    S, K = 10**12, 60
+    if r1 < r2:
+        assert S // (K + r1) > S // (K + r2)
+    elif r1 > r2:
+        assert S // (K + r1) < S // (K + r2)
+    else:
+        assert S // (K + r1) == S // (K + r2)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=60), min_size=1, max_size=25),
+    st.sets(st.integers(min_value=0, max_value=60), min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=100),
+    st.permutations(list(range(61))),
+)
+def test_prefix_filter_completeness_lemma(x, y, tq, order):
+    """The lemma prefix_filter_pairs stands on, against arbitrary global
+    orders: if 100*|x∩y| >= tq*|x∪y| then the rarity-order prefixes of
+    integer length |s| - ceil(tq*|s|/100) + 1 INTERSECT. (The operator
+    uses one specific global order; the lemma must hold for any.)"""
+    inter = len(x & y)
+    union = len(x | y)
+    if inter * 100 < tq * union:
+        return  # pair below threshold: lemma says nothing
+    rank = {tok: i for i, tok in enumerate(order)}
+
+    def prefix(s):
+        n = len(s)
+        plen = n - ((tq * n + 99) // 100) + 1
+        return set(sorted(s, key=lambda t: rank[t])[:plen])
+
+    assert prefix(x) & prefix(y), (sorted(x), sorted(y), tq)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=-10**12, max_value=10**12),
+    st.integers(min_value=0, max_value=10**12),
+)
+def test_mad_cross_multiply_equals_float_hampel(dev, mad):
+    """mad_outliers' integer test |dev|*1000 > 3500*mad is EXACTLY
+    Hampel's |dev| > 3.5*MAD (3.5 is dyadic; 2|dev| > 7*mad is the
+    common exact form) — no boundary drift anywhere in range."""
+    assert (abs(dev) * 1000 > 3500 * mad) == (2 * abs(dev) > 7 * mad)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=4),
+)
+def test_pagerank_replay_mass_bounds(edges, iters):
+    """The pagerank recurrence's documented invariants, on arbitrary
+    small multigraphs: every rank holds the teleport floor, no rank
+    exceeds n*scale (the overflow-bound premise), and total mass never
+    grows."""
+    from tests.test_clustering import _pagerank_replay
+
+    r = _pagerank_replay(edges, iterations=iters)
+    if not r:
+        return
+    n, scale = len(r), 10**9
+    teleport = (scale * 150) // 1000
+    assert all(v >= teleport for v in r.values())
+    assert all(v <= n * scale for v in r.values())
+    assert sum(r.values()) <= n * scale
