@@ -147,3 +147,73 @@ def stream_attach_to_clusters(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).count()
+
+
+def stream_curate_increment(
+    spark: SparkSession,
+    docs_dir: str,
+    corpus: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    docs_schema: str = "doc_id long, text string, lang string, source string, n_chars long",
+    max_files_per_trigger: int | None = None,
+    min_stop_words: int = 0,
+) -> int:
+    """Streaming corpus admission — the standing loop of a crawl
+    pipeline: each micro-batch of new documents runs the identical
+    batch curation decision (Gopher quality gates, then
+    ``incremental_dedup`` against the FROZEN accumulated corpus) and
+    appends one decision row per document to a parquet sink:
+    ``(doc_id, lang, source, keep_quality, status, matched_id)`` where
+    status is exact_dup / near_dup / novel (NULL for quality-rejected
+    docs — they never reach the dedup stage, mirroring the batch
+    pipeline's stage order).
+
+    Same lambda-architecture contract as ``stream_attach_to_clusters``:
+    decisions against the frozen corpus are exact (deterministic
+    operators, frozen reference side); WITHIN-stream duplicates arriving
+    in different micro-batches are each admitted as novel — folding
+    admitted docs back into the corpus belongs to the periodic batch
+    re-index, so the stream itself keeps NO growing state and runs
+    indefinitely. Exactly-once via the file-source checkpoint: a
+    killed-and-restarted query reprocesses only unfinished files.
+
+    Returns total decision rows written.
+    """
+    from word_sense_disambiguation_spark.operators.dedup import (
+        incremental_dedup,
+    )
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        quality_rule_flags,
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        flags = quality_rule_flags(batch_df, min_stop_words=min_stop_words)
+        keep = flags.select("doc_id", F.col("keep").alias("keep_quality"))
+        survivors = batch_df.join(
+            keep.filter(F.col("keep_quality")).select("doc_id"), on="doc_id"
+        )
+        dedup, _oversized = incremental_dedup(survivors, corpus)
+        decisions = (
+            batch_df.select("doc_id", "lang", "source")
+            .join(keep, on="doc_id", how="left")
+            .join(
+                dedup.select("doc_id", "status", "matched_id"),
+                on="doc_id",
+                how="left",
+            )
+        )
+        decisions.write.mode("append").parquet(out_dir)
+
+    reader = spark.readStream.schema(docs_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(docs_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).count()
