@@ -2636,6 +2636,117 @@ def _q_fingerprints(spark, sf_dir):
     )
 
 
+def _q_skew_report(spark, sf_dir):
+    """Pre-flight shuffle-skew diagnostic on the (event_type, user_id)
+    grouping: per slice, the EXACT tied-rank Gini of the per-key count
+    distribution plus the heaviest key — computed through the
+    counts-of-counts histogram contraction (two map-side-combined
+    aggregates before the single tiny per-slice window), never a global
+    rank over keys. Integer numerator/denominator columns plus ONE
+    final IEEE division (the oracle float discipline)."""
+    from word_sense_disambiguation_spark.operators.skew import (
+        key_skew_report,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    rep = key_skew_report(ev, ["event_type"], "user_id")
+    return rep.select(
+        "event_type",
+        "n_rows",
+        "n_keys",
+        F.col("max_key").cast("long").alias("max_key"),
+        "max_count",
+        "gini_num",
+        "gini_den",
+        "gini",
+    )
+
+
+def _q_scd2_history(spark, sf_dir):
+    """Type-2 entity-state history: the events changelog compacted to
+    validity intervals of each user's event_type state (consecutive
+    same-state versions collapse, ``valid_to`` = next change, open
+    interval flagged ``is_current``) — the point-in-time companion to
+    ``latest_snapshot`` and the input shape ``asof_join`` consumes.
+    Deterministic under burst timestamp ties via the event_id
+    tiebreak; one Exchange (both windows and the run aggregate share
+    the user_id clustering)."""
+    from word_sense_disambiguation_spark.operators.cdc import scd2_history
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select("user_id", "ts", "event_id", "event_type")
+    return scd2_history(
+        ev, ["user_id"], "ts", "event_id", ["event_type"]
+    )
+
+
+def _q_constrained_clusters(spark, sf_dir):
+    """ER cluster repair under cannot-link constraints: a deterministic
+    match graph over user ids (chains u-(u+1) for u%3=0, triangles
+    {u,u+1,u+2} for u%6=0, spokes u-(u+5) for u%10=0) with negative
+    rules forbidding (u,u+1) at u%6=0 and (u,u+5) at u%10=0.
+    Constrained edges are anti-joined away BEFORE clustering; the
+    triangle's third path re-connects its forbidden pair, so those
+    components surface as ``violated`` (no silent order-dependent
+    splits); a spoke endpoint whose only edge was forbidden re-enters
+    as its own singleton via the coalesce join-back — all three
+    semantics branches live in one fixture."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        constrained_components,
+    )
+
+    u = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").cast("long").alias("u"))
+        .distinct()
+    )
+    e = (
+        u.filter(F.col("u") % 3 == 0)
+        .select(F.col("u").alias("s"), (F.col("u") + 1).alias("d"))
+        .unionAll(
+            u.filter(F.col("u") % 6 == 0).select(
+                F.col("u").alias("s"), (F.col("u") + 2).alias("d")
+            )
+        )
+        .unionAll(
+            u.filter(F.col("u") % 6 == 0).select(
+                (F.col("u") + 1).alias("s"), (F.col("u") + 2).alias("d")
+            )
+        )
+        .unionAll(
+            u.filter(F.col("u") % 10 == 0).select(
+                F.col("u").alias("s"), (F.col("u") + 5).alias("d")
+            )
+        )
+    )
+    cl = u.filter(F.col("u") % 6 == 0).select(
+        F.col("u").alias("s"), (F.col("u") + 1).alias("d")
+    ).unionAll(
+        u.filter(F.col("u") % 10 == 0).select(
+            F.col("u").alias("s"), (F.col("u") + 5).alias("d")
+        )
+    )
+    return constrained_components(e, cl, src="s", dst="d", cl_a="s", cl_b="d")
+
+
+def _q_kcore(spark, sf_dir):
+    """The 15-core of the clickstream transition graph (6 synchronous
+    peel rounds — converged at this scale, and the exact-R semantics
+    keep the hash gate valid even where a fuzz world does not
+    converge): the dense-substructure skeleton next to
+    ``clickstream_rank``'s authority view. All-integer degrees; the
+    oracle unrolls the identical rounds as materialized CTEs."""
+    from word_sense_disambiguation_spark.operators.clustering import kcore_peel
+
+    return kcore_peel(_click_edges(spark, sf_dir), k=15, rounds=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_explode_counts": _q_token_explode,
@@ -2763,7 +2874,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_probabilities": _q_decode_probabilities,
         "prompt_path_assignments": _q_prompt_path_assignments,
         "prompt_path_assignments_derived": _q_prompt_path_derived,
+        "skew_report": _q_skew_report,
+        "scd2_history": _q_scd2_history,
+        "constrained_clusters": _q_constrained_clusters,
+        "kcore": _q_kcore,
     }
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unroll the exact-R synchronous k-core peel as MATERIALIZED CTE
+    rounds (inlined CTEs would re-expand the round-over-round
+    references exponentially — the SQL mirror of why the Spark operator
+    eagerly localCheckpoints each round). Same clickstream transition
+    graph as ``label_communities``/``clickstream_rank``."""
+    parts = [
+        """
+            WITH ev AS MATERIALIZED (
+              SELECT user_id, ts, event_id,
+                     event_type || ':' ||
+                       CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) AS node
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                AND value IS NOT NULL
+            ),
+            seq AS (
+              SELECT node, lag(node) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+              FROM ev
+            ),
+            e0 AS MATERIALIZED (
+              SELECT DISTINCT least(prev, node) AS a, greatest(prev, node) AS b
+              FROM seq WHERE prev IS NOT NULL AND prev <> node
+            )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+            d{r} AS MATERIALIZED (
+              SELECT n AS node, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT a AS n FROM e{r} UNION ALL SELECT b FROM e{r}
+              ) GROUP BY 1
+            ),
+            e{r + 1} AS MATERIALIZED (
+              SELECT a, b FROM e{r}
+              WHERE a IN (SELECT node FROM d{r} WHERE deg >= {k})
+                AND b IN (SELECT node FROM d{r} WHERE deg >= {k})
+            )"""
+        )
+    parts.append(
+        f""",
+            dfin AS MATERIALIZED (
+              SELECT n AS node, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT a AS n FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+              ) GROUP BY 1
+            )
+            SELECT node, deg AS degree,
+                   (SELECT coalesce(bool_and(deg >= {k}), true) FROM dfin)
+                     AS converged
+            FROM dfin"""
+    )
+    return "".join(parts)
+
+
+_KCORE_SQL = _kcore_sql(k=15, rounds=6)
 
 
 _ER_DERIVED_CC_SQL = r"""
@@ -6931,4 +7104,142 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS sample_hash
             FROM m
         """,
+        # Exact tied-rank Gini from the counts-of-counts histogram — the
+        # same two-contraction construction as the engine (rows -> per-key
+        # counts -> histogram), BIGINT-exact up to the single final IEEE
+        # division; max_key = the vk of the (unique) max_count histogram
+        # bucket, i.e. the largest key among the heaviest.
+        "skew_report": """
+            WITH c AS (
+              SELECT event_type, user_id AS k, CAST(count(*) AS BIGINT) AS c
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            h AS (
+              SELECT event_type, c, CAST(count(*) AS BIGINT) AS m,
+                     max(k) AS vk
+              FROM c GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT *, CAST(SUM(m) OVER (PARTITION BY event_type ORDER BY c
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ck
+              FROM h
+            ),
+            stats AS (
+              SELECT event_type,
+                     CAST(SUM(c * m) AS BIGINT) AS n_rows,
+                     CAST(SUM(m) AS BIGINT) AS n_keys,
+                     CAST(MAX(c) AS BIGINT) AS max_count,
+                     CAST(SUM(c * (2 * ck - m + 1) * m) AS BIGINT) AS two_s1
+              FROM cum GROUP BY 1
+            ),
+            mk AS (
+              SELECT cum.event_type, CAST(max(cum.vk) AS BIGINT) AS max_key
+              FROM cum JOIN stats ON cum.event_type = stats.event_type
+                                 AND cum.c = stats.max_count
+              GROUP BY 1
+            )
+            SELECT s.event_type, s.n_rows, s.n_keys, mk.max_key, s.max_count,
+                   CAST(s.two_s1 - (s.n_keys + 1) * s.n_rows AS BIGINT)
+                     AS gini_num,
+                   CAST(s.n_keys * s.n_rows AS BIGINT) AS gini_den,
+                   CAST(s.two_s1 - (s.n_keys + 1) * s.n_rows AS DOUBLE)
+                     / CAST(s.n_keys * s.n_rows AS DOUBLE) AS gini
+            FROM stats s JOIN mk ON s.event_type = mk.event_type
+        """,
+        # SCD2 replay: the change predicate is IS DISTINCT FROM against
+        # the lagged state (first row's NULL lag opens an interval — the
+        # query filters NULL event_type, so lag-NULL is unambiguous);
+        # within a run every state is identical by construction, so
+        # max(event_type) is THE state.
+        "scd2_history": """
+            WITH base AS (
+              SELECT user_id, ts, event_id, event_type
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_type IS NOT NULL
+            ),
+            chg AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id)
+                               IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS c
+              FROM base
+            ),
+            ver AS (
+              SELECT *, CAST(SUM(c) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v
+              FROM chg
+            ),
+            runs AS (
+              SELECT user_id, v, max(event_type) AS event_type,
+                     min(ts) AS valid_from,
+                     CAST(count(*) AS BIGINT) AS n_versions
+              FROM ver GROUP BY 1, 2
+            )
+            SELECT user_id, event_type, valid_from,
+                   lead(valid_from) OVER w AS valid_to,
+                   lead(valid_from) OVER w IS NULL AS is_current,
+                   n_versions
+            FROM runs
+            WINDOW w AS (PARTITION BY user_id ORDER BY v)
+        """,
+        # Constrained CC replay: identical deterministic fixture graph,
+        # anti-join constraint removal, recursive-CTE reachability over
+        # the kept symmetric edges, min-id components over the ORIGINAL
+        # node set (constrained-away endpoints re-enter as singletons),
+        # violation = a cannot-link pair still co-clustered.
+        "constrained_clusters": """
+            WITH RECURSIVE u AS (
+              SELECT DISTINCT CAST(user_id AS BIGINT) AS u FROM events
+              WHERE user_id IS NOT NULL
+            ),
+            raw_e AS (
+              SELECT u AS s, u + 1 AS d FROM u WHERE u % 3 = 0
+              UNION ALL SELECT u, u + 2 FROM u WHERE u % 6 = 0
+              UNION ALL SELECT u + 1, u + 2 FROM u WHERE u % 6 = 0
+              UNION ALL SELECT u, u + 5 FROM u WHERE u % 10 = 0
+            ),
+            e AS (
+              SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM raw_e WHERE s <> d
+            ),
+            cl AS (
+              SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM (
+                SELECT u AS s, u + 1 AS d FROM u WHERE u % 6 = 0
+                UNION ALL SELECT u, u + 5 FROM u WHERE u % 10 = 0
+              ) WHERE s <> d
+            ),
+            kept AS (
+              SELECT e.a, e.b FROM e
+              ANTI JOIN cl ON e.a = cl.a AND e.b = cl.b
+            ),
+            nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+            sym AS (
+              SELECT a AS src, b AS dst FROM kept WHERE a <> b
+              UNION SELECT b, a FROM kept WHERE a <> b
+            ),
+            reach(x, y) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.x, s.dst FROM reach r JOIN sym s ON r.y = s.src
+            ),
+            comp AS (
+              SELECT x AS node, CAST(min(y) AS BIGINT) AS component
+              FROM reach GROUP BY 1
+            ),
+            viol AS (
+              SELECT DISTINCT ca.component
+              FROM cl
+              JOIN comp ca ON cl.a = ca.node
+              JOIN comp cb ON cl.b = cb.node AND ca.component = cb.component
+            )
+            SELECT c.node, c.component,
+                   (v.component IS NOT NULL) AS violated
+            FROM comp c LEFT JOIN viol v ON c.component = v.component
+        """,
+        "kcore": _KCORE_SQL,
     }

@@ -800,3 +800,121 @@ def test_threshold_cluster_curve_invariance(spark):
     a = sorted(threshold_cluster_curve(pairs.coalesce(1), thresholds=(5, 15)).collect())
     b = sorted(threshold_cluster_curve(pairs.repartition(7), thresholds=(5, 15)).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# constrained_components: cannot-link repair
+# ---------------------------------------------------------------------------
+
+
+def test_constrained_components_semantics(spark):
+    from word_sense_disambiguation_spark.operators.clustering import (
+        constrained_components,
+    )
+
+    # triangle {1,2,3} with (1,2) forbidden -> still one component via 3,
+    # flagged violated; chain 10-11 with (10,11) forbidden -> both become
+    # clean singletons; chain 20-21 unconstrained -> clean pair.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21)], "src long, dst long"
+    )
+    cl = spark.createDataFrame(
+        [(2, 1), (11, 10), (99, 98)], "src long, dst long"
+    )
+    got = {
+        r.node: (r.component, r.violated)
+        for r in constrained_components(edges, cl).collect()
+    }
+    assert got == {
+        1: (1, True),
+        2: (1, True),
+        3: (1, True),
+        10: (10, False),
+        11: (11, False),
+        20: (20, False),
+        21: (20, False),
+    }
+
+
+def test_constrained_components_no_constraints_is_plain_cc(spark):
+    from word_sense_disambiguation_spark.operators.clustering import (
+        connected_components,
+        constrained_components,
+    )
+
+    random.seed(7)
+    edges = spark.createDataFrame(
+        [(random.randrange(40), random.randrange(40)) for _ in range(60)],
+        "src long, dst long",
+    )
+    empty = spark.createDataFrame([], "src long, dst long")
+    base = {
+        (r.node, r.component) for r in connected_components(edges).collect()
+    }
+    cons = constrained_components(edges, empty).collect()
+    assert {(r.node, r.component) for r in cons} == base
+    assert not any(r.violated for r in cons)
+
+
+# ---------------------------------------------------------------------------
+# kcore_peel: bounded synchronous degree peel
+# ---------------------------------------------------------------------------
+
+
+def _py_peel(edges, k, rounds):
+    """Reference peel in plain python."""
+    e = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    for _ in range(rounds):
+        deg = {}
+        for a, b in e:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        e = {(a, b) for a, b in e if a in keep and b in keep}
+    deg = {}
+    for a, b in e:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    conv = all(d >= k for d in deg.values())
+    return deg, conv
+
+
+def test_kcore_peel_matches_python_reference(spark):
+    from word_sense_disambiguation_spark.operators.clustering import kcore_peel
+
+    random.seed(11)
+    raw = [(random.randrange(30), random.randrange(30)) for _ in range(120)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    for k in (2, 3, 5):
+        want, want_conv = _py_peel(raw, k, rounds=4)
+        got = kcore_peel(edges, k=k, rounds=4).collect()
+        assert {r.node: r.degree for r in got} == want
+        assert all(r.converged == want_conv for r in got)
+
+
+def test_kcore_peel_exact_rounds_semantics(spark):
+    from word_sense_disambiguation_spark.operators.clustering import kcore_peel
+
+    # a long path peels one endpoint pair per round at k=2: after 2 of
+    # the needed rounds the result is the UNCONVERGED intermediate state,
+    # deterministically — the exact-R contract the SQL oracle relies on.
+    path = [(i, i + 1) for i in range(8)]
+    edges = spark.createDataFrame(path, "src long, dst long")
+    want, want_conv = _py_peel(path, 2, rounds=2)
+    got = kcore_peel(edges, k=2, rounds=2).collect()
+    assert {r.node: r.degree for r in got} == want
+    assert want_conv is False
+    assert all(r.converged is False for r in got)
+    # run to convergence: a pure path has an empty 2-core
+    assert kcore_peel(edges, k=2, rounds=8).count() == 0
+
+
+def test_kcore_peel_parallelism_invariance(spark):
+    from word_sense_disambiguation_spark.operators.clustering import kcore_peel
+
+    random.seed(13)
+    raw = [(random.randrange(25), random.randrange(25)) for _ in range(90)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    a = kcore_peel(edges.coalesce(1), k=3, rounds=3).collect()
+    b = kcore_peel(edges.repartition(9), k=3, rounds=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -219,3 +219,64 @@ def test_sense_only_pair_weights_are_pure_jvm(spark):
     default = score_mention_pairs(pairs, asg)
     dplan = default._jdf.queryExecution().executedPlan().toString()
     assert dplan.count("ArrowEvalPython") >= 1  # jw + cosine present
+
+
+# ---------------------------------------------------------------------------
+# key_skew_report: exact tied-rank Gini via the histogram contraction
+# ---------------------------------------------------------------------------
+
+
+def _py_gini(counts):
+    xs = sorted(counts)
+    n, t = len(xs), sum(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    return 2 * s1 - (n + 1) * t, n * t
+
+
+def test_key_skew_report_matches_direct_gini(spark):
+    from word_sense_disambiguation_spark.operators.skew import key_skew_report
+
+    rows = []
+    # slice "hot": key 0 has 50 rows, keys 1..9 one each (heavy skew)
+    rows += [("hot", 0)] * 50 + [("hot", k) for k in range(1, 10)]
+    # slice "flat": 6 keys x 4 rows (gini 0)
+    rows += [("flat", k) for k in range(6) for _ in range(4)]
+    # slice "tie": two keys tied at max count -> max_key = larger key
+    rows += [("tie", 3)] * 5 + [("tie", 8)] * 5 + [("tie", 1)] * 2
+    df = spark.createDataFrame(rows, "slice string, key long")
+    got = {r.slice: r for r in key_skew_report(df, ["slice"], "key").collect()}
+
+    num, den = _py_gini([50] + [1] * 9)
+    assert (got["hot"].gini_num, got["hot"].gini_den) == (num, den)
+    assert got["hot"].gini == num / den
+    assert (got["hot"].max_key, got["hot"].max_count) == (0, 50)
+    assert (got["hot"].n_rows, got["hot"].n_keys) == (59, 10)
+
+    assert got["flat"].gini_num == 0 and got["flat"].gini == 0.0
+    assert got["tie"].max_key == 8  # tie on count -> larger key wins
+    num_t, den_t = _py_gini([5, 5, 2])
+    assert (got["tie"].gini_num, got["tie"].gini_den) == (num_t, den_t)
+
+
+def test_key_skew_report_plan_histogram_contraction(spark):
+    """The window must run over the counts-of-counts histogram, never a
+    global rank over keys: two hash aggregates BELOW the window, window
+    partitioned by the slice columns (no empty partitionBy)."""
+    from word_sense_disambiguation_spark.operators.skew import key_skew_report
+
+    df = spark.createDataFrame(
+        [("s", i % 7) for i in range(100)], "slice string, key long"
+    )
+    rep = key_skew_report(df, ["slice"], "key")
+    plan = rep._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "Window" in plan
+    # the window's partition spec carries the slice column — an
+    # unpartitioned global-rank window would print "Window [..], [..ASC..]"
+    # with an empty partition list; cheap proxy: slice appears in the
+    # Window line.
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("slice" in ln for ln in window_lines)
+    assert "EvalPython" not in plan
+    a = key_skew_report(df.coalesce(1), ["slice"], "key").collect()
+    b = key_skew_report(df.repartition(11), ["slice"], "key").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -249,6 +249,177 @@ def connected_components(
     return members.union(roots).union(iso).distinct()
 
 
+def constrained_components(
+    edges: DataFrame,
+    cannot_link: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    cl_a: str = "src",
+    cl_b: str = "dst",
+) -> DataFrame:
+    """Connected components under cannot-link constraints — the ER
+    cluster-repair primitive: production linkage rules carry negative
+    knowledge ("these two are DIFFERENT entities — distinct tax ids,
+    conflicting languages") that must override a fuzzy match edge.
+
+    Semantics (deterministic, order-free):
+
+    1. drop every match edge that IS a constrained pair (either
+       orientation — both sides are normalized to ``(least, greatest)``
+       before the anti-join);
+    2. solve plain :func:`connected_components` on the survivors;
+    3. flag RESIDUAL violations: constrained pairs whose endpoints still
+       share a component via an alternative path. Those clusters are not
+       silently split (any split choice would be order-dependent —
+       correlation clustering is NP-hard); they surface as
+       ``violated = true`` for a human/rules queue, the same
+       no-silent-drops discipline as blocking's ``oversized`` side table.
+
+    Output: ``(node, component, violated)``.
+
+    Scale shape: the constraint table is normalized + deduped once and
+    anti-joined (shuffle on the pair key, broadcastable when small);
+    violation detection is two joins of the constraint table against the
+    assignment table, and the violated-component set (tiny: it is a
+    conflict report) broadcasts back onto nodes.
+
+    Reference parity: the reference encodes negative knowledge as the
+    NOTA slot (reject-all option, wsd/prompt.py:31-47); at linkage scale
+    the analogue is pair-level cannot-link repair.
+    """
+    lo = F.least(F.col(src), F.col(dst))
+    hi = F.greatest(F.col(src), F.col(dst))
+    e_norm = edges.select(lo.alias("_a"), hi.alias("_b"))
+    cl_norm = (
+        cannot_link.select(
+            F.least(F.col(cl_a), F.col(cl_b)).alias("_a"),
+            F.greatest(F.col(cl_a), F.col(cl_b)).alias("_b"),
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    kept = e_norm.join(cl_norm, on=["_a", "_b"], how="left_anti")
+    # Solve REAL surviving edges only; endpoints whose every edge was
+    # constrained away re-enter as their own singleton via the
+    # coalesce join-back (the no-self-loops-into-CC rule, CLAUDE.md).
+    assign = connected_components(kept, src="_a", dst="_b")
+    nodes = (
+        e_norm.select(F.col("_a").alias("node"))
+        .union(e_norm.select(F.col("_b").alias("node")))
+        .distinct()
+    )
+    comp = nodes.join(
+        assign.select("node", F.col("component").alias("_c")),
+        on="node",
+        how="left",
+    ).select(
+        "node", F.coalesce(F.col("_c"), F.col("node")).alias("component")
+    )
+    viol_pairs = (
+        cl_norm.join(
+            comp.select(
+                F.col("node").alias("_a"), F.col("component").alias("_ca")
+            ),
+            on="_a",
+        )
+        .join(
+            comp.select(
+                F.col("node").alias("_b"), F.col("component").alias("_cb")
+            ),
+            on="_b",
+        )
+        .filter(F.col("_ca") == F.col("_cb"))
+    )
+    viol_comps = viol_pairs.select(
+        F.col("_ca").alias("component")
+    ).distinct()
+    return comp.join(
+        F.broadcast(viol_comps.withColumn("_v", F.lit(True))),
+        on="component",
+        how="left",
+    ).select(
+        "node",
+        "component",
+        F.coalesce(F.col("_v"), F.lit(False)).alias("violated"),
+    )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """R-round synchronous degree peel toward the k-core of an undirected
+    graph — the dense-substructure extractor for ER/dedup match graphs
+    (a spam link farm or template-boilerplate clique survives peeling;
+    a chain of borderline fuzzy matches does not).
+
+    Semantics are EXACTLY ``rounds`` synchronous peels (one peel =
+    compute degrees, drop every node with ``degree < k``, drop incident
+    edges) — a deterministic function of the input regardless of whether
+    the peel has converged, which is what makes the operator
+    hash-replayable in SQL (the oracle unrolls the same R rounds as
+    CTEs). ``converged`` reports whether a further round would change
+    anything (all post-peel degrees >= k); when true the output IS the
+    k-core. Peeling is a contraction, so any extra rounds after
+    convergence are identity — callers size ``rounds`` generously and
+    check the flag.
+
+    Output: ``(node, degree, converged)`` over surviving nodes, degree
+    computed on the final surviving edge set.
+
+    Scale shape: each round is one map-side-combined degree aggregate
+    plus two semi-joins, eagerly localCheckpointed — without the
+    materialization the round-over-round DAG doubles per round (the
+    degree path and the edge filter both consume the previous round's
+    edges, and Catalyst does not share subplans), turning R rounds into
+    2^R recomputed scans. R driver rounds for an inherently synchronous
+    iteration is the same trade :func:`connected_components` makes.
+
+    Reference parity: the reference prunes its candidate space by
+    per-key support thresholds (wsd/word_sense_disambiguation.py
+    candidate filtering); the k-core is that thresholding made
+    mutually-recursive over a graph.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("_b"),
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        both = ed.select(F.col("_a").alias("node")).union(
+            ed.select(F.col("_b").alias("node"))
+        )
+        return both.groupBy("node").agg(F.count("*").cast("long").alias("degree"))
+
+    for _ in range(rounds):
+        kept = degrees(e).filter(F.col("degree") >= F.lit(k)).select("node")
+        e = (
+            e.join(kept.withColumnRenamed("node", "_a"), on="_a", how="left_semi")
+            .join(kept.withColumnRenamed("node", "_b"), on="_b", how="left_semi")
+            .select("_a", "_b")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = degrees(e)
+    conv = final_deg.agg(
+        F.coalesce(
+            F.min(F.col("degree") >= F.lit(k)), F.lit(True)
+        ).alias("converged")
+    ).withColumn("_j", F.lit(1))
+    return (
+        final_deg.withColumn("_j", F.lit(1))
+        .join(F.broadcast(conv), on="_j")
+        .select("node", "degree", "converged")
+    )
+
+
 def cluster_mentions(match_edges: DataFrame) -> DataFrame:
     """Match edges (id_a, id_b, is_match) -> (mention_id, entity_id).
 
