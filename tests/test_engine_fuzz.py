@@ -278,6 +278,15 @@ _EVQ = [
     "triangle_profile",
     "table_checksum",
     "profile_columns",
+    # r5 scale-ops additions: the hot user 0 stresses the skew Gini,
+    # the burst second stresses the SCD2 tiebreak, the tiny id range
+    # stresses the constrained-CC fixture arithmetic, and kcore's
+    # exact-R semantics must hold even where the fuzz graph's peel
+    # behaves differently than testdata's.
+    "skew_report",
+    "scd2_history",
+    "constrained_clusters",
+    "kcore",
 ]
 
 
