@@ -2747,6 +2747,95 @@ def _q_kcore(spark, sf_dir):
     return kcore_peel(_click_edges(spark, sf_dir), k=15, rounds=6)
 
 
+def _q_interval_merge(spark, sf_dir):
+    """Gaps-and-islands coverage merge: deterministic integer fetch
+    windows derived from events (start = event_id % 997, length
+    1 + user_id % 7, heavy collisions by construction) coalesced into
+    maximal disjoint spans per event_type — one key-partitioned
+    Exchange, running-max frame (incremental, never a full-partition
+    buffer)."""
+    from word_sense_disambiguation_spark.operators.temporal import (
+        interval_coalesce,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    iv = ev.select(
+        "event_type",
+        (F.col("event_id") % 997).cast("long").alias("s"),
+        (F.col("event_id") % 997 + 1 + F.col("user_id") % 7)
+        .cast("long")
+        .alias("e"),
+        F.col("event_id").cast("long").alias("eid"),
+    )
+    return interval_coalesce(
+        iv, ["event_type"], "s", "e", tiebreak_cols=["eid"]
+    ).select(
+        "event_type",
+        F.col("start"),
+        F.col("end"),
+        "n_intervals",
+    )
+
+
+def _q_funnel_counts(spark, sf_dir):
+    """Ordered view -> click -> purchase conversion funnel: step i
+    counts users whose earliest step-(i-1) completion STRICTLY precedes
+    (by the full (ts, event_id) struct — burst-tie deterministic) some
+    step-i event. One partial-combined groupBy per step on the user
+    clustering; the only driver traffic is one scalar count per step."""
+    from word_sense_disambiguation_spark.operators.temporal import (
+        funnel_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], "event_id",
+    )
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    """Merkle-style anti-entropy diff between the documents table and a
+    deterministically perturbed replica (doc_id%41 deleted, doc_id%37
+    text-modified, doc_id%43 re-inserted shifted +100000 with lang
+    'xx'): 64 key-hash buckets, per-bucket portable checksums, status
+    per bucket — the localize-the-resync primitive; no row ever moves,
+    the compare join is 64 rows."""
+    from word_sense_disambiguation_spark.operators.profiling import (
+        checksum_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    right = (
+        docs.filter(F.col("doc_id") % 41 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 37 == 0, F.concat(F.col("text"), F.lit("X"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 43 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                "text",
+                F.lit("xx").alias("lang"),
+            )
+        )
+    )
+    return checksum_diff(
+        docs, right, ["doc_id"], ["text", "lang"], n_buckets=64
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_explode_counts": _q_token_explode,
@@ -2878,6 +2967,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _q_scd2_history,
         "constrained_clusters": _q_constrained_clusters,
         "kcore": _q_kcore,
+        "interval_merge": _q_interval_merge,
+        "funnel_counts": _q_funnel_counts,
+        "snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -7242,4 +7334,149 @@ def oracle_sql() -> dict[str, str]:
             FROM comp c LEFT JOIN viol v ON c.component = v.component
         """,
         "kcore": _KCORE_SQL,
+        # Gaps-and-islands replay. The ordering is TOTAL (s, e, eid):
+        # the construction is two window passes (running max -> flag ->
+        # running sum), and DuckDB sorts each pass independently — under
+        # a non-total order, tied rows can sort differently per pass and
+        # a flag computed in one order cumulated in another invents
+        # phantom islands (caught live at sf0.01).
+        "interval_merge": """
+            WITH iv AS (
+              SELECT event_type,
+                     CAST(event_id % 997 AS BIGINT) AS s,
+                     CAST(event_id % 997 + 1 + user_id % 7 AS BIGINT) AS e,
+                     CAST(event_id AS BIGINT) AS eid
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                AND event_id IS NOT NULL
+            ),
+            m AS (
+              SELECT event_type, s, e, eid,
+                     max(e) OVER (PARTITION BY event_type
+                                  ORDER BY s, e, eid
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pme
+              FROM iv
+            ),
+            f AS (
+              SELECT *, CASE WHEN pme IS NOT NULL AND s <= pme
+                        THEN 0 ELSE 1 END AS nw
+              FROM m
+            ),
+            isl AS (
+              SELECT *, SUM(nw) OVER (PARTITION BY event_type
+                        ORDER BY s, e, eid ROWS UNBOUNDED PRECEDING)
+                          AS island
+              FROM f
+            )
+            SELECT event_type, CAST(min(s) AS BIGINT) AS "start",
+                   CAST(max(e) AS BIGINT) AS "end",
+                   CAST(count(*) AS BIGINT) AS n_intervals
+            FROM isl GROUP BY event_type, island
+        """,
+        # Funnel replay: each step's completion is the row_number()=1
+        # row under (ts, event_id) among events strictly after the
+        # previous step's completion struct — the tie rule spelled out.
+        "funnel_counts": """
+            WITH base AS (
+              SELECT user_id, ts, event_id, event_type FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL AND event_type IS NOT NULL
+            ),
+            s0 AS (
+              SELECT user_id, ts, event_id FROM (
+                SELECT user_id, ts, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) rn
+                FROM base WHERE event_type = 'view') WHERE rn = 1
+            ),
+            s1 AS (
+              SELECT user_id, ts, event_id FROM (
+                SELECT b.user_id, b.ts, b.event_id,
+                       row_number() OVER (PARTITION BY b.user_id
+                         ORDER BY b.ts, b.event_id) rn
+                FROM base b JOIN s0 ON b.user_id = s0.user_id
+                WHERE b.event_type = 'click'
+                  AND (b.ts > s0.ts
+                       OR (b.ts = s0.ts AND b.event_id > s0.event_id))
+              ) WHERE rn = 1
+            ),
+            s2 AS (
+              SELECT user_id FROM (
+                SELECT b.user_id,
+                       row_number() OVER (PARTITION BY b.user_id
+                         ORDER BY b.ts, b.event_id) rn
+                FROM base b JOIN s1 ON b.user_id = s1.user_id
+                WHERE b.event_type = 'purchase'
+                  AND (b.ts > s1.ts
+                       OR (b.ts = s1.ts AND b.event_id > s1.event_id))
+              ) WHERE rn = 1
+            )
+            SELECT 0 AS step_index, 'view' AS step,
+                   CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+            UNION ALL SELECT 1, 'click',
+                   CAST((SELECT count(*) FROM s1) AS BIGINT)
+            UNION ALL SELECT 2, 'purchase',
+                   CAST((SELECT count(*) FROM s2) AS BIGINT)
+        """,
+        # Anti-entropy replay: same perturbed replica, same portable
+        # 60-bit md5 row hashes (keys inside the content hash), same
+        # key-hash bucketing and mod-2^62 checksum fold.
+        "snapshot_diff": """
+            WITH l AS (SELECT doc_id, text, lang FROM documents),
+            r AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 37 = 0 THEN text || 'X'
+                          ELSE text END AS text,
+                     lang
+              FROM documents WHERE doc_id % 41 <> 0
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text, 'xx' AS lang
+              FROM documents WHERE doc_id % 43 = 0
+            ),
+            lh AS (
+              SELECT CAST(CAST(('0x' || substr(md5(concat_ws(chr(1),
+                       coalesce(concat('v', CAST(doc_id AS VARCHAR)), 'n'))),
+                       1, 15)) AS BIGINT) % 64 AS BIGINT) AS bucket,
+                     CAST(('0x' || substr(md5(concat_ws(chr(1),
+                       coalesce(concat('v', CAST(doc_id AS VARCHAR)), 'n'),
+                       coalesce(concat('v', CAST(text AS VARCHAR)), 'n'),
+                       coalesce(concat('v', CAST(lang AS VARCHAR)), 'n'))),
+                       1, 15)) AS BIGINT) AS h
+              FROM l
+            ),
+            rh AS (
+              SELECT CAST(CAST(('0x' || substr(md5(concat_ws(chr(1),
+                       coalesce(concat('v', CAST(doc_id AS VARCHAR)), 'n'))),
+                       1, 15)) AS BIGINT) % 64 AS BIGINT) AS bucket,
+                     CAST(('0x' || substr(md5(concat_ws(chr(1),
+                       coalesce(concat('v', CAST(doc_id AS VARCHAR)), 'n'),
+                       coalesce(concat('v', CAST(text AS VARCHAR)), 'n'),
+                       coalesce(concat('v', CAST(lang AS VARCHAR)), 'n'))),
+                       1, 15)) AS BIGINT) AS h
+              FROM r
+            ),
+            la AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS left_n,
+                     CAST(sum(h) % 4611686018427387904 AS BIGINT)
+                       AS left_checksum
+              FROM lh GROUP BY 1
+            ),
+            ra AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS right_n,
+                     CAST(sum(h) % 4611686018427387904 AS BIGINT)
+                       AS right_checksum
+              FROM rh GROUP BY 1
+            )
+            SELECT coalesce(la.bucket, ra.bucket) AS bucket,
+                   la.left_n, ra.right_n, la.left_checksum,
+                   ra.right_checksum,
+                   CASE WHEN la.left_n IS NULL THEN 'right_only'
+                        WHEN ra.right_n IS NULL THEN 'left_only'
+                        WHEN la.left_n = ra.right_n
+                             AND la.left_checksum = ra.right_checksum
+                          THEN 'equal'
+                        ELSE 'mismatch' END AS status
+            FROM la FULL OUTER JOIN ra ON la.bucket = ra.bucket
+        """,
     }

@@ -156,6 +156,9 @@ _DOCQ = [
     "metablocking_prune",
     "cooccurrence",
     "langid_accuracy",
+    # anti-entropy diff: adversarial unicode text rides INSIDE the
+    # portable md5 row hash — byte-level engine agreement is the test
+    "snapshot_diff",
 ]
 
 
@@ -287,6 +290,11 @@ _EVQ = [
     "scd2_history",
     "constrained_clusters",
     "kcore",
+    # the burst second makes duplicate (s, e) interval ties and
+    # same-instant funnel steps — the total-order tiebreak is what's
+    # under test
+    "interval_merge",
+    "funnel_counts",
 ]
 
 

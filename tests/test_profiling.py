@@ -64,3 +64,81 @@ def test_checksum_survives_row_count_beyond_bigint_sum(spark):
     out = table_checksum(df, ["id"], ["g"]).collect()
     assert len(out) == 1 and out[0].n == 5000
     assert 0 <= out[0].checksum < (1 << 62)
+
+
+# ---------------------------------------------------------------------------
+# checksum_diff: merkle-style two-snapshot bucket diff
+# ---------------------------------------------------------------------------
+
+
+def test_checksum_diff_all_statuses(spark):
+    from word_sense_disambiguation_spark.operators.profiling import (
+        checksum_diff,
+    )
+
+    left = spark.createDataFrame(
+        [(i, "v%d" % i) for i in range(40)], "id long, v string"
+    )
+    # perturb: modify id 3, delete id 5, insert id 1000
+    right = spark.createDataFrame(
+        [(i, "v%d" % i) for i in range(40) if i != 5 and i != 3]
+        + [(3, "CHANGED"), (1000, "new")],
+        "id long, v string",
+    )
+    out = checksum_diff(left, right, ["id"], ["v"], n_buckets=8).collect()
+    by_status = {}
+    for r in out:
+        by_status.setdefault(r.status, []).append(r)
+    # every bucket accounted for, statuses consistent with the counts
+    assert sum(len(v) for v in by_status.values()) == len(out) <= 8
+    assert len(by_status.get("mismatch", [])) >= 1
+    for r in by_status.get("equal", []):
+        assert r.left_n == r.right_n and r.left_checksum == r.right_checksum
+    for r in by_status.get("mismatch", []):
+        assert (r.left_n != r.right_n) or (r.left_checksum != r.right_checksum)
+    # identical tables -> every bucket equal
+    same = checksum_diff(left, left, ["id"], ["v"], n_buckets=8).collect()
+    assert all(r.status == "equal" for r in same)
+    # totals reconcile
+    assert sum(r.left_n or 0 for r in out) == 40
+    assert sum(r.right_n or 0 for r in out) == 40
+
+
+def test_checksum_diff_order_and_partitioning_invariant(spark):
+    from word_sense_disambiguation_spark.operators.profiling import (
+        checksum_diff,
+    )
+
+    left = spark.createDataFrame(
+        [(i, "x" * (i % 5)) for i in range(200)], "id long, v string"
+    )
+    right = left.filter("id % 31 != 0")
+    a = checksum_diff(
+        left.coalesce(1), right.coalesce(1), ["id"], ["v"], n_buckets=16
+    ).collect()
+    b = checksum_diff(
+        left.repartition(13),
+        right.orderBy(F.desc("id")).repartition(5),
+        ["id"],
+        ["v"],
+        n_buckets=16,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_checksum_diff_detects_within_bucket_content_swap(spark):
+    """Two keys in the same bucket swapping contents must NOT cancel:
+    keys ride inside the row hash."""
+    from word_sense_disambiguation_spark.operators.profiling import (
+        checksum_diff,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    )
+    swapped = spark.createDataFrame(
+        [(1, "b"), (2, "a")], "id long, v string"
+    )
+    out = checksum_diff(left, swapped, ["id"], ["v"], n_buckets=1).collect()
+    assert len(out) == 1 and out[0].status == "mismatch"
+    assert out[0].left_n == out[0].right_n == 2

@@ -351,3 +351,143 @@ def test_hopping_window_guard_and_plan(spark):
     assert "Generate" in plan  # offset explode, not a window-table join
     assert plan.count("Exchange") == 1  # one partial-combined groupBy
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# interval_coalesce: gaps-and-islands merge
+# ---------------------------------------------------------------------------
+
+
+def test_interval_coalesce_hand_example(spark):
+    from word_sense_disambiguation_spark.operators.temporal import (
+        interval_coalesce,
+    )
+
+    rows = [
+        # key a: [1,5] overlaps [3,8], [8,10] touches -> one island [1,10];
+        # [2,4] contained; [12,13] disjoint
+        ("a", 1, 5, 1), ("a", 3, 8, 2), ("a", 8, 10, 3), ("a", 2, 4, 4),
+        ("a", 12, 13, 5),
+        # key b: single interval
+        ("b", 0, 1, 6),
+        # key c: exact duplicate intervals merge into one island of 2
+        ("c", 5, 6, 7), ("c", 5, 6, 8),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long, id long")
+    got = sorted(
+        (r.k, r.start, r["end"], r.n_intervals)
+        for r in interval_coalesce(
+            df, ["k"], "s", "e", tiebreak_cols=["id"]
+        ).collect()
+    )
+    assert got == [
+        ("a", 1, 10, 4),
+        ("a", 12, 13, 1),
+        ("b", 0, 1, 1),
+        ("c", 5, 6, 2),
+    ]
+
+
+def test_interval_coalesce_invariance_and_plan(spark):
+    import random as _r
+
+    from word_sense_disambiguation_spark.operators.temporal import (
+        interval_coalesce,
+    )
+
+    _r.seed(5)
+    rows = []
+    for i in range(300):
+        s = _r.randrange(50)
+        rows.append(("k%d" % _r.randrange(3), s, s + _r.randrange(1, 6), i))
+    df = spark.createDataFrame(rows, "k string, s long, e long, id long")
+    a = interval_coalesce(df.coalesce(1), ["k"], "s", "e", ["id"]).collect()
+    b = interval_coalesce(df.repartition(9), ["k"], "s", "e", ["id"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # islands are disjoint and ordered per key
+    per = {}
+    for r in a:
+        per.setdefault(r.k, []).append((r.start, r["end"]))
+    for ivs in per.values():
+        ivs.sort()
+        for (s1, e1), (s2, _e2) in zip(ivs, ivs[1:]):
+            assert s2 > e1
+    plan = (
+        interval_coalesce(df.repartition(9), ["k"], "s", "e", ["id"])
+        ._jdf.queryExecution()  # noqa: SLF001
+        .executedPlan()
+        .toString()
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# funnel_counts: ordered conversion funnel
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_counts_strict_order_and_ties(spark):
+    from word_sense_disambiguation_spark.operators.temporal import (
+        funnel_counts,
+    )
+
+    rows = [
+        # u1 completes A -> B -> C in order
+        (1, T(2024, 1, 1, 0, 0, 1), 1, "A"),
+        (1, T(2024, 1, 1, 0, 0, 2), 2, "B"),
+        (1, T(2024, 1, 1, 0, 0, 3), 3, "C"),
+        # u2: B BEFORE its A -> only step A counts
+        (2, T(2024, 1, 1, 0, 0, 5), 4, "B"),
+        (2, T(2024, 1, 1, 0, 0, 6), 5, "A"),
+        # u3: A and B at the SAME ts — event_id tiebreak orders A(7) < B(8),
+        # so B counts as after A; C at same ts as B but smaller id -> no C
+        (3, T(2024, 1, 1, 0, 1, 0), 7, "A"),
+        (3, T(2024, 1, 1, 0, 1, 0), 8, "B"),
+        (3, T(2024, 1, 1, 0, 1, 0), 6, "C"),
+        # u4 never does A
+        (4, T(2024, 1, 1, 0, 2, 0), 9, "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user long, ts timestamp, eid long, etype string"
+    )
+    got = {
+        r.step: r.n_users
+        for r in funnel_counts(
+            df, "user", "ts", "etype", ["A", "B", "C"], "eid"
+        ).collect()
+    }
+    assert got == {"A": 3, "B": 2, "C": 1}
+
+
+def test_funnel_counts_parallelism_invariance(spark):
+    import random as _r
+
+    from word_sense_disambiguation_spark.operators.temporal import (
+        funnel_counts,
+    )
+
+    _r.seed(9)
+    rows = [
+        (
+            _r.randrange(12),
+            T(2024, 1, 1, 0, 0, _r.randrange(50)),
+            i,
+            _r.choice(["A", "B", "C"]),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "user long, ts timestamp, eid long, etype string"
+    )
+    a = funnel_counts(
+        df.coalesce(1), "user", "ts", "etype", ["A", "B", "C"], "eid"
+    ).collect()
+    b = funnel_counts(
+        df.repartition(7), "user", "ts", "etype", ["A", "B", "C"], "eid"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # funnel is monotone non-increasing
+    ns = [r.n_users for r in sorted(a, key=lambda r: r.step_index)]
+    assert ns == sorted(ns, reverse=True)

@@ -321,3 +321,122 @@ def hopping_window_agg(
             F.expr(f"CAST(floor({value_col} * {int_scale}) AS BIGINT)")
         ).cast("long").alias("sum_scaled"),
     )
+
+
+def interval_coalesce(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gaps-and-islands: merge overlapping-or-touching intervals per key
+    into maximal disjoint islands — the validity-interval compaction a
+    crawl scheduler runs on fetch windows, and the natural consumer of
+    :func:`~.cdc.scd2_history` output (collapse a flapping state's
+    intervals back to coverage spans).
+
+    Semantics, per key over intervals ordered by ``(start, end)``: an
+    interval opens a new island iff its start is strictly greater than
+    the running maximum of all previous ends (touching intervals —
+    ``start == prev_end`` — merge; half-open callers pre-decrement).
+    Output: ``(key..., start, end, n_intervals)`` per island.
+
+    Scale shape: ONE key-partitioned Exchange; the running
+    ``max(end)`` uses the incremental UNBOUNDED PRECEDING..-1 frame
+    (WindowExec evaluates running frames incrementally — the
+    full-partition-buffer trap does not apply), and the island
+    aggregate reuses the same clustering. Per-key interval counts are
+    bounded by ingest cadence, the same skew argument as
+    :func:`~.cdc.scd2_history`.
+
+    ``tiebreak_cols`` must make the ordering TOTAL when duplicate
+    ``(start, end)`` rows exist and the result is mirrored into a SQL
+    oracle: the operator is two window passes (running max, then
+    running island sum), and an engine that sorts each pass
+    independently (DuckDB) may order full ties differently per pass —
+    nw flags computed under one tie order cumulated under another
+    invent phantom islands. Spark itself is immune (one Window spec =
+    one sort), so the parameter is about cross-engine replayability,
+    not Spark correctness — but island membership of tied rows is
+    only well-defined under a total order anyway.
+
+    Reference parity: the reference merges adjacent sentence spans into
+    one context window per mention (wsd/word_sense_disambiguation.py
+    context assembly); this is that span-merge over arbitrary keys.
+    """
+    order = [F.col(start_col).asc(), F.col(end_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "_new",
+        F.when(
+            prev_max_end.isNotNull()
+            & (F.col(start_col) <= prev_max_end),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    ).withColumn("_island", F.sum("_new").over(w))
+    return flagged.groupBy(*key_cols, "_island").agg(
+        F.min(F.col(start_col)).alias("start"),
+        F.max(F.col(end_col)).alias("end"),
+        F.count("*").cast("long").alias("n_intervals"),
+    ).drop("_island")
+
+
+def funnel_counts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Ordered funnel: how many users reached step i — step i counts only
+    if it happens STRICTLY AFTER the user's earliest completion of step
+    i-1 (the classic clickstream conversion report).
+
+    Deterministic under burst timestamps: each step's completion time is
+    the minimum ``(ts, tiebreak)`` struct among qualifying events, and
+    "after" compares the full struct — equal-timestamp events resolve by
+    the tiebreak, never by partition order.
+
+    Scale shape: one map-side-combined groupBy on the user key per step,
+    joined to the previous step's (user, reached-time) table on the same
+    clustering; no windows, no per-user buffering beyond one row. Each
+    step is eagerly localCheckpointed before its scalar count — without
+    it step k re-evaluates the whole chain (O(steps^2) scans), and the
+    counts themselves are the CC-checksum class of driver action: one
+    scalar per step, never row data.
+
+    Output: ``(step_index, step, n_users)`` — one row per step.
+    """
+    u = F.col(user_col)
+    order = F.struct(F.col(ts_col).alias("_t"), F.col(tiebreak_col).alias("_i"))
+    # step 0: earliest qualifying event per user
+    cur = (
+        events.filter(F.col(type_col) == F.lit(steps[0]))
+        .groupBy(u.alias("_user"))
+        .agg(F.min(order).alias("_reached"))
+        .localCheckpoint(eager=True)
+    )
+    counts = [cur.count()]
+    for step in steps[1:]:
+        cur = (
+            events.filter(F.col(type_col) == F.lit(step))
+            .select(u.alias("_user"), order.alias("_o"))
+            .join(cur, on="_user")
+            .filter(F.col("_o") > F.col("_reached"))
+            .groupBy("_user")
+            .agg(F.min(F.col("_o")).alias("_reached"))
+            .localCheckpoint(eager=True)
+        )
+        counts.append(cur.count())
+    spark = events.sparkSession
+    rows = [(i, s, int(c)) for i, (s, c) in enumerate(zip(steps, counts))]
+    return spark.createDataFrame(
+        rows, "step_index int, step string, n_users long"
+    )
