@@ -399,6 +399,12 @@ def kcore_peel(
         )
         return both.groupBy("node").agg(F.count("*").cast("long").alias("degree"))
 
+    # Early exit with the IDENTICAL result: peeling only removes edges,
+    # so an unchanged edge count == unchanged edge set == fixpoint, and
+    # every remaining round is the identity — the exact-R contract holds
+    # while converged inputs skip the tail shuffles (the count is one
+    # cheap action over the just-checkpointed RDD).
+    prev_n = e.count()
     for _ in range(rounds):
         kept = degrees(e).filter(F.col("degree") >= F.lit(k)).select("node")
         e = (
@@ -407,6 +413,10 @@ def kcore_peel(
             .select("_a", "_b")
             .localCheckpoint(eager=True)
         )
+        n = e.count()
+        if n == prev_n:
+            break
+        prev_n = n
     final_deg = degrees(e)
     conv = final_deg.agg(
         F.coalesce(
