@@ -2836,6 +2836,69 @@ def _q_snapshot_diff(spark, sf_dir):
     )
 
 
+def _q_overlap_join(spark, sf_dir):
+    """Interval x interval OVERLAP join (fetch windows vs outage
+    windows, derived deterministically from events) as a bucketized
+    equi-join with the exactly-once overlap-start-bucket rule — the
+    third temporal-join family next to asof (latest-before) and
+    range_join (point containment). The oracle replays it as the plain
+    inequality join: bucketing affects cost only, never rows."""
+    from word_sense_disambiguation_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    left = ev.filter(F.col("event_id") % 11 == 0).select(
+        "event_type",
+        F.col("event_id").cast("long").alias("la"),
+        (F.col("event_id") % 997).cast("double").alias("a_lo"),
+        (F.col("event_id") % 997 + 1 + F.col("user_id") % 5)
+        .cast("double")
+        .alias("a_hi"),
+    )
+    right = ev.filter(F.col("event_id") % 13 == 0).select(
+        F.col("event_type").alias("event_type_r"),
+        F.col("event_id").cast("long").alias("rb"),
+        ((F.col("event_id") * 7) % 991).cast("double").alias("b_lo"),
+        ((F.col("event_id") * 7) % 991 + 1 + F.col("user_id") % 3)
+        .cast("double")
+        .alias("b_hi"),
+    ).withColumnRenamed("event_type_r", "event_type")
+    pairs, _oversized = interval_overlap_join(
+        left, right, "a_lo", "a_hi", "b_lo", "b_hi",
+        keys=["event_type"], bucket_width=8.0, max_buckets=64,
+    )
+    return pairs.select(
+        "event_type",
+        "la",
+        F.col("a_lo").cast("long").alias("a_lo"),
+        F.col("a_hi").cast("long").alias("a_hi"),
+        "rb",
+        F.col("b_lo").cast("long").alias("b_lo"),
+        F.col("b_hi").cast("long").alias("b_hi"),
+    )
+
+
+def _q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner over (lang, source) slices of the
+    documents table (n_chars as the byte proxy, 4 KiB target so sf0.01
+    exercises multi-file splits): files/rows-per-file via pure integer
+    ceil-DIV — Spark's `/` is IEEE and loses integers past 2^53, real
+    at crawl-scale byte totals."""
+    from word_sense_disambiguation_spark.operators.zorder import (
+        compaction_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return compaction_plan(
+        docs, ["lang", "source"], "n_chars", target_file_bytes=4096
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_explode_counts": _q_token_explode,
@@ -2970,6 +3033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_merge": _q_interval_merge,
         "funnel_counts": _q_funnel_counts,
         "snapshot_diff": _q_snapshot_diff,
+        "overlap_join": _q_overlap_join,
+        "compaction_plan": _q_compaction_plan,
     }
 
 
@@ -7478,5 +7543,51 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'equal'
                         ELSE 'mismatch' END AS status
             FROM la FULL OUTER JOIN ra ON la.bucket = ra.bucket
+        """,
+        # Overlap-join replay: the plain closed-bound inequality join —
+        # the engine's bucketization + overlap-start-bucket dedup rule
+        # must be invisible in the rows.
+        "overlap_join": """
+            WITH ev AS (
+              SELECT event_type, event_id, user_id FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                AND event_id IS NOT NULL
+            ),
+            l AS (
+              SELECT event_type, CAST(event_id AS BIGINT) AS la,
+                     CAST(event_id % 997 AS BIGINT) AS a_lo,
+                     CAST(event_id % 997 + 1 + user_id % 5 AS BIGINT) AS a_hi
+              FROM ev WHERE event_id % 11 = 0
+            ),
+            r AS (
+              SELECT event_type, CAST(event_id AS BIGINT) AS rb,
+                     CAST((event_id * 7) % 991 AS BIGINT) AS b_lo,
+                     CAST((event_id * 7) % 991 + 1 + user_id % 3 AS BIGINT)
+                       AS b_hi
+              FROM ev WHERE event_id % 13 = 0
+            )
+            SELECT l.event_type, l.la, l.a_lo, l.a_hi, r.rb, r.b_lo, r.b_hi
+            FROM l JOIN r ON l.event_type = r.event_type
+                         AND l.a_lo <= r.b_hi AND r.b_lo <= l.a_hi
+        """,
+        # Compaction-plan replay: identical integer ceil-DIV arithmetic
+        # (DuckDB // is floor division on exact integers).
+        "compaction_plan": """
+            WITH agg AS (
+              SELECT lang, source,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(n_chars) AS BIGINT) AS total_bytes
+              FROM documents GROUP BY 1, 2
+            ),
+            f AS (
+              SELECT *, CAST(greatest(1, (total_bytes + 4095) // 4096)
+                        AS BIGINT) AS n_files
+              FROM agg
+            )
+            SELECT lang, source, n_rows, total_bytes, n_files,
+                   CAST((n_rows + n_files - 1) // n_files AS BIGINT)
+                     AS rows_per_file,
+                   (total_bytes < 512) AS needs_compaction
+            FROM f
         """,
     }

@@ -159,6 +159,7 @@ _DOCQ = [
     # anti-entropy diff: adversarial unicode text rides INSIDE the
     # portable md5 row hash — byte-level engine agreement is the test
     "snapshot_diff",
+    "compaction_plan",
 ]
 
 
@@ -295,6 +296,7 @@ _EVQ = [
     # under test
     "interval_merge",
     "funnel_counts",
+    "overlap_join",
 ]
 
 

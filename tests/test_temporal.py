@@ -491,3 +491,94 @@ def test_funnel_counts_parallelism_invariance(spark):
     # funnel is monotone non-increasing
     ns = [r.n_users for r in sorted(a, key=lambda r: r.step_index)]
     assert ns == sorted(ns, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join: interval x interval overlap as bucketized equi-join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_join_hand_example(spark):
+    from word_sense_disambiguation_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [
+            ("k", 1, 0.0, 10.0),   # wide: overlaps r1, r2, touches r3
+            ("k", 2, 11.0, 12.0),  # disjoint from r1/r2, inside r3's tail
+            ("k", 3, 50.0, 40.0),  # degenerate lo > hi: matches nothing
+            ("q", 4, 0.0, 10.0),   # other key: isolated
+        ],
+        "k string, la long, a_lo double, a_hi double",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", 1, 2.0, 3.0),     # contained in l1
+            ("k", 2, 9.0, 15.0),    # overlaps l1 and l2
+            ("k", 3, 10.0, 11.0),   # touches l1 at 10 and l2 at 11 (closed)
+            ("k", 4, 20.0, 21.0),   # disjoint from all
+        ],
+        "k string, rb long, b_lo double, b_hi double",
+    )
+    pairs, oversized = interval_overlap_join(
+        left, right, "a_lo", "a_hi", "b_lo", "b_hi",
+        keys=["k"], bucket_width=4.0, max_buckets=64,
+    )
+    got = sorted((r.k, r.la, r.rb) for r in pairs.collect())
+    assert got == [("k", 1, 1), ("k", 1, 2), ("k", 1, 3),
+                   ("k", 2, 2), ("k", 2, 3)]
+    assert oversized.count() == 0
+
+
+def test_interval_overlap_join_matches_bruteforce_exactly_once(spark):
+    import random as _r
+
+    from word_sense_disambiguation_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    _r.seed(21)
+    L = [("k%d" % _r.randrange(2), i, float(_r.randrange(100)),)
+         for i in range(120)]
+    L = [(k, i, lo, lo + _r.randrange(0, 12)) for (k, i, lo) in L]
+    R = [("k%d" % _r.randrange(2), i, float(_r.randrange(100)),)
+         for i in range(120)]
+    R = [(k, i, lo, lo + _r.randrange(0, 12)) for (k, i, lo) in R]
+    want = sorted(
+        (lk, li, ri)
+        for (lk, li, llo, lhi) in L
+        for (rk, ri, rlo, rhi) in R
+        if lk == rk and llo <= rhi and rlo <= lhi
+    )
+    ldf = spark.createDataFrame(L, "k string, la long, a_lo double, a_hi double")
+    rdf = spark.createDataFrame(R, "k string, rb long, b_lo double, b_hi double")
+    pairs, oversized = interval_overlap_join(
+        ldf, rdf, "a_lo", "a_hi", "b_lo", "b_hi",
+        keys=["k"], bucket_width=4.0, max_buckets=64,
+    )
+    got = sorted((r.k, r.la, r.rb) for r in pairs.collect())
+    assert got == want  # exactly-once: sorted WITH duplicates must equal
+    assert oversized.count() == 0
+
+
+def test_interval_overlap_join_oversized_side_table(spark):
+    from word_sense_disambiguation_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [("k", 1, 0.0, 1000.0), ("k", 2, 0.0, 2.0)],
+        "k string, la long, a_lo double, a_hi double",
+    )
+    right = spark.createDataFrame(
+        [("k", 9, 1.0, 2.0)], "k string, rb long, b_lo double, b_hi double"
+    )
+    pairs, oversized = interval_overlap_join(
+        left, right, "a_lo", "a_hi", "b_lo", "b_hi",
+        keys=["k"], bucket_width=4.0, max_buckets=8,
+    )
+    # the giant interval is excluded and reported, never silently paired
+    assert [(r.la, r.rb) for r in pairs.collect()] == [(2, 9)]
+    ov = oversized.collect()
+    assert len(ov) == 1 and ov[0].side == "left" and ov[0].hi == 1000.0

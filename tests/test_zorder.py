@@ -93,3 +93,48 @@ def test_guards_and_codegen(spark, grid):
     plan = st._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "EvalPython" not in plan
     assert plan.count("Exchange") == 1  # partial-combined groupBy only
+
+
+# ---------------------------------------------------------------------------
+# compaction_plan: integer file-sizing arithmetic
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_plan_hand_arithmetic(spark):
+    from word_sense_disambiguation_spark.operators.zorder import (
+        compaction_plan,
+    )
+
+    rows = (
+        [("a", 100)] * 10      # 1000 bytes -> 1 file at target 4096, small
+        + [("b", 3000)] * 3    # 9000 bytes -> ceil(9000/4096)=3 files
+        + [("c", 4096)]        # exactly one target -> 1 file
+    )
+    df = spark.createDataFrame(rows, "slice string, nb long")
+    got = {
+        r.slice: (r.n_rows, r.total_bytes, r.n_files, r.rows_per_file,
+                  r.needs_compaction)
+        for r in compaction_plan(
+            df, ["slice"], "nb", target_file_bytes=4096
+        ).collect()
+    }
+    assert got == {
+        "a": (10, 1000, 1, 10, False),   # 1000 >= 512 = 4096/8
+        "b": (3, 9000, 3, 1, False),
+        "c": (1, 4096, 1, 1, False),
+    }
+    tiny = spark.createDataFrame([("t", 100)], "slice string, nb long")
+    out = compaction_plan(tiny, ["slice"], "nb", target_file_bytes=4096)
+    assert out.collect()[0].needs_compaction is True
+
+
+def test_compaction_plan_div_precision_past_double(spark):
+    """2^53-adjacent byte totals: IEEE `/` would round, DIV must not."""
+    from word_sense_disambiguation_spark.operators.zorder import (
+        compaction_plan,
+    )
+
+    big = (1 << 53) + 1  # not representable as double
+    df = spark.createDataFrame([("s", big)], "slice string, nb long")
+    r = compaction_plan(df, ["slice"], "nb", target_file_bytes=1).collect()[0]
+    assert r.total_bytes == big and r.n_files == big

@@ -440,3 +440,86 @@ def funnel_counts(
     return spark.createDataFrame(
         rows, "step_index int, step string, n_users long"
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    keys: list[str] | None = None,
+    bucket_width: float = 4.0,
+    max_buckets: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Interval x interval OVERLAP join (``a_lo <= b_hi AND b_lo <=
+    a_hi``, closed bounds) as a bucketized equi-join — the third
+    temporal-join family next to :func:`asof_join` (latest-before) and
+    :func:`range_join` (point containment). Crawl uses: which fetch
+    windows collided with which outage windows; which session spans
+    overlap which experiment exposures.
+
+    Exactly-once without a dedup shuffle: a pair's overlap, when it
+    exists, STARTS at ``greatest(a_lo, b_lo)`` — a coordinate lying
+    inside BOTH intervals, hence inside both bucket explosions. The
+    equi-join on ``keys + [bucket]`` meets each overlapping pair in
+    every shared bucket, and the ``bucket == floor(greatest(a_lo,
+    b_lo) / W)`` predicate keeps exactly the one where the overlap
+    starts — multiplicity is structurally impossible (the
+    ``range_join``/blocking no-distinct argument).
+
+    Returns ``(pairs, oversized)``: intervals spanning more than
+    ``max_buckets`` buckets are excluded and reported in the side
+    table tagged with ``side`` ('left'/'right') and their bounds —
+    no silent caps; route the few giants through a broadcast
+    inequality join. Degenerate (``lo > hi`` or NULL-bound) intervals
+    match nothing. Exact overlap is re-checked on raw bounds, so
+    bucketing affects cost only; a DuckDB inequality-join replay is
+    exact.
+    """
+    keys = list(keys or [])
+    W = float(bucket_width)
+
+    def prep(df: DataFrame, lo: str, hi: str):
+        lo_b = F.floor(F.col(lo) / F.lit(W)).cast("long")
+        hi_b = F.floor(F.col(hi) / F.lit(W)).cast("long")
+        tagged = df.withColumn("_nb", hi_b - lo_b + 1)
+        over = tagged.filter(F.col("_nb") > max_buckets).drop("_nb")
+        kept = (
+            tagged.filter(
+                (F.col("_nb") <= max_buckets) & (F.col(lo) <= F.col(hi))
+            )
+            .withColumn("_b", F.explode(F.sequence(lo_b, hi_b)))
+            .drop("_nb")
+        )
+        return kept, over
+
+    lk, lo_over = prep(left, left_lo, left_hi)
+    rk, ro_over = prep(right, right_lo, right_hi)
+    start_bucket = F.floor(
+        F.greatest(F.col(left_lo), F.col(right_lo)) / F.lit(W)
+    ).cast("long")
+    pairs = (
+        lk.join(rk, on=keys + ["_b"])
+        .filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+            & (F.col("_b") == start_bucket)
+        )
+        .drop("_b")
+    )
+    oversized = lo_over.select(
+        F.lit("left").alias("side"),
+        *[F.col(c) for c in keys],
+        F.col(left_lo).cast("double").alias("lo"),
+        F.col(left_hi).cast("double").alias("hi"),
+    ).unionByName(
+        ro_over.select(
+            F.lit("right").alias("side"),
+            *[F.col(c) for c in keys],
+            F.col(right_lo).cast("double").alias("lo"),
+            F.col(right_hi).cast("double").alias("hi"),
+        )
+    )
+    return pairs, oversized

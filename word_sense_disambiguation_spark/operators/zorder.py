@@ -138,3 +138,54 @@ def zorder_chunk_stats(
         aggs.append(F.min(f"_d{i}").alias(f"dim{i}_min"))
         aggs.append(F.max(f"_d{i}").alias(f"dim{i}_max"))
     return keyed.groupBy("chunk").agg(*aggs)
+
+
+def compaction_plan(
+    df: DataFrame,
+    slice_cols: list[str],
+    bytes_col: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_file_bytes: int | None = None,
+) -> DataFrame:
+    """Lakehouse small-file compaction planner: per output slice
+    (partition directory), how many files to write and how many rows
+    per file so files land near ``target_file_bytes`` — the sizing pass
+    that runs before every large parquet rewrite (a 10^12-row table
+    written with one-file-per-task produces millions of KB files; one
+    file per slice produces unsplittable multi-GB ones).
+
+    Pure integer arithmetic from ONE map-side-combined aggregate:
+    ``n_files = ceil(total_bytes / target)`` (minimum 1 — empty-ish
+    slices still get a file), ``rows_per_file = ceil(n_rows /
+    n_files)``; ``needs_compaction`` flags slices whose CURRENT average
+    row-group would fall under ``min_file_bytes`` (default target/8) if
+    left at one row per input row-group. Ceil is the integer identity
+    ``(a + b - 1) DIV b`` — no floats anywhere.
+
+    Output: ``(slice..., n_rows, total_bytes, n_files, rows_per_file,
+    needs_compaction)``. Feed ``n_files`` to a
+    ``repartitionByRange(n_files, ...)``/``repartition(n_files)`` write.
+    """
+    tgt = int(target_file_bytes)
+    mn = int(min_file_bytes if min_file_bytes is not None else tgt // 8)
+    agg = df.groupBy(*slice_cols).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col(bytes_col)).cast("long").alias("total_bytes"),
+    )
+    # DIV, never `/`+cast: Spark `/` is IEEE double division and loses
+    # integer precision past 2^53 — real at 10^12-row byte totals.
+    with_files = agg.withColumn(
+        "n_files",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(total_bytes + {tgt - 1}) DIV {tgt}"),
+        ),
+    )
+    return with_files.select(
+        *slice_cols,
+        "n_rows",
+        "total_bytes",
+        "n_files",
+        F.expr("(n_rows + n_files - 1) DIV n_files").alias("rows_per_file"),
+        (F.col("total_bytes") < F.lit(mn)).alias("needs_compaction"),
+    )
