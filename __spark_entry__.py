@@ -2899,6 +2899,36 @@ def _q_compaction_plan(spark, sf_dir):
     )
 
 
+def _q_covisitation(spark, sf_dir):
+    """Bipartite co-visitation projection of the clickstream (items =
+    the same event_type:floor(value) page proxies as the transition
+    graph): exact distinct-user co-visit weights >= 5, hot users above
+    100 distinct items excluded into the oversized side table (the
+    quadratic-fan-out bot cap — none at this sf, so the driver row set
+    is the full projection)."""
+    from word_sense_disambiguation_spark.operators.clustering import (
+        covisitation_edges,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    ui = ev.select(
+        "user_id",
+        F.concat(
+            F.col("event_type"),
+            F.lit(":"),
+            F.floor(F.col("value")).cast("long").cast("string"),
+        ).alias("item"),
+    )
+    edges, _oversized = covisitation_edges(
+        ui, "user_id", "item", max_items_per_user=100, min_weight=5
+    )
+    return edges
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_explode_counts": _q_token_explode,
@@ -3035,6 +3065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "overlap_join": _q_overlap_join,
         "compaction_plan": _q_compaction_plan,
+        "covisitation": _q_covisitation,
     }
 
 
@@ -7589,5 +7620,29 @@ def oracle_sql() -> dict[str, str]:
                      AS rows_per_file,
                    (total_bytes < 512) AS needs_compaction
             FROM f
+        """,
+        # Co-visitation replay: distinct (user, item), same 100-item
+        # user cap (vacuous at this sf, mirrored anyway), ordered
+        # self-join, exact HAVING-count weights.
+        "covisitation": """
+            WITH ui AS (
+              SELECT DISTINCT user_id,
+                     event_type || ':' ||
+                       CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) AS item
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                AND value IS NOT NULL
+            ),
+            ok AS (
+              SELECT user_id, item FROM ui
+              WHERE user_id NOT IN (
+                SELECT user_id FROM ui GROUP BY 1 HAVING count(*) > 100
+              )
+            )
+            SELECT a.item AS item_a, b.item AS item_b,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM ok a JOIN ok b
+              ON a.user_id = b.user_id AND a.item < b.item
+            GROUP BY 1, 2 HAVING count(*) >= 5
         """,
     }

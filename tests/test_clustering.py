@@ -918,3 +918,66 @@ def test_kcore_peel_parallelism_invariance(spark):
     a = kcore_peel(edges.coalesce(1), k=3, rounds=3).collect()
     b = kcore_peel(edges.repartition(9), k=3, rounds=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# covisitation_edges: bipartite projection with hot-user cap
+# ---------------------------------------------------------------------------
+
+
+def test_covisitation_hand_example_and_cap(spark):
+    from word_sense_disambiguation_spark.operators.clustering import (
+        covisitation_edges,
+    )
+
+    rows = (
+        # u1, u2 both touch {a, b}; u1 also c; duplicates collapse
+        [(1, "a"), (1, "a"), (1, "b"), (1, "c"),
+         (2, "a"), (2, "b"),
+         # u3: bot touching 5 items with cap 4 -> excluded entirely
+         (3, "a"), (3, "b"), (3, "c"), (3, "d"), (3, "e")]
+    )
+    df = spark.createDataFrame(rows, "u long, i string")
+    edges, oversized = covisitation_edges(
+        df, "u", "i", max_items_per_user=4, min_weight=1
+    )
+    got = {(r.item_a, r.item_b): r.weight for r in edges.collect()}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+    ov = oversized.collect()
+    assert [(r.u, r.n_items) for r in ov] == [(3, 5)]
+    # min_weight prunes after the exact count
+    edges2, _ = covisitation_edges(
+        df, "u", "i", max_items_per_user=4, min_weight=2
+    )
+    assert {(r.item_a, r.item_b) for r in edges2.collect()} == {("a", "b")}
+
+
+def test_covisitation_invariance_and_exactness(spark):
+    from word_sense_disambiguation_spark.operators.clustering import (
+        covisitation_edges,
+    )
+
+    random.seed(31)
+    rows = [
+        (random.randrange(15), "i%d" % random.randrange(12))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "u long, i string")
+    # python reference
+    per_user = {}
+    for u, i in rows:
+        per_user.setdefault(u, set()).add(i)
+    want = {}
+    for items in per_user.values():
+        if len(items) > 256:
+            continue
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                want[(s[x], s[y])] = want.get((s[x], s[y]), 0) + 1
+    want = {k: v for k, v in want.items() if v >= 2}
+    a, _ = covisitation_edges(df.coalesce(1), "u", "i", min_weight=2)
+    b, _ = covisitation_edges(df.repartition(9), "u", "i", min_weight=2)
+    got_a = {(r.item_a, r.item_b): r.weight for r in a.collect()}
+    got_b = {(r.item_a, r.item_b): r.weight for r in b.collect()}
+    assert got_a == want == got_b

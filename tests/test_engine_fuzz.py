@@ -297,6 +297,7 @@ _EVQ = [
     "interval_merge",
     "funnel_counts",
     "overlap_join",
+    "covisitation",
 ]
 
 

@@ -1246,3 +1246,61 @@ def threshold_cluster_curve(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def covisitation_edges(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    max_items_per_user: int = 256,
+    min_weight: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Bipartite co-visitation projection: ``(item_a < item_b, weight =
+    #distinct users who touched both)`` — the item-item similarity graph
+    behind co-click recommendations, related-page mining, and
+    behavioral near-dup signals on a clickstream.
+
+    The scale trap is the projection's QUADRATIC per-user fan-out: one
+    crawler/bot user touching 10^5 items alone emits 5*10^9 pairs. The
+    engine's standard answer applies verbatim (blocking.py capped
+    blocks): users above ``max_items_per_user`` distinct items are
+    EXCLUDED from pairing and returned in an ``oversized`` side table
+    with their item counts — no silent drops; they are bots by
+    construction and a caller who disagrees routes them through a
+    sampled path. ``min_weight`` prunes the long noise tail AFTER the
+    exact count (a HAVING, not a sample).
+
+    Scale shape: distinct (user, item) -> per-user count + broadcast
+    anti-join of the few oversized users -> co-partitioned self-join on
+    the user key (one Exchange, reused by both sides) -> partial-
+    combined pair count. Weights are exact BIGINTs.
+
+    Returns ``(edges, oversized_users)``.
+
+    Reference parity: the reference mines sense co-occurrence within a
+    context window (wsd/word_sense_disambiguation.py context assembly);
+    this is the same co-occurrence projection over user sessions with
+    the hot-unit cap made explicit.
+    """
+    ui = interactions.select(
+        F.col(user_col).alias("_u"), F.col(item_col).alias("_i")
+    ).distinct()
+    cnt = ui.groupBy("_u").agg(F.count("*").cast("long").alias("n_items"))
+    oversized = cnt.filter(F.col("n_items") > max_items_per_user).select(
+        F.col("_u").alias(user_col), "n_items"
+    )
+    ok = ui.join(
+        F.broadcast(oversized.select(F.col(user_col).alias("_u"))),
+        on="_u",
+        how="left_anti",
+    )
+    a = ok.select("_u", F.col("_i").alias("item_a"))
+    b = ok.select("_u", F.col("_i").alias("item_b"))
+    edges = (
+        a.join(b, on="_u")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("weight"))
+        .filter(F.col("weight") >= F.lit(int(min_weight)))
+    )
+    return edges, oversized
