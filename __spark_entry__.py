@@ -2929,6 +2929,73 @@ def _q_covisitation(spark, sf_dir):
     return edges
 
 
+def _q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition table over the SAME clickstream
+    transition graph as ``clickstream_rank`` (see ``_click_edges``):
+    exact BIGINT counts, per-source outflow totals, and transition
+    probabilities as scaled integers ``(n * 1e6) DIV out_total`` — the
+    click-model training weights, bit-for-bit replayable (one integer
+    DIV per row, no float sums)."""
+    from word_sense_disambiguation_spark.operators.temporal import (
+        transition_model,
+    )
+
+    return transition_model(_click_edges(spark, sf_dir), scale=1_000_000)
+
+
+def _q_referential_integrity(spark, sf_dir):
+    """FK integrity audit over the star layout: the three clean TPC-H
+    relations (lineitem->orders, orders->customer, customer->nation), a
+    PARTIAL-dimension probe (orders against only the BUILDING customer
+    segment — the stale-snapshot scenario, deterministically nonzero
+    orphans), and the cross-domain events.user_id->customer probe. One
+    row per relation; child tables contract to (fk, cnt) map-side
+    before any join."""
+    from word_sense_disambiguation_spark.operators.profiling import (
+        referential_integrity_audit,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    ev = _t(spark, sf_dir, "events")
+    return referential_integrity_audit(
+        [
+            ("lineitem.l_orderkey->orders", li, "l_orderkey", od, "o_orderkey"),
+            ("orders.o_custkey->customer", od, "o_custkey", cu, "c_custkey"),
+            ("customer.c_nationkey->nation", cu, "c_nationkey", na, "n_nationkey"),
+            (
+                "orders.o_custkey->customer[BUILDING]",
+                od,
+                "o_custkey",
+                cu.filter(F.col("c_mktsegment") == "BUILDING"),
+                "c_custkey",
+            ),
+            ("events.user_id->customer", ev, "user_id", cu, "c_custkey"),
+        ]
+    )
+
+
+def _q_bfs_reach(spark, sf_dir):
+    """Bounded 3-hop BFS impact radius from every ``signup:*`` node of
+    the clickstream transition graph (see ``_click_edges``): per seed
+    and hop, how many nodes are FIRST reached at that hop. Level-
+    synchronous frontier joins, eagerly checkpointed per round; the
+    oracle replays it as a hop-bounded recursive CTE with a min-hop
+    contraction."""
+    from word_sense_disambiguation_spark.operators.clustering import bfs_reach
+
+    e = _click_edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("seed")).union(
+        e.select(F.col("dst").alias("seed"))
+    ).distinct()
+    seeds = nodes.filter(F.col("seed").startswith("signup:"))
+    return bfs_reach(e, seeds, max_hops=3).select(
+        "seed", F.col("hop").cast("int").alias("hop"), "n_nodes"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_explode_counts": _q_token_explode,
@@ -3066,6 +3133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_join": _q_overlap_join,
         "compaction_plan": _q_compaction_plan,
         "covisitation": _q_covisitation,
+        "markov_transitions": _q_markov_transitions,
+        "referential_integrity": _q_referential_integrity,
+        "bfs_reach": _q_bfs_reach,
     }
 
 
@@ -7644,5 +7714,129 @@ def oracle_sql() -> dict[str, str]:
             FROM ok a JOIN ok b
               ON a.user_id = b.user_id AND a.item < b.item
             GROUP BY 1, 2 HAVING count(*) >= 5
+        """,
+        # Markov transition replay: same lag-built transition stream as
+        # clickstream_rank; counts BIGINT, probability is one integer
+        # floor-division per row (// on exact integers == Spark DIV).
+        "markov_transitions": """
+            WITH ev AS (
+              SELECT user_id, ts, event_id,
+                     event_type || ':' ||
+                       CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) AS node
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                AND value IS NOT NULL
+            ),
+            seq AS (
+              SELECT node, lag(node) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+              FROM ev
+            ),
+            e AS (
+              SELECT prev AS src, node AS dst,
+                     CAST(count(*) AS BIGINT) AS n_transitions
+              FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+            ),
+            t AS (
+              SELECT src, CAST(sum(n_transitions) AS BIGINT) AS out_total
+              FROM e GROUP BY 1
+            )
+            SELECT e.src, e.dst, e.n_transitions, t.out_total,
+                   CAST((e.n_transitions * 1000000) // t.out_total
+                        AS BIGINT) AS p_scaled
+            FROM e JOIN t ON e.src = t.src
+        """,
+        # FK-audit replay: per relation, child contracted to (fk, cnt),
+        # parent to distinct keys, one left join + filtered sums. NULL
+        # FKs are their own column, never orphans (SQL FK convention).
+        "referential_integrity": """
+            WITH probe AS (
+              SELECT 'lineitem.l_orderkey->orders' AS relation,
+                     l_orderkey AS fk FROM lineitem
+              UNION ALL
+              SELECT 'orders.o_custkey->customer', o_custkey FROM orders
+              UNION ALL
+              SELECT 'customer.c_nationkey->nation',
+                     CAST(c_nationkey AS BIGINT) FROM customer
+              UNION ALL
+              SELECT 'orders.o_custkey->customer[BUILDING]', o_custkey
+              FROM orders
+              UNION ALL
+              SELECT 'events.user_id->customer', user_id FROM events
+            ),
+            parent AS (
+              SELECT 'lineitem.l_orderkey->orders' AS relation,
+                     o_orderkey AS pk FROM orders
+              UNION ALL
+              SELECT 'orders.o_custkey->customer', c_custkey FROM customer
+              UNION ALL
+              SELECT 'customer.c_nationkey->nation',
+                     CAST(n_nationkey AS BIGINT) FROM nation
+              UNION ALL
+              SELECT 'orders.o_custkey->customer[BUILDING]', c_custkey
+              FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION ALL
+              SELECT 'events.user_id->customer', c_custkey FROM customer
+            ),
+            keyed AS (
+              SELECT relation, fk, CAST(count(*) AS BIGINT) AS cnt
+              FROM probe GROUP BY 1, 2
+            ),
+            pkeys AS (
+              SELECT DISTINCT relation, pk FROM parent WHERE pk IS NOT NULL
+            )
+            SELECT k.relation,
+                   CAST(COALESCE(SUM(cnt) FILTER (k.fk IS NOT NULL), 0)
+                        AS BIGINT) AS n_child,
+                   CAST(COALESCE(SUM(cnt) FILTER (k.fk IS NULL), 0)
+                        AS BIGINT) AS n_null_fk,
+                   CAST(COALESCE(SUM(cnt) FILTER (
+                          k.fk IS NOT NULL AND p.pk IS NULL), 0)
+                        AS BIGINT) AS n_orphan,
+                   CAST(COUNT(*) FILTER (k.fk IS NOT NULL AND p.pk IS NULL)
+                        AS BIGINT) AS n_orphan_keys
+            FROM keyed k LEFT JOIN pkeys p
+              ON k.relation = p.relation AND k.fk = p.pk
+            GROUP BY k.relation
+        """,
+        # BFS replay: hop-bounded recursive walk enumeration (UNION
+        # dedups per (seed,node,hop) level so cycles terminate), then a
+        # min-hop contraction — min over walk lengths == shortest path.
+        "bfs_reach": """
+            WITH RECURSIVE ev AS (
+              SELECT user_id, ts, event_id,
+                     event_type || ':' ||
+                       CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) AS node
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                AND value IS NOT NULL
+            ),
+            seq AS (
+              SELECT node, lag(node) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+              FROM ev
+            ),
+            e AS MATERIALIZED (
+              SELECT DISTINCT prev AS src, node AS dst
+              FROM seq WHERE prev IS NOT NULL
+            ),
+            seeds AS (
+              SELECT DISTINCT node AS seed FROM (
+                SELECT src AS node FROM e UNION SELECT dst FROM e
+              ) WHERE node LIKE 'signup:%'
+            ),
+            walk AS (
+              SELECT seed, seed AS node, 0 AS hop FROM seeds
+              UNION
+              SELECT w.seed, e.dst AS node, w.hop + 1 AS hop
+              FROM walk w JOIN e ON w.node = e.src
+              WHERE w.hop < 3
+            ),
+            m AS (
+              SELECT seed, node, CAST(min(hop) AS INTEGER) AS hop
+              FROM walk GROUP BY 1, 2
+            )
+            SELECT seed, hop, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM m GROUP BY 1, 2
         """,
     }

@@ -981,3 +981,38 @@ def test_covisitation_invariance_and_exactness(spark):
     got_a = {(r.item_a, r.item_b): r.weight for r in a.collect()}
     got_b = {(r.item_a, r.item_b): r.weight for r in b.collect()}
     assert got_a == want == got_b
+
+
+def test_bfs_reach_hops_and_first_reach(spark):
+    """Shortest-path semantics: a node reachable at hop 1 and hop 2 is
+    counted ONCE, at hop 1; hop 0 is the seed; directed edges only."""
+    from word_sense_disambiguation_spark.operators.clustering import bfs_reach
+
+    # a -> b -> c -> d, plus shortcut a -> c, plus a cycle d -> a,
+    # plus a reverse-only edge z -> a (must not be reached from a)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "a"),
+         ("z", "a")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "seed string")
+    out = {(r.seed, r.hop): r.n_nodes
+           for r in bfs_reach(edges, seeds, max_hops=3).collect()}
+    # hop0: {a}; hop1: {b, c}; hop2: {d}; hop3: nothing new (a seen)
+    assert out == {("a", 0): 1, ("a", 1): 2, ("a", 2): 1}
+
+
+def test_bfs_reach_multi_seed_and_early_exit(spark):
+    from word_sense_disambiguation_spark.operators.clustering import bfs_reach
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "c")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",), ("c",), ("lonely",)],
+                                  "seed string")
+    out = {(r.seed, r.hop): r.n_nodes
+           for r in bfs_reach(edges, seeds, max_hops=5).collect()}
+    # per-seed state is independent; self-loop and isolated seeds stop
+    # at hop 0 and the empty-frontier early exit ends the loop
+    assert out == {("a", 0): 1, ("a", 1): 1, ("c", 0): 1,
+                   ("lonely", 0): 1}

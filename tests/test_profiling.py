@@ -142,3 +142,54 @@ def test_checksum_diff_detects_within_bucket_content_swap(spark):
     out = checksum_diff(left, swapped, ["id"], ["v"], n_buckets=1).collect()
     assert len(out) == 1 and out[0].status == "mismatch"
     assert out[0].left_n == out[0].right_n == 2
+
+
+def test_referential_integrity_audit_counts(spark):
+    """Orphan semantics: NULL FK is reported separately, never an
+    orphan; n_orphan counts child ROWS, n_orphan_keys distinct keys;
+    duplicate parent keys don't double-count children."""
+    from word_sense_disambiguation_spark.operators.profiling import (
+        referential_integrity_audit,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (3,), (3,), (None,), (None,)],
+        "fk long",
+    )
+    parent = spark.createDataFrame([(1,), (1,), (9,)], "pk long")
+    out = referential_integrity_audit(
+        [("c->p", child, "fk", parent, "pk")]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.relation == "c->p"
+    assert r.n_child == 6          # non-null FK rows
+    assert r.n_null_fk == 2
+    assert r.n_orphan == 4         # rows with fk in {2, 3}
+    assert r.n_orphan_keys == 2    # keys {2, 3}
+
+
+def test_referential_integrity_audit_clean_and_empty(spark):
+    from word_sense_disambiguation_spark.operators.profiling import (
+        referential_integrity_audit,
+    )
+
+    child = spark.createDataFrame([(1,), (2,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    empty = spark.createDataFrame([], "fk long")
+    out = {
+        r.relation: r
+        for r in referential_integrity_audit(
+            [
+                ("clean", child, "fk", parent, "pk"),
+                ("empty_child", empty, "fk", parent, "pk"),
+                ("empty_parent", child, "fk",
+                 spark.createDataFrame([], "pk long"), "pk"),
+            ]
+        ).collect()
+    }
+    assert out["clean"].n_orphan == 0 and out["clean"].n_child == 2
+    assert out["empty_child"].n_child == 0
+    assert out["empty_child"].n_orphan == 0
+    assert out["empty_parent"].n_orphan == 2
+    assert out["empty_parent"].n_orphan_keys == 2

@@ -582,3 +582,37 @@ def test_interval_overlap_join_oversized_side_table(spark):
     assert [(r.la, r.rb) for r in pairs.collect()] == [(2, 9)]
     ov = oversized.collect()
     assert len(ov) == 1 and ov[0].side == "left" and ov[0].hi == 1000.0
+
+
+def test_transition_model_exact_probabilities(spark):
+    """Counts, totals, and scaled-DIV probabilities are exact integers;
+    per-src p_scaled sums to <= scale with deficit < n_dst."""
+    from word_sense_disambiguation_spark.operators.temporal import (
+        transition_model,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b")] * 2 + [("a", "c")] * 1 + [("b", "a")] * 3
+        + [(None, "x"), ("x", None)],
+        "src string, dst string",
+    )
+    out = {(r.src, r.dst): r for r in transition_model(edges, scale=1000).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "a")}
+    assert out[("a", "b")].n_transitions == 2
+    assert out[("a", "b")].out_total == 3
+    assert out[("a", "b")].p_scaled == 666      # (2*1000) DIV 3
+    assert out[("a", "c")].p_scaled == 333
+    assert out[("b", "a")].p_scaled == 1000
+    assert 666 + 333 <= 1000  # floor deficit < n_dst
+
+
+def test_transition_model_partitioning_invariant(spark):
+    from word_sense_disambiguation_spark.operators.temporal import (
+        transition_model,
+    )
+
+    rows = [(f"s{i % 7}", f"d{(i * 3) % 11}") for i in range(500)]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    a = transition_model(df.coalesce(1)).collect()
+    b = transition_model(df.repartition(13)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

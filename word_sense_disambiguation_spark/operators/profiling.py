@@ -129,6 +129,60 @@ def table_checksum(
     )
 
 
+def referential_integrity_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key integrity audit across a star/snowflake layout: for
+    each named relation ``(name, child, fk_col, parent, pk_col)``, one
+    row ``(relation, n_child, n_null_fk, n_orphan, n_orphan_keys)`` —
+    the third standing data-quality primitive next to
+    :func:`profile_columns` (shape drift) and :func:`checksum_diff`
+    (replica drift): does every fact row still land on a dimension row
+    after an ingest / partial dimension snapshot / late-arriving-facts
+    window. All counts BIGINT; integrity semantics are
+    NULL-FK-is-not-an-orphan (SQL FK convention — NULLs are reported in
+    their own column, never silently folded into either side).
+
+    Scale shape per relation: the child is contracted to ``(fk, cnt)``
+    by ONE map-side-combined aggregate — the only shuffle that sees
+    fact-table cardinality, and a hot key (the dimension row every
+    crawl page points at) combines map-side; the parent is contracted
+    to distinct keys (dimension-cardinality, broadcastable when small —
+    AQE picks it up from the post-aggregate size); the verdict is one
+    left join between the two CONTRACTED tables plus a single-row
+    aggregate. Raw fact rows never enter a join. Relations are a small
+    audit list, so the final union of 1-row results is driver-trivial.
+    """
+    outs = []
+    for name, child, fk_col, parent, pk_col in relations:
+        keyed = child.groupBy(F.col(fk_col).alias("_fk")).agg(
+            F.count(F.lit(1)).cast("long").alias("_cnt")
+        )
+        pkeys = parent.select(F.col(pk_col).alias("_pk")).filter(
+            F.col("_pk").isNotNull()
+        ).distinct()
+        j = keyed.join(pkeys, keyed["_fk"] == pkeys["_pk"], how="left")
+        fk_null = F.col("_fk").isNull()
+        orphan = F.col("_fk").isNotNull() & F.col("_pk").isNull()
+        outs.append(
+            j.agg(
+                F.coalesce(
+                    F.sum(F.when(~fk_null, F.col("_cnt"))), F.lit(0)
+                ).cast("long").alias("n_child"),
+                F.coalesce(
+                    F.sum(F.when(fk_null, F.col("_cnt"))), F.lit(0)
+                ).cast("long").alias("n_null_fk"),
+                F.coalesce(
+                    F.sum(F.when(orphan, F.col("_cnt"))), F.lit(0)
+                ).cast("long").alias("n_orphan"),
+                F.sum(F.when(orphan, 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphan_keys"),
+            ).select(F.lit(name).alias("relation"), "*")
+        )
+    return reduce(DataFrame.unionByName, outs)
+
+
 def checksum_diff(
     left: DataFrame,
     right: DataFrame,

@@ -442,6 +442,56 @@ def funnel_counts(
     )
 
 
+def transition_model(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """First-order Markov transition model over an observed-transition
+    edge stream: per ``(src, dst)`` state pair, the transition count,
+    the source's total outflow, and the transition probability as an
+    EXACT scaled integer ``(n * scale) DIV out_total`` — the trainable
+    click-model / session-model weight table next to
+    :func:`funnel_counts`' fixed-pattern view and ``covisitation``'s
+    unordered-pair view (reference parity: extends the decision layer
+    of /root/reference the way `pagerank` does — public semantics under
+    the repo's integer-oracle discipline; the reference itself has no
+    sequence-model stage).
+
+    Exactness: counts are BIGINT, the probability is one integer DIV
+    per row (no float sums, no reassociation surface), so any engine
+    replays the table bit-for-bit. ``sum(p_scaled) per src`` is <=
+    scale with deficit < n_dst (floor truncation) — callers needing a
+    strict simplex renormalize at read time.
+
+    Scale shape: ONE map-side-combined ``groupBy(src, dst)`` over the
+    raw transitions (the only shuffle that sees input-cardinality
+    data), then a re-aggregation of that already-contracted pair table
+    to per-``src`` totals and an equi-join back on ``src`` — both
+    operate on distinct-pair cardinality, and a hot source state
+    (every crawler hits the homepage) contracts map-side in the first
+    aggregate, never through a window or a raw-row join.
+    """
+    e = (
+        edges.filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .groupBy(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )
+    tot = e.groupBy("src").agg(
+        F.sum("n_transitions").cast("long").alias("out_total")
+    )
+    return e.join(tot, on="src").select(
+        "src",
+        "dst",
+        "n_transitions",
+        "out_total",
+        F.expr(f"(n_transitions * {int(scale)}L) DIV out_total")
+        .cast("long")
+        .alias("p_scaled"),
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,
