@@ -298,6 +298,13 @@ _EVQ = [
     "funnel_counts",
     "overlap_join",
     "covisitation",
+    # the burst second produces massive timestamp ties in the lag-built
+    # transition graph (the per-user (ts, event_id) total order is
+    # what's under test), cycles + the hot user stress BFS's min-hop
+    # dedup, and the fuzz FK worlds are full of genuine orphans/NULLs
+    "markov_transitions",
+    "bfs_reach",
+    "referential_integrity",
 ]
 
 
@@ -323,7 +330,10 @@ def fuzz_events_world(tmp_path_factory, fuzz_world, fuzz_customers):
             )
         rows.append(
             (1000 - i, ts, uid,
-             rng.choice(["click", "view", "buy", ""]),
+             # "signup" keeps bfs_reach's seed slice non-empty (its
+             # seeds are the signup:* nodes) — parity must be exercised,
+             # not vacuous
+             rng.choice(["click", "view", "buy", "signup", ""]),
              rng.randint(0, 64) / 4.0,                    # dyadic doubles
              rng.choice(["{}", "", "x"]))
         )
@@ -378,16 +388,25 @@ def fuzz_events_world(tmp_path_factory, fuzz_world, fuzz_customers):
     )
     lineitem["l_linenumber"] = lineitem["l_linenumber"].astype("int32")
     lineitem["l_shipdate"] = lineitem["l_shipdate"].astype("datetime64[us]")
+    # deliberately PARTIAL nation dim (keys 0..4 only, customers point
+    # 0..9): the FK audit must see genuine orphans in the fuzz world
+    nation = pd.DataFrame(
+        [(i, f"NATION_{i}", i % 3) for i in range(5)],
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    nation["n_nationkey"] = nation["n_nationkey"].astype("int32")
+    nation["n_regionkey"] = nation["n_regionkey"].astype("int32")
     d = tmp_path_factory.mktemp("fuzzevents")
     ev.to_parquet(d / "events.parquet", index=False)
     orders.to_parquet(d / "orders.parquet", index=False)
     part.to_parquet(d / "part.parquet", index=False)
     lineitem.to_parquet(d / "lineitem.parquet", index=False)
+    nation.to_parquet(d / "nation.parquet", index=False)
     import shutil
     shutil.copy(fuzz_world[0] + "/documents.parquet", d / "documents.parquet")
     shutil.copy(fuzz_customers[0] + "/customer.parquet", d / "customer.parquet")
     return str(d), {"events": ev, "orders": orders, "part": part,
-                    "lineitem": lineitem,
+                    "lineitem": lineitem, "nation": nation,
                     "documents": fuzz_world[1], "customer": fuzz_customers[1]}
 
 
