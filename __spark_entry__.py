@@ -2996,6 +2996,44 @@ def _q_bfs_reach(spark, sf_dir):
     )
 
 
+def _q_retention_cohorts(spark, sf_dir):
+    """Daily retention triangle over the events table: users cohorted
+    by first-active day (UTC epoch-day via unix_timestamp DIV — the
+    floor(epoch) oracle idiom), exact distinct-user counts per
+    (cohort_period, periods_since). All BIGINT."""
+    from word_sense_disambiguation_spark.operators.temporal import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(
+        _t(spark, sf_dir, "events"), "user_id", "ts", period_s=86_400
+    )
+
+
+def _q_distribution_drift(spark, sf_dir):
+    """Categorical TV-distance drift between the even- and odd-event_id
+    halves of the events table (a deterministic snapshot split), per
+    user_id%3 slice: exact scaled-DIV fractions, BIGINT deviations
+    summed as DECIMAL, one integer halving — zero floats."""
+    from word_sense_disambiguation_spark.operators.profiling import (
+        distribution_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    bucket = (F.col("user_id") % 3).cast("long").alias("user_bucket")
+    left = ev.filter(F.col("event_id") % 2 == 0).select(
+        bucket, "event_type"
+    )
+    right = ev.filter(F.col("event_id") % 2 == 1).select(
+        bucket, "event_type"
+    )
+    return distribution_drift(
+        left, right, "event_type", ["user_bucket"], scale=1_000_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_explode_counts": _q_token_explode,
@@ -3136,6 +3174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": _q_markov_transitions,
         "referential_integrity": _q_referential_integrity,
         "bfs_reach": _q_bfs_reach,
+        "retention_cohorts": _q_retention_cohorts,
+        "distribution_drift": _q_distribution_drift,
     }
 
 
@@ -7838,5 +7878,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT seed, hop, CAST(count(*) AS BIGINT) AS n_nodes
             FROM m GROUP BY 1, 2
+        """,
+        # Retention replay: floor(epoch) (CAST alone ROUNDS — the
+        # hopping_window idiom), BIGINT floor-division period index,
+        # count(*) over the deduped (user, period) activity.
+        "retention_cohorts": """
+            WITH act AS (
+              SELECT DISTINCT user_id AS u,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS p
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            f AS (SELECT u, min(p) AS c FROM act GROUP BY 1)
+            SELECT CAST(c AS BIGINT) AS cohort_period,
+                   CAST(p - c AS BIGINT) AS periods_since,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM act JOIN f USING (u) GROUP BY 1, 2
+        """,
+        # Drift replay: identical scaled-DIV fraction arithmetic per
+        # category (// on exact integers == Spark DIV), HUGEINT
+        # deviation sum, integer halving; empty side -> NULL.
+        "distribution_drift": """
+            WITH l AS (
+              SELECT user_id % 3 AS user_bucket, event_type AS cat,
+                     CAST(count(*) AS BIGINT) AS cl
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                AND event_id % 2 = 0
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT user_id % 3 AS user_bucket, event_type AS cat,
+                     CAST(count(*) AS BIGINT) AS cr
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                AND event_id % 2 = 1
+              GROUP BY 1, 2
+            ),
+            cells AS (
+              SELECT COALESCE(l.user_bucket, r.user_bucket) AS user_bucket,
+                     COALESCE(l.cat, r.cat) AS cat,
+                     COALESCE(cl, 0) AS cl, COALESCE(cr, 0) AS cr
+              FROM l FULL OUTER JOIN r
+                ON l.user_bucket = r.user_bucket AND l.cat = r.cat
+            ),
+            tot AS (
+              SELECT user_bucket, CAST(sum(cl) AS BIGINT) AS nl,
+                     CAST(sum(cr) AS BIGINT) AS nr
+              FROM cells GROUP BY 1
+            )
+            SELECT c.user_bucket,
+                   CAST(nl AS BIGINT) AS n_left,
+                   CAST(nr AS BIGINT) AS n_right,
+                   CAST(count(*) AS BIGINT) AS n_categories,
+                   CASE WHEN nl = 0 OR nr = 0 THEN CAST(NULL AS BIGINT)
+                        ELSE CAST(sum(CAST(abs(
+                          (CASE WHEN nl = 0 THEN 0
+                                ELSE (cl * 1000000) // nl END)
+                          - (CASE WHEN nr = 0 THEN 0
+                                  ELSE (cr * 1000000) // nr END)
+                        ) AS HUGEINT)) // 2 AS BIGINT) END AS tv_scaled
+            FROM cells c JOIN tot t ON c.user_bucket = t.user_bucket
+            GROUP BY c.user_bucket, nl, nr
         """,
     }

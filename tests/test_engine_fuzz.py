@@ -305,6 +305,12 @@ _EVQ = [
     "markov_transitions",
     "bfs_reach",
     "referential_integrity",
+    # microsecond-edge timestamps (0, 1, 999999) sit right on period
+    # boundaries — the floor(epoch) vs CAST(epoch) rounding divergence
+    # is what's under test; the even/odd split of the burst second
+    # stresses the drift full-outer category pairing
+    "retention_cohorts",
+    "distribution_drift",
 ]
 
 

@@ -193,3 +193,41 @@ def test_referential_integrity_audit_clean_and_empty(spark):
     assert out["empty_child"].n_orphan == 0
     assert out["empty_parent"].n_orphan == 2
     assert out["empty_parent"].n_orphan_keys == 2
+
+
+def test_distribution_drift_exact_tv(spark):
+    """Hand arithmetic at scale=1000: p=(750,250) vs q=(250,750) ->
+    TV = 500/1000; identical distributions -> 0; empty side -> NULL."""
+    from word_sense_disambiguation_spark.operators.profiling import (
+        distribution_drift,
+    )
+
+    l = spark.createDataFrame([("a",)] * 3 + [("b",)], "c string")
+    r = spark.createDataFrame([("a",)] + [("b",)] * 3, "c string")
+    out = distribution_drift(l, r, "c", scale=1000).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row.n_left, row.n_right, row.n_categories) == (4, 4, 2)
+    assert row.tv_scaled == 500
+    same = distribution_drift(l, l, "c", scale=1000).collect()[0]
+    assert same.tv_scaled == 0
+    empty = spark.createDataFrame([], "c string")
+    assert distribution_drift(l, empty, "c", scale=1000).collect()[0].tv_scaled is None
+
+
+def test_distribution_drift_disjoint_categories_and_slices(spark):
+    """Fully disjoint alphabets -> TV = scale (max drift, up to floor
+    truncation); slices are independent."""
+    from word_sense_disambiguation_spark.operators.profiling import (
+        distribution_drift,
+    )
+
+    l = spark.createDataFrame([("s1", "a"), ("s1", "a"), ("s2", "x")],
+                              "s string, c string")
+    r = spark.createDataFrame([("s1", "b"), ("s2", "x")],
+                              "s string, c string")
+    out = {r_.s: r_ for r_ in
+           distribution_drift(l, r, "c", ["s"], scale=1000).collect()}
+    assert out["s1"].tv_scaled == 1000     # disjoint: (1000-0)+(0-1000) over 2
+    assert out["s2"].tv_scaled == 0
+    assert out["s1"].n_categories == 2

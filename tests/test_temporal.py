@@ -616,3 +616,50 @@ def test_transition_model_partitioning_invariant(spark):
     a = transition_model(df.coalesce(1)).collect()
     b = transition_model(df.repartition(13)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_retention_cohorts_semantics(spark):
+    """Cohort = first active period; a user active twice in one period
+    counts once; later cohorts are independent."""
+    import datetime as dt
+
+    from word_sense_disambiguation_spark.operators.temporal import (
+        retention_cohorts,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base), (1, base + dt.timedelta(days=1)),
+        (2, base), (2, base + dt.timedelta(days=2)),
+        (2, base + dt.timedelta(days=2, hours=3)),   # dup within period
+        (3, base + dt.timedelta(days=1)),            # later cohort
+        (None, base), (4, None),                     # dropped
+    ]
+    ev = spark.createDataFrame(rows, "u long, ts timestamp")
+    out = {
+        (r.cohort_period, r.periods_since): r.n_users
+        for r in retention_cohorts(ev, "u", "ts", period_s=86400).collect()
+    }
+    d0 = base.replace(tzinfo=dt.timezone.utc).timestamp() // 86400
+    assert out == {
+        (d0, 0): 2, (d0, 1): 1, (d0, 2): 1,   # cohort of day 0: u1, u2
+        (d0 + 1, 0): 1,                        # cohort of day 1: u3
+    }
+
+
+def test_retention_cohorts_parallelism_invariant(spark):
+    import datetime as dt
+
+    from word_sense_disambiguation_spark.operators.temporal import (
+        retention_cohorts,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i % 17, base + dt.timedelta(hours=(i * 7) % 600))
+        for i in range(500)
+    ]
+    ev = spark.createDataFrame(rows, "u long, ts timestamp")
+    a = retention_cohorts(ev.coalesce(1), "u", "ts", 86400).collect()
+    b = retention_cohorts(ev.repartition(13), "u", "ts", 86400).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

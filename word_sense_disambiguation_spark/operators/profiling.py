@@ -183,6 +183,90 @@ def referential_integrity_audit(
     return reduce(DataFrame.unionByName, outs)
 
 
+def distribution_drift(
+    left: DataFrame,
+    right: DataFrame,
+    cat_col: str,
+    slice_cols: list[str] | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Categorical distribution drift between two snapshots, per slice:
+    the total-variation distance ``TV = (1/2) * sum_i |p_i - q_i|`` in
+    EXACT scaled-integer arithmetic — the DISTRIBUTIONAL monitor next to
+    :func:`checksum_diff`'s content-equality view (a re-crawl whose
+    language mix shifted 30% has near-zero row overlap AND a drifted
+    distribution; checksum_diff flags the first, this flags the second,
+    and only the second tells you the new corpus is differently shaped).
+
+    Semantics (the operator's defined recurrence, not a float
+    approximation): per category, each side's probability is the floored
+    scaled fraction ``(cnt * scale) DIV n_side`` (the b_cubed_metrics
+    discipline — a sum of per-category IEEE quotients would depend on
+    aggregation order); deviations are BIGINT, summed as DECIMAL(38,0),
+    and ``tv_scaled = sum DIV 2``. Truncation error is < n_categories /
+    scale of the real-valued TV — size ``scale`` to the category
+    alphabet. A slice empty on either side reports ``tv_scaled`` NULL
+    (drift from "nothing" is undefined — explicit CASE, never a
+    divide-by-zero crash under ANSI). Overflow bound: ``cnt * scale <
+    2^63`` — cells to ~9.2e9 rows at the default scale, lower it beyond.
+
+    Scale shape: each snapshot contracts to (slice, category, count)
+    via ONE map-side-combined groupBy — the only shuffles that see
+    input cardinality; the full-outer category join, the per-slice
+    totals re-aggregation (AQE ReusedExchange), and the final per-slice
+    fold all run on alphabet-sized data. No window, no raw-row join.
+
+    Slice keys must be non-null: the full-outer join pairs slices by
+    SQL equality, so a NULL slice on one side would never meet its
+    counterpart (it would split into two one-sided rows) — coalesce
+    slice keys before calling (NULL categories are simply excluded,
+    both sides).
+    """
+    slice_cols = list(slice_cols or [])
+    scale = int(scale)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.filter(F.col(cat_col).isNotNull()).groupBy(
+            *slice_cols, F.col(cat_col).alias("_cat")
+        ).agg(F.count(F.lit(1)).cast("long").alias(f"_c{tag}"))
+
+    l, r = side(left, "l"), side(right, "r")
+    cells = (
+        l.join(r, on=slice_cols + ["_cat"], how="full_outer")
+        .withColumn("_cl", F.coalesce(F.col("_cl"), F.lit(0).cast("long")))
+        .withColumn("_cr", F.coalesce(F.col("_cr"), F.lit(0).cast("long")))
+    )
+    totals = cells.groupBy(*slice_cols).agg(
+        F.sum("_cl").cast("long").alias("_nl"),
+        F.sum("_cr").cast("long").alias("_nr"),
+    )
+    j = cells.join(totals, on=slice_cols) if slice_cols else (
+        cells.crossJoin(F.broadcast(totals))
+    )
+    dev = F.expr(
+        f"abs(CASE WHEN _nl = 0 THEN 0L ELSE (_cl * {scale}L) DIV _nl END"
+        f" - CASE WHEN _nr = 0 THEN 0L ELSE (_cr * {scale}L) DIV _nr END)"
+    ).cast("decimal(38,0)")
+    summed = j.groupBy(*slice_cols).agg(
+        F.max("_nl").cast("long").alias("n_left"),
+        F.max("_nr").cast("long").alias("n_right"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum(dev).alias("_sumdev"),
+    )
+    return summed.select(
+        *slice_cols,
+        "n_left",
+        "n_right",
+        "n_categories",
+        F.when(
+            (F.col("n_left") == 0) | (F.col("n_right") == 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(F.expr("CAST(_sumdev DIV 2 AS BIGINT)"))
+        .alias("tv_scaled"),
+    )
+
+
 def checksum_diff(
     left: DataFrame,
     right: DataFrame,

@@ -442,6 +442,68 @@ def funnel_counts(
     )
 
 
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_s: int = 604_800,
+) -> DataFrame:
+    """Cohort retention triangle: users cohorted by their FIRST active
+    period, counted in every period they return — the standing
+    product/crawl-health report next to :func:`funnel_counts` (ordered
+    steps) and ``sessionization`` (gap splitting): of the users first
+    seen in week W, how many were active W+k.
+
+    Semantics (exact, engine-portable): a user's period index is
+    ``unix_timestamp(ts) DIV period_s`` — BIGINT epoch seconds under the
+    engine's pinned UTC session (works on TIMESTAMP and TIMESTAMP_NTZ
+    alike; the DuckDB mirror is ``floor(epoch(ts))``, the established
+    hopping-window idiom — never ``CAST(epoch(..))``, which ROUNDS),
+    then one integer floor-division (nonnegative epochs; 1970+ data).
+    Sub-second components cannot flip a period: floor(sec/P) ==
+    floor(floor(micros/1e6)/P) for nonneg inputs (nested-floor
+    identity). ``cohort_period = min(period)`` per user; output one row
+    per ``(cohort_period, periods_since)`` with the EXACT distinct-user
+    count. All BIGINT.
+
+    Scale shape: ONE repartition on the user key is the only
+    input-cardinality shuffle — the (user, period) distinct and the
+    per-user min both run inside that clustering with no further
+    exchange (hash partitioning on a key prefix satisfies the
+    aggregates' required distribution); the compile-time plan derives
+    the activity branch twice (join of act with its own aggregate), and
+    the executed plan substitutes a ReusedExchange for the second
+    derivation, so the input is scanned and shuffled ONCE at runtime
+    (verified). The final (cohort, k) rollup partial-combines from
+    per-user-period rows — distinct-user counting is FREE there (each
+    user contributes at most one row per period by construction), so no
+    count-distinct Expand ever runs. A bot user active in every period
+    costs rows bounded by the CALENDAR (periods elapsed), not by its
+    event volume.
+    """
+    u = F.col(user_col)
+    act = (
+        events.filter(u.isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            u.alias("_u"),
+            F.expr(
+                f"unix_timestamp({ts_col}) DIV {int(period_s)}L"
+            ).alias("_p"),
+        )
+        .repartition(F.col("_u"))
+        .distinct()
+    )
+    first = act.groupBy("_u").agg(F.min("_p").alias("_c"))
+    return (
+        act.join(first, on="_u")
+        .groupBy(
+            F.col("_c").cast("long").alias("cohort_period"),
+            (F.col("_p") - F.col("_c")).cast("long").alias("periods_since"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
 def transition_model(
     edges: DataFrame,
     src_col: str = "src",
