@@ -3034,6 +3034,36 @@ def _q_distribution_drift(spark, sf_dir):
     )
 
 
+def _q_path_rollup(spark, sf_dir):
+    """Site-map rollup over deterministically derived crawl urls
+    (host from source, path depth varied by doc_id % 5: root-only /
+    one-segment / three-segment): exact doc counts and char sums at
+    every path-prefix depth 0..3. One scan, row-local prefix explode,
+    one partial-combined groupBy."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        path_rollup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    stem = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/"))
+    url = (
+        F.when(m == 0, stem)
+        .when(m == 1, F.concat(stem, F.col("lang")))
+        .otherwise(
+            F.concat(
+                stem, F.col("lang"), F.lit("/sec-"),
+                (F.col("doc_id") % 13).cast("string"),
+                F.lit("/doc-"), F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    return path_rollup(
+        docs.select(url.alias("url"), "n_chars"), "url", "n_chars",
+        max_depth=3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_explode_counts": _q_token_explode,
@@ -3176,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_reach": _q_bfs_reach,
         "retention_cohorts": _q_retention_cohorts,
         "distribution_drift": _q_distribution_drift,
+        "path_rollup": _q_path_rollup,
     }
 
 
@@ -7939,5 +7970,46 @@ def oracle_sql() -> dict[str, str]:
                         ) AS HUGEINT)) // 2 AS BIGINT) END AS tv_scaled
             FROM cells c JOIN tot t ON c.user_bucket = t.user_bucket
             GROUP BY c.user_bucket, nl, nr
+        """,
+        # Path-rollup replay: same derived urls, same explicit-class
+        # regex (Java == RE2 on these classes), list_filter'd segments,
+        # generate_series depths, 1-based inclusive slice for prefixes.
+        # array_to_string([]) is NULL in DuckDB but '' in Spark's
+        # array_join — the depth-0 root needs the COALESCE.
+        "path_rollup": """
+            WITH u AS (
+              SELECT CASE
+                WHEN doc_id % 5 = 0
+                  THEN 'https://' || source || '.example.com/'
+                WHEN doc_id % 5 = 1
+                  THEN 'https://' || source || '.example.com/' || lang
+                ELSE 'https://' || source || '.example.com/' || lang
+                     || '/sec-' || CAST(doc_id % 13 AS VARCHAR)
+                     || '/doc-' || CAST(doc_id AS VARCHAR)
+                END AS url, n_chars
+              FROM documents
+            ),
+            p AS (
+              SELECT
+                regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host,
+                list_filter(string_split(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/'),
+                  s -> s <> '') AS segs,
+                n_chars
+              FROM u
+            ),
+            e AS (
+              SELECT host, n_chars, segs,
+                     unnest(generate_series(0, least(3, len(segs))))
+                       AS depth
+              FROM p WHERE host <> ''
+            )
+            SELECT host, CAST(depth AS INTEGER) AS depth,
+                   '/' || COALESCE(array_to_string(segs[1:depth], '/'), '')
+                     AS path_prefix,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+            FROM e GROUP BY 1, 2, 3
         """,
     }

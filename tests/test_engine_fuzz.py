@@ -160,6 +160,10 @@ _DOCQ = [
     # portable md5 row hash — byte-level engine agreement is the test
     "snapshot_diff",
     "compaction_plan",
+    # derived urls over the fuzz langs/sources; the empty-text doc and
+    # lang/source variety exercise the depth-0/1 prefix edges and the
+    # DuckDB array_to_string([])-is-NULL coalesce
+    "path_rollup",
 ]
 
 

@@ -604,3 +604,46 @@ def test_curation_pipeline_composition(spark):
     for r in packed:
         assert r.chunk_first == r.start_offset // 8
         assert r.chunk_last >= r.chunk_first
+
+
+def test_path_rollup_prefix_tree(spark):
+    """Each url contributes one row per prefix depth 0..min(segs, cap);
+    malformed/NULL urls are excluded; value sums are exact."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        path_rollup,
+    )
+
+    rows = [
+        ("https://a.com/x/y/z/w?q=1", 10),   # 4 segs, capped at depth 3
+        ("https://a.com/x/y", 5),
+        ("https://a.com/", 1),
+        ("HTTP://b.org/solo#f", 2),          # scheme case, fragment cut
+        ("not a url", 99),
+        (None, 7),
+    ]
+    df = spark.createDataFrame(rows, "url string, n long")
+    out = {
+        (r.host, r.depth, r.path_prefix): (r.n_docs, r.sum_n)
+        for r in path_rollup(df, "url", "n", max_depth=3).collect()
+    }
+    assert out == {
+        ("a.com", 0, "/"): (3, 16),
+        ("a.com", 1, "/x"): (2, 15),
+        ("a.com", 2, "/x/y"): (2, 15),
+        ("a.com", 3, "/x/y/z"): (1, 10),
+        ("b.org", 0, "/"): (1, 2),
+        ("b.org", 1, "/solo"): (1, 2),
+    }
+
+
+def test_path_rollup_no_value_col_and_invariance(spark):
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        path_rollup,
+    )
+
+    rows = [(f"https://h{i % 3}.net/p{i % 5}/q{i % 7}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "url string")
+    a = path_rollup(df.coalesce(1), "url").collect()
+    b = path_rollup(df.repartition(11), "url").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert {r.n_docs for r in a if r.depth == 0} == {100}

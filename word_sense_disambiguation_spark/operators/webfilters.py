@@ -254,6 +254,68 @@ def canonical_url(url_col: Column) -> Column:
     )
 
 
+def path_rollup(
+    df: DataFrame,
+    url_col: str,
+    value_col: str | None = None,
+    max_depth: int = 3,
+) -> DataFrame:
+    """URL path-hierarchy rollup: per ``(host, depth, path_prefix)``,
+    document counts (and an optional BIGINT value sum) at EVERY prefix
+    depth 0..``max_depth`` — the site-map aggregation
+    (``example.com/`` -> ``/a`` -> ``/a/b`` -> ...) that is to the URL
+    tree what ``time_bucket_rollup`` is to the time axis (crawl-budget
+    allocation, template-directory discovery, per-section quality
+    drill-down).
+
+    Parsing is pure portable regex (explicit character classes — the
+    CLAUDE.md Java-vs-RE2 discipline: never ``\\s``/property classes):
+    host is the authority between ``scheme://`` and the first
+    ``/?#``; path segments are the non-empty ``/``-splits of the
+    pre-query path. Rows whose url yields no host (malformed/relative)
+    are EXCLUDED — this operator aggregates a parsed site tree; route
+    un-parseable urls through ``canonical_url``'s NULL handling first.
+    Depth 0 is the host root ``/``; a url contributes to every prefix
+    it lies under (min(size(segments), max_depth) + 1 rows).
+
+    Scale shape: one scan, the prefix explosion is a row-local
+    ``posexplode`` over a transform/sequence array (linear, bounded by
+    ``max_depth + 1`` rows per doc — never a self-join per level), then
+    ONE map-side-combined groupBy; a hot directory (every page of a
+    10^8-page site shares depth-1) contracts map-side. All counts/sums
+    BIGINT.
+    """
+    scheme_host = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+    scheme_path = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)"
+    u = F.col(url_col)
+    base = df.select(
+        F.regexp_extract(u, scheme_host, 1).alias("_host"),
+        F.regexp_extract(u, scheme_path, 1).alias("_path"),
+        (
+            F.col(value_col).cast("long") if value_col else F.lit(0)
+        ).alias("_v"),
+    ).filter(F.col("_host") != "")
+    segs = F.expr("filter(split(_path, '/'), s -> s != '')")
+    prefixes = F.expr(
+        f"transform(sequence(0, least({int(max_depth)}, size(_segs))),"
+        f" d -> concat('/', array_join(slice(_segs, 1, d), '/')))"
+    )
+    exploded = (
+        base.withColumn("_segs", segs)
+        .select(
+            F.col("_host").alias("host"),
+            F.posexplode(prefixes).alias("depth", "path_prefix"),
+            "_v",
+        )
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    if value_col:
+        aggs.append(F.sum("_v").cast("long").alias(f"sum_{value_col}"))
+    return exploded.groupBy(
+        "host", F.col("depth").cast("int").alias("depth"), "path_prefix"
+    ).agg(*aggs)
+
+
 def filter_blocklisted_hosts(
     df: DataFrame,
     blocklist: DataFrame,
