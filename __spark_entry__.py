@@ -3064,6 +3064,21 @@ def _q_path_rollup(spark, sf_dir):
     )
 
 
+def _q_session_rollup(spark, sf_dir):
+    """Per-user sessions via the NATIVE session_window aggregate (gap
+    30 min, pinned strict-> boundary rule — exactly-gap-apart events
+    MERGE), floored-epoch bounds, BIGINT aggregates. The oracle replays
+    it as the lag-island construction on exact microseconds — proving
+    the built-in and the window machinery agree row-for-row."""
+    from word_sense_disambiguation_spark.operators.temporal import (
+        session_window_stats,
+    )
+
+    return session_window_stats(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_explode_counts": _q_token_explode,
@@ -3207,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "distribution_drift": _q_distribution_drift,
         "path_rollup": _q_path_rollup,
+        "session_rollup": _q_session_rollup,
     }
 
 
@@ -8011,5 +8027,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
             FROM e GROUP BY 1, 2, 3
+        """,
+        # Native-session replay: lag-island construction on EXACT
+        # microseconds with the pinned strict-> gap rule (exactly-gap
+        # events merge, measured); the two window passes share one
+        # TOTAL order (tus, event_id) — the phantom-island trap.
+        # end = last_ts + gap, bounds floored to epoch seconds.
+        "session_rollup": """
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS tus, event_id
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            m AS (
+              SELECT user_id, tus, event_id,
+                     CASE WHEN tus - lag(tus) OVER (
+                            PARTITION BY user_id ORDER BY tus, event_id)
+                          > 1800000000 THEN 1 ELSE 0 END AS nw
+              FROM ev
+            ),
+            isl AS (
+              SELECT *, SUM(nw) OVER (PARTITION BY user_id
+                          ORDER BY tus, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+              FROM m
+            )
+            SELECT user_id,
+                   CAST(min(tus) // 1000000 AS BIGINT) AS session_start_s,
+                   CAST((max(tus) + 1800000000) // 1000000 AS BIGINT)
+                     AS session_end_s,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(event_id) AS BIGINT) AS first_event_id,
+                   CAST(max(event_id) AS BIGINT) AS last_event_id
+            FROM isl GROUP BY user_id, sess
         """,
     }

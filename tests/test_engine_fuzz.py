@@ -315,6 +315,10 @@ _EVQ = [
     # stresses the drift full-outer category pairing
     "retention_cohorts",
     "distribution_drift",
+    # the burst second piles exact-duplicate timestamps into one
+    # session and the µs-edge events sit on floored-second boundaries —
+    # native session_window vs the lag-island replay must still agree
+    "session_rollup",
 ]
 
 

@@ -663,3 +663,31 @@ def test_retention_cohorts_parallelism_invariant(spark):
     a = retention_cohorts(ev.coalesce(1), "u", "ts", 86400).collect()
     b = retention_cohorts(ev.repartition(13), "u", "ts", 86400).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_session_window_stats_gap_boundary_pinned(spark):
+    """Exactly-gap-apart events MERGE (strict-> rule, same as the
+    sessionization oracle); one microsecond past the gap splits."""
+    import datetime as dt
+
+    from word_sense_disambiguation_spark.operators.temporal import (
+        session_window_stats,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, base), (2, 1, base + dt.timedelta(seconds=1800)),
+        (3, 2, base), (4, 2, base + dt.timedelta(seconds=1800, microseconds=1)),
+        (5, None, base), (6, 3, None),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, u long, ts timestamp")
+    out = session_window_stats(ev, "u", "ts", "event_id")
+    got = {(r.u, r.session_start_s, r.n_events, r.first_event_id,
+            r.last_event_id, r.session_end_s)
+           for r in out.collect()}
+    s0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got == {
+        (1, s0, 2, 1, 2, s0 + 3600),          # merged, end = last + gap
+        (2, s0, 1, 3, 3, s0 + 1800),
+        (2, s0 + 1800, 1, 4, 4, s0 + 3600),   # floored micro boundary
+    }

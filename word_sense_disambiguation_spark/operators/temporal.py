@@ -442,6 +442,57 @@ def funnel_counts(
     )
 
 
+def session_window_stats(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    gap: str = "30 minutes",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Per-user session statistics via Spark's NATIVE ``session_window``
+    aggregate — the engine-level twin of the lag-island
+    ``sessionization`` query (same gap semantics, different machinery):
+    the built-in merges events into [min_ts, last_ts + gap) windows
+    inside ONE partial-combinable aggregate, and the SAME expression
+    runs unchanged under Structured Streaming with a watermark
+    (:func:`streaming.ingest.stream_session_stats`), which the window
+    construction cannot.
+
+    Pinned boundary semantics (measured, test-enforced): two events
+    exactly ``gap`` apart MERGE — a new session starts only when the
+    diff is STRICTLY greater than the gap, the same ``> gap`` rule the
+    lag-island oracle uses. Session end is ``last_ts + gap``
+    (microsecond-exact); output bounds are floored epoch seconds
+    (``unix_timestamp``, NTZ-safe under the pinned UTC session), counts
+    and id extrema BIGINT — hash-portable, no raw timestamps.
+
+    Scale shape: one partial-combined aggregate on (session_window,
+    user) — Spark merges session fragments map-side, so a hot user
+    ships one row per (partition, session-run), never its raw events;
+    no window function, no self-join. ``gap``/``gap_s`` must agree
+    (string for the native op, seconds for callers mirroring the rule).
+    """
+    u = F.col(user_col)
+    return (
+        events.filter(u.isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("_w"), u)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(id_col).cast("long").alias("first_event_id"),
+            F.max(id_col).cast("long").alias("last_event_id"),
+        )
+        .select(
+            u,
+            F.unix_timestamp(F.col("_w.start")).alias("session_start_s"),
+            F.unix_timestamp(F.col("_w.end")).alias("session_end_s"),
+            "n_events",
+            "first_event_id",
+            "last_event_id",
+        )
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     user_col: str,
