@@ -3079,6 +3079,30 @@ def _q_session_rollup(spark, sf_dir):
     )
 
 
+def _q_deletion_impact(spark, sf_dir):
+    """GDPR cascade audit from a deterministic customer seed slice
+    (c_custkey % 10 = 3): orders hit by custkey, lineitem hit through
+    the affected orderkeys, events hit directly by user id — per-table
+    affected-row and matched-key counts, all BIGINT."""
+    from word_sense_disambiguation_spark.operators.profiling import (
+        deletion_impact,
+    )
+
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 3)
+    fk = deletion_impact(
+        cu, "c_custkey",
+        [
+            ("orders", _t(spark, sf_dir, "orders"), "o_custkey", "o_orderkey"),
+            ("lineitem", _t(spark, sf_dir, "lineitem"), "l_orderkey", None),
+        ],
+    )
+    ev = deletion_impact(
+        cu, "c_custkey",
+        [("events", _t(spark, sf_dir, "events"), "user_id", None)],
+    )
+    return fk.unionByName(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_explode_counts": _q_token_explode,
@@ -3223,6 +3247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_drift": _q_distribution_drift,
         "path_rollup": _q_path_rollup,
         "session_rollup": _q_session_rollup,
+        "deletion_impact": _q_deletion_impact,
     }
 
 
@@ -8059,5 +8084,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(event_id) AS BIGINT) AS first_event_id,
                    CAST(max(event_id) AS BIGINT) AS last_event_id
             FROM isl GROUP BY user_id, sess
+        """,
+        # Cascade-audit replay: plain IN-subquery semi-joins; NULL FKs
+        # never match; lineitem keys come from the AFFECTED orders.
+        "deletion_impact": """
+            WITH seedk AS (
+              SELECT DISTINCT c_custkey AS k FROM customer
+              WHERE c_custkey % 10 = 3
+            ),
+            o AS (
+              SELECT o_orderkey, o_custkey FROM orders
+              WHERE o_custkey IN (SELECT k FROM seedk)
+            ),
+            l AS (
+              SELECT l_orderkey FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM o)
+            ),
+            e AS (
+              SELECT user_id FROM events
+              WHERE user_id IN (SELECT k FROM seedk)
+            )
+            SELECT 'orders' AS table_name, CAST(1 AS INTEGER) AS step,
+                   CAST(count(*) AS BIGINT) AS n_rows_affected,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT)
+                     AS n_matched_keys
+            FROM o
+            UNION ALL
+            SELECT 'lineitem', CAST(2 AS INTEGER),
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT)
+            FROM l
+            UNION ALL
+            SELECT 'events', CAST(1 AS INTEGER),
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+            FROM e
         """,
     }

@@ -319,6 +319,10 @@ _EVQ = [
     # session and the µs-edge events sit on floored-second boundaries —
     # native session_window vs the lag-island replay must still agree
     "session_rollup",
+    # the fuzz orders table points at customer keys 0..299 with hot
+    # duplicates — the cascade's contract-then-probe counts must match
+    # the plain IN-subquery replay exactly
+    "deletion_impact",
 ]
 
 

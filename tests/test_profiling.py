@@ -231,3 +231,44 @@ def test_distribution_drift_disjoint_categories_and_slices(spark):
     assert out["s1"].tv_scaled == 1000     # disjoint: (1000-0)+(0-1000) over 2
     assert out["s2"].tv_scaled == 0
     assert out["s1"].n_categories == 2
+
+
+def test_deletion_impact_cascade(spark):
+    """Chain semantics: stage-2 keys come from AFFECTED stage-1 rows
+    only; NULL FKs never match; counts are rows, keys are distinct."""
+    from word_sense_disambiguation_spark.operators.profiling import (
+        deletion_impact,
+    )
+
+    seeds = spark.createDataFrame([(1,), (2,)], "uid long")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 3), (13, 2), (14, None)],
+        "okey long, cust long",
+    )
+    items = spark.createDataFrame(
+        [(10,), (10,), (11,), (12,), (None,)], "okey long"
+    )
+    out = {
+        (r.table_name, r.step): (r.n_rows_affected, r.n_matched_keys)
+        for r in deletion_impact(
+            seeds, "uid",
+            [("orders", orders, "cust", "okey"),
+             ("items", items, "okey", None)],
+        ).collect()
+    }
+    # orders: rows 10, 11 (cust 1), 13 (cust 2) -> 3 rows, 2 keys
+    # items: keys {10, 11, 13} -> rows 10, 10, 11 -> 3 rows, 2 keys
+    assert out == {("orders", 1): (3, 2), ("items", 2): (3, 2)}
+
+
+def test_deletion_impact_empty_seed_and_no_match(spark):
+    from word_sense_disambiguation_spark.operators.profiling import (
+        deletion_impact,
+    )
+
+    seeds = spark.createDataFrame([], "uid long")
+    child = spark.createDataFrame([(1,), (2,)], "fk long")
+    out = deletion_impact(
+        seeds, "uid", [("c", child, "fk", None)]
+    ).collect()
+    assert [tuple(r) for r in out] == [("c", 1, 0, 0)]

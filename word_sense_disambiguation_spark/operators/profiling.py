@@ -183,6 +183,78 @@ def referential_integrity_audit(
     return reduce(DataFrame.unionByName, outs)
 
 
+def deletion_impact(
+    seeds: DataFrame,
+    seed_col: str,
+    chain: list[tuple[str, DataFrame, str, str | None]],
+) -> DataFrame:
+    """Cascade-deletion impact audit (GDPR/erasure planning): given a
+    seed key set, walk an FK chain ``(table_name, df, fk_col,
+    next_key_col | None)`` and report, per table, how many rows an
+    erasure would touch and through how many distinct keys — the
+    INVERSE of :func:`referential_integrity_audit` (that one asks "do
+    children point at real parents", this one asks "what do these
+    parents drag along"). Each stage's affected ``next_key_col`` values
+    become the key set for the following stage (orders hit via
+    customer seeds feed the lineitem stage by orderkey).
+
+    Output: ``(table_name, step, n_rows_affected, n_matched_keys)``,
+    ``step`` 1-based along the chain; all counts BIGINT, NULL FKs never
+    match (SQL semantics).
+
+    Scale shape: each fact table contracts ONCE to ``(fk[, next_key],
+    cnt)`` via a map-side-combined groupBy — the only shuffle seeing
+    fact cardinality; the seed probe is a left-semi join against the
+    contracted table (seed side dimension-sized, AQE broadcasts); the
+    contracted hit table is eagerly localCheckpointed because it has
+    TWO consumers (its own count row and the next stage's key set) and
+    the next stage's semi-join would otherwise re-derive the whole
+    upstream DAG per consumer (the attach_mentions multi-consumer
+    rule). Chains are short audit lists; the 1-row-per-table union is
+    driver-trivial.
+    """
+    cur = (
+        seeds.filter(F.col(seed_col).isNotNull())
+        .select(F.col(seed_col).alias("_k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outs = []
+    for step, (name, df, fk_col, next_col) in enumerate(chain, start=1):
+        group_cols = [F.col(fk_col).alias("_fk")]
+        if next_col:
+            group_cols.append(F.col(next_col).alias("_n"))
+        keyed = (
+            df.filter(F.col(fk_col).isNotNull())
+            .groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+        )
+        hit = keyed.join(
+            cur, keyed["_fk"] == cur["_k"], how="left_semi"
+        ).localCheckpoint(eager=True)
+        outs.append(
+            hit.agg(
+                F.coalesce(F.sum("_cnt"), F.lit(0))
+                .cast("long")
+                .alias("n_rows_affected"),
+                F.countDistinct("_fk").cast("long").alias("n_matched_keys"),
+            ).select(
+                F.lit(name).alias("table_name"),
+                F.lit(step).cast("int").alias("step"),
+                "n_rows_affected",
+                "n_matched_keys",
+            )
+        )
+        if next_col:
+            cur = (
+                hit.select(F.col("_n").alias("_k"))
+                .filter(F.col("_k").isNotNull())
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+    return reduce(DataFrame.unionByName, outs)
+
+
 def distribution_drift(
     left: DataFrame,
     right: DataFrame,
