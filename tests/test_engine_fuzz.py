@@ -160,6 +160,9 @@ _DOCQ = [
     # portable md5 row hash — byte-level engine agreement is the test
     "snapshot_diff",
     "compaction_plan",
+    # blocker-audit composite (simhash blocks vs exact-Jaccard gold)
+    # on the adversarial corpus — the counts must replay exactly
+    "blocking_quality",
     # derived urls over the fuzz langs/sources; the empty-text doc and
     # lang/source variety exercise the depth-0/1 prefix edges and the
     # DuckDB array_to_string([])-is-NULL coalesce
@@ -323,6 +326,10 @@ _EVQ = [
     # duplicates — the cascade's contract-then-probe counts must match
     # the plain IN-subquery replay exactly
     "deletion_impact",
+    # the streaming path itself (parquet dir -> watermarked tumbling
+    # agg -> memory sink, run to completion) vs the batch date_trunc
+    # oracle, on burst/out-of-order fuzz events
+    "streaming_window_counts",
 ]
 
 
