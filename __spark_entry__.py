@@ -3103,6 +3103,52 @@ def _q_deletion_impact(spark, sf_dir):
     return fk.unionByName(ev)
 
 
+def _q_link_graph(spark, sf_dir):
+    """Outlink extraction over deterministically planted HTML (doc_id%3
+    varies the shape: two absolute links + a relative decoy / one
+    upper-case HREF + a mailto decoy / no links). The oracle computes
+    the EXPECTED edges from the planting formulas — independent ground
+    truth, not a mirrored regex (the url_canonicalize pattern)."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        extract_links,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    src = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc-"),
+        F.col("doc_id").cast("string"),
+    )
+    t1 = F.concat(
+        F.lit("https://hub.example.net/t-"),
+        (F.col("doc_id") % 17).cast("string"),
+    )
+    t2 = F.concat(
+        F.lit("http://"), F.col("lang"), F.lit(".example.org/p-"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    m = F.col("doc_id") % 3
+    html = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('<a href="'), t1, F.lit('">x</a> <a href=\''), t2,
+                F.lit('\'>y</a> <a href="/rel">r</a>'),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('text <A HREF="'), t1,
+                F.lit('">only</A> <a href="mailto:x@y.z">m</a>'),
+            ),
+        )
+        .otherwise(F.lit("<p>no links</p>"))
+    )
+    return extract_links(
+        docs.select(src.alias("url"), html.alias("html")), "url", "html"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_explode_counts": _q_token_explode,
@@ -3248,6 +3294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_rollup": _q_path_rollup,
         "session_rollup": _q_session_rollup,
         "deletion_impact": _q_deletion_impact,
+        "link_graph": _q_link_graph,
     }
 
 
@@ -8119,5 +8166,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT),
                    CAST(count(DISTINCT user_id) AS BIGINT)
             FROM e
+        """,
+        # Link-graph ground truth from the planting formulas (not a
+        # mirrored regex): m==0 docs emit (t1, t2) at positions (0, 1)
+        # — relative decoy skipped; m==1 docs emit t1 at 0 — mailto
+        # decoy skipped; m==2 docs emit nothing.
+        "link_graph": """
+            WITH d AS (
+              SELECT doc_id, lang, source,
+                     'https://' || source || '.example.com/doc-'
+                       || CAST(doc_id AS VARCHAR) AS src_url,
+                     source || '.example.com' AS src_host,
+                     'https://hub.example.net/t-'
+                       || CAST(doc_id % 17 AS VARCHAR) AS t1,
+                     'http://' || lang || '.example.org/p-'
+                       || CAST(doc_id % 5 AS VARCHAR) AS t2
+              FROM documents
+            )
+            SELECT src_url, src_host, t1 AS dst_url,
+                   'hub.example.net' AS dst_host,
+                   CAST(0 AS INTEGER) AS position
+            FROM d WHERE doc_id % 3 IN (0, 1)
+            UNION ALL
+            SELECT src_url, src_host, t2,
+                   lang || '.example.org', CAST(1 AS INTEGER)
+            FROM d WHERE doc_id % 3 = 0
         """,
     }

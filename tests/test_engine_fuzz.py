@@ -163,6 +163,9 @@ _DOCQ = [
     # blocker-audit composite (simhash blocks vs exact-Jaccard gold)
     # on the adversarial corpus — the counts must replay exactly
     "blocking_quality",
+    # planted-href extraction vs the formula ground truth on fuzz
+    # langs/sources (incl. empty strings inside the derived urls)
+    "link_graph",
     # derived urls over the fuzz langs/sources; the empty-text doc and
     # lang/source variety exercise the depth-0/1 prefix edges and the
     # DuckDB array_to_string([])-is-NULL coalesce

@@ -647,3 +647,46 @@ def test_path_rollup_no_value_col_and_invariance(spark):
     b = path_rollup(df.repartition(11), "url").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert {r.n_docs for r in a if r.depth == 0} == {100}
+
+
+def test_extract_links_scope_and_order(spark):
+    """Absolute http(s) hrefs only, document order, both quote styles,
+    attr-case-insensitive; relative/mailto/unquoted and NULL html
+    produce nothing."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        extract_links,
+    )
+
+    rows = [
+        ("https://a.com/p",
+         '<a href="https://b.org/x">x</a> mid '
+         "<a HREF = 'http://c.net/y'>y</a> "
+         '<a href="/rel">r</a> <a href="mailto:z@q.w">m</a> '
+         "<a href=http://unquoted.example/u>u</a>"),
+        ("https://d.io/q", None),
+        ("https://e.gov", "<p>no links</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = [tuple(r) for r in extract_links(df, "url", "html").collect()]
+    assert out == [
+        ("https://a.com/p", "a.com", "https://b.org/x", "b.org", 0),
+        ("https://a.com/p", "a.com", "http://c.net/y", "c.net", 1),
+    ]
+
+
+def test_extract_links_hub_page_linear(spark):
+    """A hub page with many links yields one row per link, positions
+    contiguous — row-local explode, no buffering assumptions."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        extract_links,
+    )
+
+    html = " ".join(
+        f'<a href="https://t{i}.example/p">l</a>' for i in range(200)
+    )
+    df = spark.createDataFrame([("https://hub.example", html)],
+                               "url string, html string")
+    out = extract_links(df, "url", "html").collect()
+    assert len(out) == 200
+    assert [r.position for r in out] == list(range(200))
+    assert out[7].dst_host == "t7.example"

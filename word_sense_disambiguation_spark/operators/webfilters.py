@@ -316,6 +316,64 @@ def path_rollup(
     ).agg(*aggs)
 
 
+def extract_links(
+    df: DataFrame,
+    url_col: str,
+    html_col: str,
+) -> DataFrame:
+    """Outlink extraction from raw HTML — the operator that turns a
+    crawl table into THE web-scale graph (the input ``pagerank`` /
+    ``transition_model`` / ``covisitation_edges`` consume): one row per
+    ``(src_url, src_host, dst_url, dst_host, position)`` for every
+    ABSOLUTE http(s) href anchor, in document order.
+
+    Defined semantics (portable, test-pinned): hrefs are matched by a
+    pure explicit-class regex — ``href`` (ASCII, case-insensitive via
+    the [hH] class spelling, never the (?i) flag whose scope differs
+    across engines), optional whitespace around ``=`` spelled with the
+    engine's WS_CLASS (NEVER ``\\s`` — the Java-vs-RE2 trap), a single-
+    or double-quoted value starting ``http://``/``https://``. Relative
+    links, javascript:, mailto:, unquoted hrefs are OUT OF SCOPE by
+    contract (a crawl link graph wants resolvable absolute edges; a
+    full RFC 3986 resolver belongs in ``canonical_url``'s family).
+    Hosts come from the same authority regex as :func:`path_rollup`;
+    rows with NULL html produce no links.
+
+    Scale shape: ``regexp_extract_all`` + ``posexplode`` — entirely
+    inside whole-stage codegen on the scan, no Python, no shuffle; the
+    output is edge rows whose downstream aggregation (host graph,
+    dedup) is the consumer's partial-combined groupBy. A 10^5-link hub
+    page costs 10^5 row-local rows, never a buffered window.
+    """
+    from word_sense_disambiguation_spark.functions.text import WS_CLASS
+
+    href_re = (
+        f"[hH][rR][eE][fF]{WS_CLASS}*={WS_CLASS}*"
+        f"(\"([hH][tT][tT][pP][sS]?://[^\"]+)\""
+        f"|'([hH][tT][tT][pP][sS]?://[^']+)')"
+    )
+    host_re = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+    # group 2 = double-quoted target, group 3 = single-quoted target;
+    # extract both and coalesce per match position
+    dq = F.regexp_extract_all(F.col(html_col), F.lit(href_re), F.lit(2))
+    sq = F.regexp_extract_all(F.col(html_col), F.lit(href_re), F.lit(3))
+    links = F.zip_with(dq, sq, lambda a, b: F.when(a != "", a).otherwise(b))
+    return (
+        df.select(
+            F.col(url_col).alias("src_url"),
+            F.regexp_extract(F.col(url_col), host_re, 1).alias("src_host"),
+            F.posexplode(links).alias("position", "dst_url"),
+        )
+        .withColumn(
+            "dst_host", F.regexp_extract(F.col("dst_url"), host_re, 1)
+        )
+        .select(
+            "src_url", "src_host", "dst_url", "dst_host",
+            F.col("position").cast("int").alias("position"),
+        )
+    )
+
+
 def filter_blocklisted_hosts(
     df: DataFrame,
     blocklist: DataFrame,
