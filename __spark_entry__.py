@@ -3149,6 +3149,25 @@ def _q_link_graph(spark, sf_dir):
     )
 
 
+def _q_host_rank(spark, sf_dir):
+    """End-to-end crawl→graph→authority composite: the REAL
+    extract_links over the planted html of ``link_graph``, aggregated
+    to the host graph, ranked by the integer-exact 2-iteration
+    PageRank. The oracle derives the EDGES from the planting formulas
+    (never the regex) and unrolls the same BIGINT recurrence — so a
+    hash match proves extraction, graph contraction, and rank agree
+    end-to-end."""
+    from word_sense_disambiguation_spark.operators.clustering import pagerank
+
+    links = _q_link_graph(spark, sf_dir)
+    edges = links.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return pagerank(edges, iterations=2).select(
+        "node", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_explode_counts": _q_token_explode,
@@ -3295,6 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_rollup": _q_session_rollup,
         "deletion_impact": _q_deletion_impact,
         "link_graph": _q_link_graph,
+        "host_rank": _q_host_rank,
     }
 
 
@@ -8191,5 +8211,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_url, src_host, t2,
                    lang || '.example.org', CAST(1 AS INTEGER)
             FROM d WHERE doc_id % 3 = 0
+        """,
+        # Host-rank replay: edges from the PLANTING FORMULAS (the
+        # extraction regex never appears here), then two unrolled
+        # rounds of the addition-only BIGINT PageRank recurrence — a
+        # hash match proves extraction + contraction + rank end-to-end.
+        "host_rank": """
+            WITH d AS (
+              SELECT doc_id, lang, source,
+                     source || '.example.com' AS src_host
+              FROM documents
+            ),
+            raw AS (
+              SELECT src_host AS src, 'hub.example.net' AS dst
+              FROM d WHERE doc_id % 3 IN (0, 1)
+              UNION ALL
+              SELECT src_host, lang || '.example.org'
+              FROM d WHERE doc_id % 3 = 0
+            ),
+            e AS (
+              SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+              FROM raw GROUP BY 1, 2
+            ),
+            outd AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg
+                     FROM e GROUP BY src),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+            r1 AS (
+              SELECT n.node,
+                     CAST(150000000 + COALESCE(SUM(
+                       ((r.pr // o.outdeg) * e.w * 850) // 1000), 0)
+                       AS BIGINT) AS pr
+              FROM nodes n
+              LEFT JOIN e ON e.dst = n.node
+              LEFT JOIN outd o ON o.src = e.src
+              LEFT JOIN r0 r ON r.node = e.src
+              GROUP BY n.node
+            ),
+            r2 AS (
+              SELECT n.node,
+                     CAST(150000000 + COALESCE(SUM(
+                       ((r.pr // o.outdeg) * e.w * 850) // 1000), 0)
+                       AS BIGINT) AS pr
+              FROM nodes n
+              LEFT JOIN e ON e.dst = n.node
+              LEFT JOIN outd o ON o.src = e.src
+              LEFT JOIN r1 r ON r.node = e.src
+              GROUP BY n.node
+            )
+            SELECT node, pr AS "rank" FROM r2
         """,
     }

@@ -166,6 +166,9 @@ _DOCQ = [
     # planted-href extraction vs the formula ground truth on fuzz
     # langs/sources (incl. empty strings inside the derived urls)
     "link_graph",
+    # the full crawl->graph->authority composite: REAL extraction,
+    # host-graph contraction, 2-round BIGINT PageRank vs formula edges
+    "host_rank",
     # derived urls over the fuzz langs/sources; the empty-text doc and
     # lang/source variety exercise the depth-0/1 prefix edges and the
     # DuckDB array_to_string([])-is-NULL coalesce

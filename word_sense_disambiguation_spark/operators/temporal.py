@@ -448,7 +448,6 @@ def session_window_stats(
     ts_col: str,
     id_col: str,
     gap: str = "30 minutes",
-    gap_s: int = 1800,
 ) -> DataFrame:
     """Per-user session statistics via Spark's NATIVE ``session_window``
     aggregate — the engine-level twin of the lag-island
@@ -470,8 +469,8 @@ def session_window_stats(
     Scale shape: one partial-combined aggregate on (session_window,
     user) — Spark merges session fragments map-side, so a hot user
     ships one row per (partition, session-run), never its raw events;
-    no window function, no self-join. ``gap``/``gap_s`` must agree
-    (string for the native op, seconds for callers mirroring the rule).
+    no window function, no self-join. Oracle mirrors spell the same
+    gap in exact units (e.g. 1800000000 µs for "30 minutes").
     """
     u = F.col(user_col)
     return (
