@@ -466,11 +466,14 @@ def session_window_stats(
     (``unix_timestamp``, NTZ-safe under the pinned UTC session), counts
     and id extrema BIGINT — hash-portable, no raw timestamps.
 
-    Scale shape: one partial-combined aggregate on (session_window,
-    user) — Spark merges session fragments map-side, so a hot user
-    ships one row per (partition, session-run), never its raw events;
-    no window function, no self-join. Oracle mirrors spell the same
-    gap in exact units (e.g. 1800000000 µs for "30 minutes").
+    Scale shape (audited): a partial HashAggregate BELOW the exchange
+    collapses duplicate-timestamp rows map-side (exactly the crawl
+    burst case), then the shuffle carries one row per DISTINCT
+    candidate window and the post-shuffle sorted ``MergingSessions``
+    pass welds adjacent candidates into sessions — never a window
+    function buffering a hot user's raw events, and no self-join.
+    Oracle mirrors spell the same gap in exact units (e.g.
+    1800000000 µs for "30 minutes").
     """
     u = F.col(user_col)
     return (

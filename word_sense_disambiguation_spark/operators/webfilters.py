@@ -339,7 +339,9 @@ def extract_links(
     Hosts come from the same authority regex as :func:`path_rollup`;
     rows with NULL html produce no links.
 
-    Scale shape: ``regexp_extract_all`` + ``posexplode`` — entirely
+    Scale shape: ONE ``regexp_extract_all`` pass over the html (group 1
+    keeps the quotes; a cheap per-match substring strips them — never a
+    second regex scan of the document) + ``posexplode`` — entirely
     inside whole-stage codegen on the scan, no Python, no shuffle; the
     output is edge rows whose downstream aggregation (host graph,
     dedup) is the consumer's partial-combined groupBy. A 10^5-link hub
@@ -349,15 +351,12 @@ def extract_links(
 
     href_re = (
         f"[hH][rR][eE][fF]{WS_CLASS}*={WS_CLASS}*"
-        f"(\"([hH][tT][tT][pP][sS]?://[^\"]+)\""
-        f"|'([hH][tT][tT][pP][sS]?://[^']+)')"
+        f"(\"[hH][tT][tT][pP][sS]?://[^\"]+\""
+        f"|'[hH][tT][tT][pP][sS]?://[^']+')"
     )
     host_re = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
-    # group 2 = double-quoted target, group 3 = single-quoted target;
-    # extract both and coalesce per match position
-    dq = F.regexp_extract_all(F.col(html_col), F.lit(href_re), F.lit(2))
-    sq = F.regexp_extract_all(F.col(html_col), F.lit(href_re), F.lit(3))
-    links = F.zip_with(dq, sq, lambda a, b: F.when(a != "", a).otherwise(b))
+    quoted = F.regexp_extract_all(F.col(html_col), F.lit(href_re), F.lit(1))
+    links = F.transform(quoted, lambda x: x.substr(F.lit(2), F.length(x) - 2))
     return (
         df.select(
             F.col(url_col).alias("src_url"),

@@ -75,8 +75,10 @@ def stream_session_stats(
     emitted exactly once, when the watermark passes its end — the
     correct unbounded-stream shape (complete mode would hold every
     session ever seen in state forever; the lag-window construction
-    cannot stream at all). State per key is one open-session fragment,
-    merged map-side; late events inside the watermark re-open nothing
+    cannot stream at all). State per key is the open-session fragments
+    (duplicate-timestamp rows collapse in the pre-shuffle partial
+    aggregate; candidates weld in the sorted MergingSessions pass);
+    late events inside the watermark re-open nothing
     (they merge before emission), later ones are dropped by the
     watermark contract.
 
