@@ -3168,6 +3168,53 @@ def _q_host_rank(spark, sf_dir):
     )
 
 
+def _q_anchor_signal(spark, sf_dir):
+    """Inlink anchor-text profiles over planted html (doc_id%3 varies:
+    two named anchors / one attr-laden anchor + a whitespace-only
+    anchor / none): per target, exact inlink counts, distinct referring
+    hosts, and the (count DESC, anchor ASC) top anchor. The oracle
+    derives the (dst, src_host, anchor) rows from the planting formulas
+    — the extraction regex never appears in it."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        anchor_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    src = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc-"),
+        F.col("doc_id").cast("string"),
+    )
+    t1 = F.concat(
+        F.lit("https://hub.example.net/t-"),
+        (F.col("doc_id") % 17).cast("string"),
+    )
+    t2 = F.concat(
+        F.lit("http://"), F.col("lang"), F.lit(".example.org/p-"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    m = F.col("doc_id") % 3
+    html = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('<a href="'), t1, F.lit('">alpha '), F.col("lang"),
+                F.lit('</a> <a href=\''), t2, F.lit("'>beta</a>"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('<a href="'), t1, F.lit('" rel="x">gamma</a> '),
+                F.lit('<a href="'), t2, F.lit('">\t </a>'),
+            ),
+        )
+        .otherwise(F.lit("<p>no links</p>"))
+    )
+    return anchor_profile(
+        docs.select(src.alias("url"), html.alias("html")), "url", "html"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_explode_counts": _q_token_explode,
@@ -3315,6 +3362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deletion_impact": _q_deletion_impact,
         "link_graph": _q_link_graph,
         "host_rank": _q_host_rank,
+        "anchor_signal": _q_anchor_signal,
     }
 
 
@@ -8260,5 +8308,56 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY n.node
             )
             SELECT node, pr AS "rank" FROM r2
+        """,
+        # Anchor-profile ground truth from the planting formulas: per
+        # target the exact inlink count (whitespace-only anchors count
+        # as inlinks, never as top), distinct referring hosts, and the
+        # (count DESC, anchor ASC) argmax replayed as a row_number.
+        "anchor_signal": """
+            WITH d AS (
+              SELECT doc_id, lang, source,
+                     source || '.example.com' AS src_host,
+                     'https://hub.example.net/t-'
+                       || CAST(doc_id % 17 AS VARCHAR) AS t1,
+                     'http://' || lang || '.example.org/p-'
+                       || CAST(doc_id % 5 AS VARCHAR) AS t2
+              FROM documents
+            ),
+            raw AS (
+              SELECT t1 AS dst_url, src_host,
+                     CASE WHEN doc_id % 3 = 0 THEN 'alpha ' || lang
+                          ELSE 'gamma' END AS anchor
+              FROM d WHERE doc_id % 3 IN (0, 1)
+              UNION ALL
+              SELECT t2, src_host, 'beta' FROM d WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT t2, src_host, '' FROM d WHERE doc_id % 3 = 1
+            ),
+            ba AS (
+              SELECT dst_url, anchor, CAST(count(*) AS BIGINT) AS cnt
+              FROM raw GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT dst_url, CAST(sum(cnt) AS BIGINT) AS n_inlinks
+              FROM ba GROUP BY 1
+            ),
+            top AS (
+              SELECT dst_url, anchor AS top_anchor FROM (
+                SELECT dst_url, anchor,
+                       row_number() OVER (PARTITION BY dst_url
+                                          ORDER BY cnt DESC, anchor ASC)
+                         AS rn
+                FROM ba WHERE anchor <> ''
+              ) WHERE rn = 1
+            ),
+            h AS (
+              SELECT dst_url, CAST(count(*) AS BIGINT) AS n_src_hosts
+              FROM (SELECT DISTINCT dst_url, src_host FROM raw)
+              GROUP BY 1
+            )
+            SELECT t.dst_url, t.n_inlinks, h.n_src_hosts, top.top_anchor
+            FROM tot t
+            JOIN h ON h.dst_url = t.dst_url
+            LEFT JOIN top ON top.dst_url = t.dst_url
         """,
     }

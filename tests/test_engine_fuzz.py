@@ -169,6 +169,9 @@ _DOCQ = [
     # the full crawl->graph->authority composite: REAL extraction,
     # host-graph contraction, 2-round BIGINT PageRank vs formula edges
     "host_rank",
+    # anchor-text inlink profiles vs the formula ground truth — the
+    # fuzz langs ride inside the planted anchors
+    "anchor_signal",
     # derived urls over the fuzz langs/sources; the empty-text doc and
     # lang/source variety exercise the depth-0/1 prefix edges and the
     # DuckDB array_to_string([])-is-NULL coalesce

@@ -690,3 +690,46 @@ def test_extract_links_hub_page_linear(spark):
     assert len(out) == 200
     assert [r.position for r in out] == list(range(200))
     assert out[7].dst_host == "t7.example"
+
+
+def test_anchor_profile_counts_hosts_and_top(spark):
+    """Whitespace-only anchors count as inlinks but never as top;
+    top-anchor ties break lexicographically ASC; nested markup yields
+    empty direct text -> NULL top; hosts are distinct."""
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        anchor_profile,
+    )
+
+    rows = [
+        ("https://a.com/1",
+         '<a href="https://t.example/x">Best Page</a> '
+         '<a href="https://t.example/x" class="z">Best Page</a> '
+         "<a href='https://t.example/x'>\t \n</a>"),
+        ("https://b.org/2",
+         '<a href="https://t.example/x">other</a> '
+         '<a href="https://t.example/y"><b>nested</b></a>'),
+        ("https://a.com/3", '<a href="https://t.example/x">other</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = {r.dst_url: r for r in anchor_profile(df, "url", "html").collect()}
+    x = out["https://t.example/x"]
+    assert (x.n_inlinks, x.n_src_hosts) == (5, 2)
+    assert x.top_anchor == "Best Page"     # 2-2 tie vs 'other' -> ASC
+    y = out["https://t.example/y"]
+    assert (y.n_inlinks, y.n_src_hosts, y.top_anchor) == (1, 1, None)
+
+
+def test_anchor_profile_parallelism_invariant(spark):
+    from word_sense_disambiguation_spark.operators.webfilters import (
+        anchor_profile,
+    )
+
+    rows = [
+        (f"https://h{i % 4}.net/{i}",
+         f'<a href="https://t{i % 6}.example/p">a{i % 3}</a>')
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    a = anchor_profile(df.coalesce(1), "url", "html").collect()
+    b = anchor_profile(df.repartition(11), "url", "html").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

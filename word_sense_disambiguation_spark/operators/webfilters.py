@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from word_sense_disambiguation_spark.functions.text import WS, WS_CLASS
+from word_sense_disambiguation_spark.functions.text import WS_CLASS
 
 SITE_RE = r"^[a-z]+://[^/]+/([^/]+)/"
 
@@ -370,6 +370,105 @@ def extract_links(
             "src_url", "src_host", "dst_url", "dst_host",
             F.col("position").cast("int").alias("position"),
         )
+    )
+
+
+def anchor_profile(
+    df: DataFrame,
+    url_col: str,
+    html_col: str,
+) -> DataFrame:
+    """Inlink anchor-text profile per target url — the classic
+    web-ranking signal (anchor text describes the TARGET better than
+    the target's own page; Brin & Page 1998 §2.2): for every absolute
+    http(s) anchor across the crawl, aggregate per ``dst_url`` the
+    inlink count, the distinct referring hosts, and the most frequent
+    non-empty anchor text (ties broken lexicographically ASC — the LPA
+    tie discipline, pinned).
+
+    Extraction contract extends :func:`extract_links`: same explicit-
+    class href regex, plus the anchor's DIRECT text prefix (characters
+    after the opening tag's ``>`` up to the next ``<``; nested markup
+    is out of scope by contract), trimmed with the engine's WS set.
+    Empty/whitespace-only anchors count as inlinks but never become
+    ``top_anchor``.
+
+    Scale shape: ONE regex pass over each document (group-0 matches);
+    per-match field parsing runs on the short match strings, never a
+    second scan of the html; then two map-side-combined contractions —
+    (dst, anchor) counts and distinct (dst, src_host) — each re-
+    aggregated per dst and equi-joined on ``dst_url``. The top anchor
+    is a ``min_by`` over the (-count, anchor) struct — an AGGREGATE
+    with partial combine (the assign_senses invariant), never a
+    row_number window: a boilerplate footer link pointing 10^9 times at
+    one target contracts map-side twice.
+    """
+    from word_sense_disambiguation_spark.functions.text import WS_CLASS
+
+    href_re = (
+        f"[hH][rR][eE][fF]{WS_CLASS}*={WS_CLASS}*"
+        f"(\"[hH][tT][tT][pP][sS]?://[^\"]+\""
+        f"|'[hH][tT][tT][pP][sS]?://[^']+')"
+        f"[^>]*>([^<]*)"
+    )
+    host_re = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+    matches = F.regexp_extract_all(F.col(html_col), F.lit(href_re), F.lit(0))
+    quoted = F.regexp_extract(
+        F.col("_m"), "[hH][rR][eE][fF][^\"']*([\"'][^\"']+[\"'])", 1
+    )
+    edges = (
+        df.select(
+            F.regexp_extract(F.col(url_col), host_re, 1).alias("src_host"),
+            F.explode(matches).alias("_m"),
+        )
+        .filter(F.col("src_host") != "")
+        .select(
+            "src_host",
+            quoted.substr(F.lit(2), F.length(quoted) - 2).alias("dst_url"),
+            # trim via WS_CLASS regex (engine-interpreted escapes) —
+            # NEVER trim(BOTH '<WS>'): WS is a RAW regex-class string,
+            # so SQL trim would read its backslash escapes as LITERAL
+            # set members (t, n, r, f, x, 0, B...) and eat real letters
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_extract(F.col("_m"), ">([^<]*)$", 1),
+                    f"^{WS_CLASS}+",
+                    "",
+                ),
+                f"{WS_CLASS}+$",
+                "",
+            ).alias("anchor"),
+        )
+    )
+    by_anchor = edges.groupBy("dst_url", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    totals = by_anchor.groupBy("dst_url").agg(
+        F.sum("cnt").cast("long").alias("n_inlinks")
+    )
+    top = (
+        by_anchor.filter(F.col("anchor") != "")
+        .groupBy("dst_url")
+        .agg(
+            F.min_by(
+                "anchor",
+                F.struct(
+                    (-F.col("cnt")).alias("_negcnt"),
+                    F.col("anchor").alias("_a"),
+                ),
+            ).alias("top_anchor")
+        )
+    )
+    hosts = (
+        edges.select("dst_url", "src_host")
+        .distinct()
+        .groupBy("dst_url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_src_hosts"))
+    )
+    return (
+        totals.join(top, on="dst_url", how="left")
+        .join(hosts, on="dst_url")
+        .select("dst_url", "n_inlinks", "n_src_hosts", "top_anchor")
     )
 
 
