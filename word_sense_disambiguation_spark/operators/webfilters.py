@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from word_sense_disambiguation_spark.functions.text import WS_CLASS
+from word_sense_disambiguation_spark.functions.text import WS, WS_CLASS
 
 SITE_RE = r"^[a-z]+://[^/]+/([^/]+)/"
 
