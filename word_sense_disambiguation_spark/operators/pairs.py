@@ -24,7 +24,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from word_sense_disambiguation_spark.functions.hashing import embed_token_bags
+from word_sense_disambiguation_spark.functions.hashing import (
+    embed_token_bags_dedup,
+)
 from word_sense_disambiguation_spark.functions.similarity import (
     cosine_batch,
     jaro_winkler_batch,
@@ -47,11 +49,14 @@ def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.DoubleType())
 def context_cosine_udf(c1: pd.Series, c2: pd.Series) -> pd.Series:
+    # distinct-bag embedding (bit-identical): star-blocked pair batches
+    # repeat the hub's context in every row, and surface-key blocks repeat
+    # few distinct contexts — embed each once, gather.
     n = len(c1)
     if n == 0:
         return pd.Series([], dtype="float64")
-    A = embed_token_bags(list(c1))
-    B = embed_token_bags(list(c2))
+    A = embed_token_bags_dedup(list(c1))
+    B = embed_token_bags_dedup(list(c2))
     return pd.Series(cosine_batch(A, B))
 
 

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from word_sense_disambiguation_spark.functions.hashing import embed_token_bags
+from word_sense_disambiguation_spark.functions.hashing import embed_token_bags_dedup
 from word_sense_disambiguation_spark.functions.similarity import cosine_batch
 
 NO_DEFINITIONS_FOUND = "No definitions found"
@@ -112,12 +112,16 @@ def context_gloss_cosine(
     Arrow-batched: embeds the whole batch into two (n, 64) matrices and does
     one vectorized row-wise cosine — the Spark analogue of the reference's
     batched forward pass (``wsd/masked_language_model.py:88-147``).
+    Both sides embed via the DISTINCT-bag path (bit-identical, see
+    ``embed_token_bags_dedup``): a candidate batch repeats each mention's
+    context once per candidate sense and each sense's profile once per
+    mention — measured ~2.4x fewer embedded rows on the flagship batch.
     """
     n = len(context_words)
     if n == 0:
         return pd.Series([], dtype="float64")
-    A = embed_token_bags(list(context_words))
-    B = embed_token_bags(list(profile_words))
+    A = embed_token_bags_dedup(list(context_words))
+    B = embed_token_bags_dedup(list(profile_words))
     return pd.Series(cosine_batch(A, B))
 
 

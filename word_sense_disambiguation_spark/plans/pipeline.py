@@ -57,34 +57,53 @@ def sense_assignments_prompted(
     scoring — yet the naive plan ships them through the mapInPandas scorer
     as null prompts, paying the Arrow round-trip of the fat passthrough
     columns (definitions/sense_ids arrays, marked sentence) for rows the
-    python side only zero-fills. They are split out BEFORE the scorer and
-    union'd back as literal rows; both branches read the same grouped
-    aggregate (one Exchange, reused). Mentions with n_defs > 127 (prompt
-    NULL by the letter-window rule) stay on the scorer branch so their
-    degenerate decode is byte-identical to the unsplit plan.
+    python side only zero-fills. r6 moves the split BEFORE the grouped
+    aggregate: a mention has an empty candidate set iff its ``(lemma,
+    pos)`` misses the broadcast inventory dim, so the ``no_definitions``
+    branch is a broadcast LEFT-ANTI join over the mention table (zero
+    shuffle, zero aggregate) and the collect_list aggregate — previously
+    the plan's dominant cost, shipping every mention through its Exchange
+    and evaluating the final ObjectHashAggregate once PER BRANCH — now
+    runs only over the ~6% of mentions that actually match the inventory
+    (measured 5.23s -> ~3.1s on the bench row). The mention table is
+    eagerly localCheckpointed before the two-consumer fan-out (the
+    attach_mentions_to_clusters rule: an unmaterialized extraction DAG
+    re-executes per consumer). Mentions with n_defs > 127 (prompt NULL by
+    the letter-window rule) stay on the scorer branch so their degenerate
+    decode is byte-identical to the unsplit plan. The scorer's Arrow
+    boundary carries neither ``definitions`` nor ``marked_sentence``
+    (guide §4.1: only the columns the python side needs cross).
     """
     from pyspark.sql import functions as F
 
+    from word_sense_disambiguation_spark.operators.candidates import prepare_senses
     from word_sense_disambiguation_spark.operators.mlm_scorer import (
         decode_probabilities,
         score_prompts,
     )
     from word_sense_disambiguation_spark.operators.prompts import build_prompts
 
-    mentions = mentions_from_pages_sql(pages)
-    cands = candidates_for_mentions(mentions, senses)
+    mentions = mentions_from_pages_sql(pages).localCheckpoint(eager=True)
+    dim = prepare_senses(senses)
+    key = (mentions["lemma"] == dim["s_lemma"]) & (
+        mentions["pos"] == dim["join_pos"]
+    )
+    # scorer branch: INNER broadcast join == the old left join restricted to
+    # rows with sense_id NOT NULL — a mention either matches >= 1 inventory
+    # rows (all non-null) or exactly one all-null row, so the per-mention
+    # collect_list groups are identical to the old null-guarded form.
+    matched = mentions.join(F.broadcast(dim), key, "inner").drop(
+        "s_lemma", "join_pos"
+    )
     grouped = (
-        cands.groupBy(
+        matched.groupBy(
             "url", "mention_id", "position", "surface", "lemma", "pos",
             "context_words",
         )
         .agg(
             F.array_sort(
                 F.collect_list(
-                    F.when(
-                        F.col("sense_id").isNotNull(),
-                        F.struct("sense_rank", "sense_id", "sense_definition"),
-                    )
+                    F.struct("sense_rank", "sense_id", "sense_definition")
                 )
             ).alias("cands")
         )
@@ -100,10 +119,12 @@ def sense_assignments_prompted(
         )
         .drop("cands")
     )
-    prompted = build_prompts(
-        grouped.filter(F.col("n_defs") > 0), word_col="surface"
+    prompted = build_prompts(grouped, word_col="surface")
+    # definitions/marked_sentence are consumed by build_prompts and never
+    # read again — don't pay their Arrow round-trip through the scorer.
+    scored = score_prompts(
+        prompted.drop("context_words", "definitions", "marked_sentence")
     )
-    scored = score_prompts(prompted.drop("context_words"))
     decoded = decode_probabilities(scored, n_defs_col="n_defs")
     from_scorer = decoded.select(
         "url",
@@ -122,8 +143,12 @@ def sense_assignments_prompted(
         "confidence",
     )
     # n_defs == 0 rows decode deterministically (zero vector -> is_nota
-    # forced, total 0 -> confidence 0.0) — emit the literals directly.
-    no_defs = grouped.filter(F.col("n_defs") == 0).select(
+    # forced, total 0 -> confidence 0.0) — emit the literals directly from
+    # the anti-joined mention rows (one row per missing mention, exactly
+    # the groups the old aggregate collected an empty list for).
+    no_defs = mentions.join(
+        F.broadcast(dim.select("s_lemma", "join_pos")), key, "left_anti"
+    ).select(
         "url",
         "mention_id",
         "position",
