@@ -222,12 +222,21 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_k: int = 5,
     max_block_size: int = DEFAULT_MAX_BLOCK,
+    dedup: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """LSH candidate pairs: ids colliding in >=1 band, deduplicated.
 
     Returns ``(pairs(id_a, id_b), oversized_buckets)``. With b bands of
     r = num_perm/b rows, collision probability is 1-(1-s^r)^b — the usual
     S-curve; defaults (b=16, r=8) put the knee near Jaccard ~0.7.
+
+    ``dedup=False`` skips the cross-band ``distinct()`` — a pure extra
+    shuffle stage over the pair table — for DUPLICATE-TOLERANT consumers
+    only (a deterministic row-wise verifier feeding connected components,
+    e.g. ``minhash_near_duplicate_clusters``: re-verifying a pair changes
+    no cluster — the r3 bench-pair-union argument, guide §2.4). The
+    default stays deduplicated: pair-table CONSUMERS that emit rows
+    (``ngram_jaccard_block`` etc.) would otherwise change output.
     """
     # materialize the signatures ONCE: the band table fans out to four
     # consumers (block counts, the oversized anti-join, and both self-join
@@ -239,10 +248,8 @@ def minhash_lsh_pairs(
     pairs, oversized = _pairs_within_blocks(
         banded, "id", ["band_id", "band_hash"], max_block_size
     )
-    return (
-        pairs.select("id_a", "id_b").distinct(),
-        oversized,
-    )
+    pairs = pairs.select("id_a", "id_b")
+    return (pairs.distinct() if dedup else pairs, oversized)
 
 
 def blocking_quality(

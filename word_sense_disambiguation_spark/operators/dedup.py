@@ -239,8 +239,18 @@ def minhash_near_duplicate_clusters(
     ``clustering.cluster_mentions``): the internal match-edge cache is
     released before returning; the RESULT comes back persisted and
     materialized — the caller owns it and may ``.unpersist()`` it.
+
+    The internal LSH candidate pairs skip the cross-band ``distinct()``
+    (``dedup=False`` — one less shuffle stage): the Jaccard verifier is
+    row-wise deterministic and CC is duplicate-edge-tolerant, so a pair
+    surviving in two bands re-verifies instead of re-shuffling — the same
+    argument as the bench ER pair union (r3, CLAUDE.md). Cluster output is
+    identical; only the internal pair table may carry duplicates.
     """
-    scored = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    cand_pairs, _ = minhash_lsh_pairs(df, id_col, text_col, dedup=False)
+    scored = ngram_jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=threshold, pairs=cand_pairs
+    )
     edges = scored.filter(F.col("is_match")).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).persist()

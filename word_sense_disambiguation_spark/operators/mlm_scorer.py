@@ -61,6 +61,7 @@ def load_scorer() -> Callable[[list[str]], np.ndarray]:
 
     letter_index = {c: i for i, c in enumerate(build_letters().letters)}
     word_re = re.compile(r"^What is the meaning of \*(.+?)\*")
+    fw = frozenset(FUNCTION_WORDS)  # hoisted: no per-prompt 150-entry copy
 
     def score_one(prompt: str) -> np.ndarray:
         logits = np.full(NUM_LETTERS, -np.inf, dtype=np.float64)
@@ -68,13 +69,13 @@ def load_scorer() -> Callable[[list[str]], np.ndarray]:
         # the target word and function words carry no sense signal (every
         # gloss mentions the word; articles appear everywhere) — a trained
         # model learns to ignore them, the stand-in must too.
+        # (S - (fw | {w})) == (S - fw) - {w}: same token set, one copy less.
         wm = word_re.search(prompt)
-        stop = set(FUNCTION_WORDS)
-        if wm:
-            stop.add(wm.group(1).lower())
         sent_tokens = (
-            set(_WORD_RE.findall((m.group(1) if m else "").lower())) - stop
+            set(_WORD_RE.findall((m.group(1) if m else "").lower())) - fw
         )
+        if wm:
+            sent_tokens.discard(wm.group(1).lower())
         for lm in _CHOICE_RE.finditer(prompt):
             letter, text = lm.group(1), lm.group(2)
             idx = letter_index.get(letter)
