@@ -157,10 +157,19 @@ def score_candidates(candidates: DataFrame, use_cosine: bool = True) -> DataFram
     # memo) + one NumPy GEMM-style batch — measured 30x faster than the
     # all-JVM higher-order-function form (see _emb_pairs_sql warning).
     # The UDF runs on every row (ArrowEvalPython is unconditional), but
-    # null-profile rows cost only the Arrow transfer of a short array —
-    # cheaper than the double scan a physical filter/union split causes.
+    # the CONTEXT input is nulled for inventory-miss rows (r6): their UDF
+    # value is discarded by the outer ``when`` guard anyway, yet the
+    # naive form shipped every mention's context array across the Arrow
+    # boundary — on a crawl corpus ~94% pure waste. cos(null, null) and
+    # cos(ctx, null) are both 0.0 (zero-vector guard), so the wrapped
+    # input is value-identical everywhere it is observable. A physical
+    # checkpoint+split was measured SLOWER (see sense_assignments).
     cos = F.greatest(
-        context_gloss_cosine("context_words", "profile_words"), F.lit(0.0)
+        context_gloss_cosine(
+            F.when(F.col("sense_id").isNotNull(), F.col("context_words")),
+            "profile_words",
+        ),
+        F.lit(0.0),
     )
     return candidates.withColumn(
         "score",

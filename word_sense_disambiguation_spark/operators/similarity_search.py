@@ -331,10 +331,8 @@ def lsh_topk(
     qdf = spark.createDataFrame(
         qrows, schema="query_id long, qvec array<float>, table_id int, bucket long"
     )
-    cand = (
-        banded.join(F.broadcast(qdf), on=["table_id", "bucket"])
-        .select("query_id", "vid", "vec", "qvec")
-        .dropDuplicates(["query_id", "vid"])
+    cand = banded.join(F.broadcast(qdf), on=["table_id", "bucket"]).select(
+        "query_id", "vid", "vec", "qvec"
     )
     dot = F.aggregate(
         F.zip_with("vec", "qvec", lambda x, y: x * y),
@@ -343,7 +341,18 @@ def lsh_topk(
     )
     nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
     cos = dot / F.greatest(nrm(F.col("vec")) * nrm(F.col("qvec")), F.lit(1e-12))
-    scored = cand.select("query_id", "vid", cos.alias("cosine"))
+    # score BEFORE the cross-table dedup (guide §2.3 — shuffle fewer
+    # bytes): the dedup shuffle previously carried both 64-float vectors
+    # per candidate row; computing the (deterministic) cosine first lets
+    # the dedup contract to (query_id, vid, cosine) — a multi-table
+    # duplicate re-computes one 64-wide dot product map-side instead of
+    # shipping 0.5 KB of vectors, and ``first`` over bit-identical values
+    # is order-independent.
+    scored = (
+        cand.select("query_id", "vid", cos.alias("cosine"))
+        .groupBy("query_id", "vid")
+        .agg(F.first("cosine").alias("cosine"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -31,6 +31,16 @@ def sense_assignments(
     Uses the JVM-only mention extractor (whole-stage codegen, scales with
     cores) unless ``use_html`` demands python-side byte extraction; the two
     extractors are row-identical (tested), so the choice is purely physical.
+
+    The empty-candidate short-circuit stays LOGICAL here (single
+    left-join pipeline, one Exchange, no materialization): a physical
+    checkpoint+split (the prompt path's shape) was tried in r6 and
+    REVERTED — materializing the full mention table costs more than the
+    null rows' Arrow round-trip saves (measured 3.01 s -> 5.33 s on the
+    bench row; the prompt path wins from the split only because it also
+    deletes a per-branch collect_list aggregate). Instead the cosine
+    UDF's context input is NULLED for inventory-miss rows inside
+    ``score_candidates`` — same plan, ~94% of the Arrow payload gone.
     """
     if use_html:
         mentions = mentions_from_pages(pages, use_html=True)
