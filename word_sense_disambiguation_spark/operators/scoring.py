@@ -156,20 +156,17 @@ def score_candidates(candidates: DataFrame, use_cosine: bool = True) -> DataFram
     # Arrow-batched cosine: one md5 per *unique* token (executor-lifetime
     # memo) + one NumPy GEMM-style batch — measured 30x faster than the
     # all-JVM higher-order-function form (see _emb_pairs_sql warning).
-    # The UDF runs on every row (ArrowEvalPython is unconditional), but
-    # the CONTEXT input is nulled for inventory-miss rows (r6): their UDF
-    # value is discarded by the outer ``when`` guard anyway, yet the
-    # naive form shipped every mention's context array across the Arrow
-    # boundary — on a crawl corpus ~94% pure waste. cos(null, null) and
-    # cos(ctx, null) are both 0.0 (zero-vector guard), so the wrapped
-    # input is value-identical everywhere it is observable. A physical
-    # checkpoint+split was measured SLOWER (see sense_assignments).
+    # The UDF runs unsplit on every row (ArrowEvalPython is
+    # unconditional). r6 measured and REJECTED two "optimizations" here,
+    # in windowed A/Bs — do not reintroduce either without re-measuring:
+    # (a) a physical checkpoint+split of the flagship around this UDF
+    # (3.0 -> 5.3 s: materializing the mention table costs more than the
+    # null rows' Arrow round-trip); (b) nulling the ctx input for
+    # inventory-miss rows via when(sense_id notnull, ctx) (bench rows
+    # drifted +0.2-0.9 s: the boundary cost is per-batch round-trip
+    # latency, not payload bytes, and the CASE adds a projection).
     cos = F.greatest(
-        context_gloss_cosine(
-            F.when(F.col("sense_id").isNotNull(), F.col("context_words")),
-            "profile_words",
-        ),
-        F.lit(0.0),
+        context_gloss_cosine("context_words", "profile_words"), F.lit(0.0)
     )
     return candidates.withColumn(
         "score",

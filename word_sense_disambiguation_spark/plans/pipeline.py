@@ -93,7 +93,16 @@ def sense_assignments_prompted(
     )
     from word_sense_disambiguation_spark.operators.prompts import build_prompts
 
-    mentions = mentions_from_pages_sql(pages).localCheckpoint(eager=True)
+    # checkpoint only the columns the two branches read (norm_surface /
+    # sentence_id / n_context never are) — smaller blocks, same rows
+    mentions = (
+        mentions_from_pages_sql(pages)
+        .select(
+            "url", "mention_id", "position", "surface", "lemma", "pos",
+            "context_words",
+        )
+        .localCheckpoint(eager=True)
+    )
     dim = prepare_senses(senses)
     key = (mentions["lemma"] == dim["s_lemma"]) & (
         mentions["pos"] == dim["join_pos"]
