@@ -155,6 +155,10 @@ def main() -> None:
         )
 
     # ---- prompt_assign decomposition ------------------------------------
+    # NOTE: pa_grouped / pa_prompts / pa_scored deliberately replicate the
+    # r5 (pre-split) aggregate shape so before/after stage attribution is
+    # possible; pa_full runs whatever pipeline.sense_assignments_prompted
+    # currently ships (the r6 pre-aggregate split).
     if want("prompt_assign"):
         noop(sense_assignments_prompted(pages, senses))  # warm-up
 
